@@ -1,0 +1,59 @@
+"""Single-file checkpointing for params / optimizer state / metadata.
+
+Parity with reference model.py:193-224 (save_state) and :166-191
+(init_from_model_file): one file per checkpoint holding model
+hyper-parameters, weights, optimizer state, the seen item/user id sets,
+and the library version. Format: a numpy ``.npz`` archive -- arrays are
+stored under '/'-joined pytree paths, metadata as a JSON string -- so
+checkpoints are torch-free, mmap-friendly and endian-stable.
+"""
+
+import io
+import json
+
+import jax
+import numpy as np
+
+
+def flatten_tree(tree, prefix=''):
+  """Flatten a nested dict pytree of arrays into {'a/b/c': array}."""
+  out = {}
+  if isinstance(tree, dict):
+    for k, v in tree.items():
+      out.update(flatten_tree(v, f'{prefix}{k}/'))
+  elif tree is None:
+    pass
+  else:
+    out[prefix[:-1]] = np.asarray(tree)
+  return out
+
+
+def unflatten_tree(flat):
+  """Inverse of :func:`flatten_tree`."""
+  tree = {}
+  for path, value in flat.items():
+    parts = path.split('/')
+    node = tree
+    for p in parts[:-1]:
+      node = node.setdefault(p, {})
+    node[parts[-1]] = value
+  return tree
+
+
+def save_checkpoint(path, arrays_tree, metadata):
+  """Write arrays (nested dict pytree) + JSON-able metadata to ``path``."""
+  arrays_tree = jax.tree_util.tree_map(np.asarray, arrays_tree)
+  flat = flatten_tree(arrays_tree)
+  payload = {f'arr::{k}': v for k, v in flat.items()}
+  payload['meta::json'] = np.frombuffer(
+      json.dumps(metadata).encode('utf-8'), dtype=np.uint8)
+  with open(path, 'wb') as f:
+    np.savez(f, **payload)
+
+
+def load_checkpoint(path):
+  """Returns (arrays_tree, metadata)."""
+  with np.load(path, allow_pickle=False) as z:
+    meta = json.loads(bytes(z['meta::json']).decode('utf-8'))
+    flat = {k[len('arr::'):]: z[k] for k in z.files if k.startswith('arr::')}
+  return unflatten_tree(flat), meta

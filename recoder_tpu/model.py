@@ -1,0 +1,626 @@
+"""The Recoder trainer: train / evaluate / predict / recommend / checkpoint.
+
+Parity with reference recoder/model.py:22-559, re-architected for TPU:
+
+  * One jitted train step per (union-bucket, nnz-bucket) shape, with
+    donated params/optimizer buffers. Densification of the sparse batch
+    happens on-device (reference densifies via torch.sparse on the host
+    boundary, model.py:457-472).
+  * Dense path: ``jax.grad`` over all params + torch-rule optimizers
+    (recoder_tpu.optim.Optimizer).
+  * Sparse path (``model.sparse=True``): gradients are taken w.r.t. the
+    gathered embedding rows only, and applied with row-sparse Adam
+    scatter updates -- cost O(|union| x d) per step regardless of
+    catalog size (reference: torch sparse grads + optim.SparseAdam,
+    model.py:109-138).
+  * Evaluation: full-catalog scores + seen-item masking + on-device
+    ``lax.top_k`` (reference model.py:525-544), metrics vectorized per
+    batch.
+  * MultiStepLR(gamma=0.1) with the reference's epoch-start stepping
+    quirk preserved (model.py:327-330,364-365): during epoch ``e`` the
+    decay exponent counts milestones <= e-1.
+"""
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recoder_tpu import __version__
+from recoder_tpu.checkpoint import load_checkpoint, save_checkpoint
+from recoder_tpu.data import (BatchCollator, RecommendationDataLoader)
+from recoder_tpu.metrics import RecommenderEvaluator
+from recoder_tpu.models.base import FactorizationModel
+from recoder_tpu.ops import losses as losses_lib
+from recoder_tpu.optim import Optimizer, SparseRowAdam, make_weight_decay_tree
+
+log = logging.getLogger('recoder_tpu')
+if not log.handlers:
+  _h = logging.StreamHandler()
+  _h.setFormatter(logging.Formatter('%(asctime)s %(levelname)s %(message)s'))
+  log.addHandler(_h)
+  log.setLevel(logging.INFO)
+
+
+def _multistep_lr(base_lr, milestones, epoch, gamma=0.1):
+  """LR for 1-based ``epoch`` under the reference's scheduler stepping."""
+  if not milestones:
+    return base_lr
+  count = sum(1 for m in milestones if m <= epoch - 1)
+  return base_lr * (gamma ** count)
+
+
+class Recoder:
+  """Trains/evaluates a :class:`recoder_tpu.models.FactorizationModel`.
+
+  Args:
+    model (FactorizationModel): the factorization model to train.
+    num_items (int, optional): catalog size; inferred from the first
+      training dataset if None.
+    num_users (int, optional): user count; inferred if None.
+    optimizer_type (str): 'sgd' | 'adam' | 'adagrad' | 'rmsprop'.
+    loss (str or recoder_tpu.ops.losses.Loss): 'mse' | 'logistic' |
+      'logloss', or a Loss instance (must be sum-reduced and accept
+      row/col masks).
+    loss_params (dict, optional): extra loss params when ``loss`` is str.
+    use_cuda (bool): accepted for API parity with the reference and
+      ignored -- device placement follows the JAX default backend (TPU
+      when present).
+    user_based / item_based (bool): consistency checks between the model
+      and datasets (reference model.py:238-250).
+    seed (int): RNG seed for init and dropout streams.
+  """
+
+  def __init__(self, model: FactorizationModel,
+               num_items=None, num_users=None,
+               optimizer_type='sgd', loss='mse',
+               loss_params=None, use_cuda=False,
+               user_based=True, item_based=True,
+               seed=42):
+    del use_cuda
+    self.model = model
+    self.num_items = num_items
+    self.num_users = num_users
+    self.optimizer_type = optimizer_type
+    self.loss = loss
+    self.loss_params = loss_params if loss_params else {}
+    self.user_based = user_based
+    self.item_based = item_based
+    self.seed = seed
+
+    self.optimizer = None
+    self.opt_state = None
+    self.sparse_adam = None
+    self.sparse_states = {}
+    self.current_epoch = 1
+    self.items = None
+    self.users = None
+    self.loss_module = None
+
+    self._model_initialized = False
+    self._pending_opt_arrays = None
+    self._base_rng = jax.random.PRNGKey(seed)
+    self._global_step = 0
+    self._step_fns = {}
+    self._loss_fns = {}
+    self._recommend_fns = {}
+    self._train_iterator = None
+    self._iters_consumed = 0
+
+  # ------------------------------------------------------------------
+  # initialization
+  # ------------------------------------------------------------------
+
+  def _init_model(self):
+    if self._model_initialized:
+      return
+    self.model.init_model(self.num_items, self.num_users, seed=self.seed)
+    self._model_initialized = True
+
+  def _init_loss_module(self):
+    if isinstance(self.loss, losses_lib.Loss):
+      self.loss_module = self.loss
+    elif self.loss == 'logistic':
+      self.loss_module = losses_lib.LogisticLoss(reduction='sum',
+                                                 **self.loss_params)
+    elif self.loss == 'mse':
+      self.loss_module = losses_lib.MSELoss(reduction='sum',
+                                            **self.loss_params)
+    elif self.loss == 'logloss':
+      self.loss_module = losses_lib.MultinomialNLLLoss(reduction='sum')
+    elif self.loss is None:
+      raise ValueError('No loss function defined')
+    else:
+      raise ValueError(f'Unknown loss function {self.loss}')
+
+  def _split_params(self):
+    """Split model params into (dense_subtree, sparse_table_paths)."""
+    sparse_paths = set(self.model.sparse_param_paths())
+    dense = {k: v for k, v in self.model.params.items()
+             if k not in sparse_paths}
+    return dense, tuple(sorted(sparse_paths))
+
+  def _init_optimizer(self, weight_decay):
+    dense_params, sparse_paths = self._split_params()
+
+    if sparse_paths and self.optimizer_type != 'adam':
+      raise ValueError('Sparse gradients optimization only supported '
+                       'with adam (sparse row-wise Adam)')
+
+    wd_tree = make_weight_decay_tree(dense_params, weight_decay)
+    self.optimizer = Optimizer(self.optimizer_type, weight_decay=wd_tree)
+    self.opt_state = self.optimizer.init(dense_params)
+    self.sparse_adam = SparseRowAdam()
+    self.sparse_states = {p: self.sparse_adam.init(self.model.params[p])
+                          for p in sparse_paths}
+
+    if self._pending_opt_arrays is not None:
+      opt, sparse = self._pending_opt_arrays
+      self.opt_state = jax.tree_util.tree_map(
+          lambda ref, new: jnp.asarray(new, ref.dtype).reshape(ref.shape),
+          self.opt_state, opt)
+      for p in sparse_paths:
+        if p in sparse:
+          self.sparse_states[p] = jax.tree_util.tree_map(
+              lambda ref, new: jnp.asarray(new, ref.dtype).reshape(ref.shape),
+              self.sparse_states[p], sparse[p])
+      self._pending_opt_arrays = None
+
+  def _init_training(self, train_dataset, weight_decay):
+    if self.items is None:
+      self.items = np.asarray(train_dataset.items)
+    else:
+      self.items = np.unique(np.append(self.items, train_dataset.items))
+
+    if self.users is None:
+      self.users = np.asarray(train_dataset.users)
+    else:
+      self.users = np.unique(np.append(self.users, train_dataset.users))
+
+    if self.item_based and self.num_items is None:
+      self.num_items = int(np.max(self.items)) + 1
+    elif self.item_based:
+      assert self.num_items >= int(np.max(self.items)) + 1, \
+          'The largest item id should be smaller than number of items. ' \
+          'If your model is not item based, set item_based=False.'
+
+    if self.user_based and self.num_users is None:
+      self.num_users = int(np.max(self.users)) + 1
+    elif self.user_based:
+      assert self.num_users >= int(np.max(self.users)) + 1, \
+          'The largest user id should be smaller than number of users. ' \
+          'If your model is not user based, set user_based=False.'
+
+    self._init_model()
+    self._init_optimizer(weight_decay=weight_decay)
+    self._init_loss_module()
+
+  # ------------------------------------------------------------------
+  # batch staging
+  # ------------------------------------------------------------------
+
+  def _stage_batch(self, input_batch, target_batch):
+    """Convert host Batches into the jit-ready array dict + static key."""
+    d = {
+        'in_rows': input_batch.rows, 'in_cols': input_batch.cols,
+        'in_vals': input_batch.vals,
+        'in_users': input_batch.users,
+        'in_items': input_batch.items,      # None when full catalog
+        'in_valid_users': np.float32(input_batch.num_users),
+        'in_valid_width': np.int32(input_batch.num_items_in_batch),
+    }
+    if target_batch is not None:
+      d['tg_rows'] = target_batch.rows
+      d['tg_cols'] = target_batch.cols
+      d['tg_vals'] = target_batch.vals
+      d['tg_items'] = target_batch.items
+      d['tg_valid_width'] = np.int32(target_batch.num_items_in_batch)
+    key = (input_batch.items is not None and len(input_batch.items) or 0,
+           len(input_batch.rows), len(input_batch.users),
+           target_batch is not None and (
+               target_batch.items is not None and len(target_batch.items) or 0,
+               len(target_batch.rows)) or None)
+    return d, key
+
+  def _densify(self, rows, cols, vals, batch_pad, width):
+    dense = jnp.zeros((batch_pad, width), jnp.float32)
+    return dense.at[rows, cols].add(vals, mode='drop')
+
+  def _forward_loss(self, params, batch, rng, training, gathered=None):
+    """Pure loss for one staged batch (used by train, validate)."""
+    model = self.model
+    B = batch['in_users'].shape[0]
+    in_items = batch.get('in_items', None)
+    in_width = (in_items.shape[0] if in_items is not None
+                else model.num_items_padded)
+    input_dense = self._densify(batch['in_rows'], batch['in_cols'],
+                                batch['in_vals'], B, in_width)
+
+    if 'tg_rows' in batch:
+      tg_items = batch.get('tg_items', None)
+      tg_width = (tg_items.shape[0] if tg_items is not None
+                  else model.num_items_padded)
+      target_dense = self._densify(batch['tg_rows'], batch['tg_cols'],
+                                   batch['tg_vals'], B, tg_width)
+      tg_valid_width = batch['tg_valid_width']
+    else:
+      tg_items = in_items
+      target_dense = input_dense
+      tg_valid_width = batch['in_valid_width']
+      tg_width = in_width
+
+    kwargs = dict(input_users=batch['in_users'], input_items=in_items,
+                  target_items=tg_items, rng=rng, training=training)
+    if gathered is None:
+      out = model.apply(params, input_dense, **kwargs)
+    else:
+      out = model.apply_gathered(params, gathered, input_dense, **kwargs)
+
+    row_mask = (jnp.arange(B) < batch['in_valid_users']).astype(jnp.float32)
+    col_valid = tg_valid_width if tg_items is not None else model.num_items
+    col_mask = (jnp.arange(tg_width) < col_valid).astype(jnp.float32)
+
+    loss = self.loss_module(out, target_dense,
+                            row_mask=row_mask, col_mask=col_mask)
+    return loss / batch['in_valid_users']
+
+  # ------------------------------------------------------------------
+  # jitted steps
+  # ------------------------------------------------------------------
+
+  def _get_step_fn(self, has_target, sparse):
+    cache_key = ('step', has_target, sparse)
+    if cache_key in self._step_fns:
+      return self._step_fns[cache_key]
+
+    model = self.model
+
+    if not sparse:
+      def step(params, opt_state, batch, lr, step_idx):
+        rng = jax.random.fold_in(self._base_rng, step_idx)
+
+        def loss_fn(p):
+          return self._forward_loss(p, batch, rng, training=True)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        new_params, new_opt_state = self.optimizer.update(
+            grads, opt_state, params, lr)
+        return new_params, new_opt_state, loss
+
+      fn = jax.jit(step, donate_argnums=(0, 1))
+    else:
+      sparse_paths = tuple(sorted(model.sparse_param_paths()))
+
+      def step(params, opt_state, sparse_states, batch, lr, step_idx):
+        rng = jax.random.fold_in(self._base_rng, step_idx)
+        in_items = batch.get('in_items', None)
+        tg_items = batch.get('tg_items', in_items)
+        entries = model.sparse_entries(input_users=batch['in_users'],
+                                       input_items=in_items,
+                                       target_items=tg_items)
+        from recoder_tpu.ops.gather_matmul import take_rows
+        gathered = {name: take_rows(params[path], ids)
+                    for name, path, ids in entries}
+        dense_params = {k: v for k, v in params.items()
+                        if k not in sparse_paths}
+
+        def loss_fn(dp, g):
+          return self._forward_loss({**dp}, batch, rng, training=True,
+                                    gathered=g)
+
+        loss, (dense_grads, gathered_grads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(dense_params, gathered)
+
+        new_dense, new_opt_state = self.optimizer.update(
+            dense_grads, opt_state, dense_params, lr)
+
+        new_params = dict(new_dense)
+        new_sparse_states = dict(sparse_states)
+        tables = {p: params[p] for p in sparse_paths}
+        for name, path, ids in entries:
+          tables[path], new_sparse_states[path] = (
+              self.sparse_adam.update_rows(tables[path],
+                                           new_sparse_states[path],
+                                           ids, gathered_grads[name], lr))
+        new_params.update(tables)
+        return new_params, new_opt_state, new_sparse_states, loss
+
+      fn = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    self._step_fns[cache_key] = fn
+    return fn
+
+  def _get_val_loss_fn(self):
+    if 'val' not in self._loss_fns:
+      def val_loss(params, batch):
+        return self._forward_loss(params, batch, rng=None, training=False)
+      self._loss_fns['val'] = jax.jit(val_loss)
+    return self._loss_fns['val']
+
+  def _get_recommend_fn(self, k):
+    """Full-catalog score -> mask seen -> top-k, on device."""
+    if k in self._recommend_fns:
+      return self._recommend_fns[k]
+    model = self.model
+
+    def recommend(params, rows, cols, vals, users):
+      B = users.shape[0]
+      W = model.num_items_padded
+      input_dense = self._densify(rows, cols, vals, B, W)
+      out = model.apply(params, input_dense, input_users=users,
+                        training=False)
+      out = jnp.where(input_dense > 0, -jnp.inf, out)
+      col_ids = jnp.arange(W)[None, :]
+      out = jnp.where(col_ids < model.num_items, out, -jnp.inf)
+      top_vals, top_idx = jax.lax.top_k(out, k)
+      return top_idx, top_vals
+
+    fn = jax.jit(recommend)
+    self._recommend_fns[k] = fn
+    return fn
+
+  # ------------------------------------------------------------------
+  # training loop
+  # ------------------------------------------------------------------
+
+  def train(self, train_dataset, val_dataset=None,
+            lr=0.001, weight_decay=0, num_epochs=1,
+            iters_per_epoch=None, batch_size=64, lr_milestones=None,
+            negative_sampling=False, num_sampling_users=0, num_data_workers=0,
+            model_checkpoint_prefix=None, checkpoint_freq=0,
+            eval_freq=0, eval_num_recommendations=None,
+            eval_num_users=None, metrics=None, eval_batch_size=None):
+    """Train the model (argument semantics mirror the reference
+    model.py:256-347; see that docstring for parameter meanings)."""
+    backend = jax.default_backend()
+    log.info('%s Mode', backend.upper())
+    for param, value in self.model.model_params().items():
+      log.info('Model %s: %s', param, value)
+    log.info('Initial Learning Rate: %s', lr)
+    log.info('Weight decay: %s', weight_decay)
+    log.info('Batch Size: %s', batch_size)
+    log.info('Optimizer: %s', self.optimizer_type)
+    log.info('LR milestones: %s', lr_milestones)
+    log.info('Loss Function: %s', self.loss)
+
+    if num_sampling_users == 0:
+      num_sampling_users = batch_size
+    if eval_batch_size is None:
+      eval_batch_size = batch_size
+
+    assert num_sampling_users >= batch_size \
+        and num_sampling_users % batch_size == 0, \
+        'number of sampling users should be a multiple of the batch size'
+
+    self._init_training(train_dataset, weight_decay=weight_decay)
+
+    train_dataloader = RecommendationDataLoader(
+        train_dataset, batch_size=batch_size,
+        negative_sampling=negative_sampling,
+        num_sampling_users=num_sampling_users,
+        num_workers=num_data_workers, seed=self.seed)
+    if val_dataset is not None:
+      val_dataloader = RecommendationDataLoader(
+          val_dataset, batch_size=batch_size,
+          negative_sampling=negative_sampling,
+          num_sampling_users=num_sampling_users,
+          num_workers=num_data_workers, seed=self.seed + 1)
+    else:
+      val_dataloader = None
+
+    num_batches = len(train_dataloader)
+    if iters_per_epoch is None:
+      iters_per_epoch = num_batches
+
+    sparse = bool(self.model.sparse_param_paths())
+
+    for epoch in range(self.current_epoch, num_epochs + 1):
+      self.current_epoch = epoch
+      epoch_lr = _multistep_lr(lr, lr_milestones, epoch)
+      lr_arr = jnp.float32(epoch_lr)
+      epoch_losses = []
+      t0 = time.time()
+
+      if self._train_iterator is None or self._iters_consumed >= num_batches:
+        self._train_iterator = iter(train_dataloader)
+        self._iters_consumed = 0
+
+      iters_to_process = min(iters_per_epoch,
+                             num_batches - self._iters_consumed)
+
+      for _ in range(iters_to_process):
+        try:
+          input_batch, target_batch = next(self._train_iterator)
+        except StopIteration:
+          break
+        self._iters_consumed += 1
+        loss = self._train_step(input_batch, target_batch, lr_arr, sparse)
+        epoch_losses.append(loss)
+
+      mean_loss = float(np.mean([float(l) for l in epoch_losses])) \
+          if epoch_losses else float('nan')
+      dt = time.time() - t0
+      msg = (f'Epoch {epoch}/{num_epochs} (lr={epoch_lr:g}) '
+             f'loss={mean_loss:.5f} '
+             f'[{iters_to_process} it, {dt:.2f}s, '
+             f'{iters_to_process / max(dt, 1e-9):.1f} it/s]')
+
+      if eval_freq > 0 and epoch % eval_freq == 0 and val_dataloader is not None:
+        val_loss = self._validate(val_dataloader)
+        msg += f' val_loss={val_loss:.5f}'
+        if metrics is not None and eval_num_recommendations is not None:
+          results = self._evaluate(val_dataloader.dataset,
+                                   num_recommendations=eval_num_recommendations,
+                                   metrics=metrics, batch_size=eval_batch_size,
+                                   num_users=eval_num_users)
+          for metric in results:
+            msg += f' {metric}={np.mean(results[metric]):.4f}'
+
+      log.info(msg)
+
+      if model_checkpoint_prefix and \
+          ((checkpoint_freq > 0 and epoch % checkpoint_freq == 0)
+           or epoch == num_epochs):
+        self.save_state(model_checkpoint_prefix)
+
+  def _train_step(self, input_batch, target_batch, lr_arr, sparse):
+    batch, _ = self._stage_batch(input_batch, target_batch)
+    step_fn = self._get_step_fn(target_batch is not None, sparse)
+    step_idx = np.int32(self._global_step)
+    self._global_step += 1
+    if not sparse:
+      dense_params, _ = self._split_params()
+      new_params, self.opt_state, loss = step_fn(
+          dense_params, self.opt_state, batch, lr_arr, step_idx)
+      self.model.params = new_params
+    else:
+      new_params, self.opt_state, self.sparse_states, loss = step_fn(
+          self.model.params, self.opt_state, self.sparse_states,
+          batch, lr_arr, step_idx)
+      self.model.params = new_params
+    return loss
+
+  def _validate(self, val_dataloader):
+    val_loss_fn = self._get_val_loss_fn()
+    total, n = 0.0, 0
+    for input_batch, target_batch in val_dataloader:
+      batch, _ = self._stage_batch(input_batch, target_batch)
+      total += float(val_loss_fn(self.model.params, batch))
+      n += 1
+    return total / max(n, 1)
+
+  # ------------------------------------------------------------------
+  # inference / evaluation
+  # ------------------------------------------------------------------
+
+  def predict(self, users_interactions, return_input=False):
+    """Full-catalog predictions for a batch of users.
+
+    Returns ``(output, input_dense)`` when ``return_input`` else just
+    ``output`` (fixes the reference's always-a-tuple quirk,
+    model.py:511). Outputs are numpy, trimmed to the logical
+    ``num_items`` columns.
+    """
+    if not self._model_initialized:
+      raise RuntimeError('Model not initialized.')
+    collator = BatchCollator(batch_size=len(users_interactions.users),
+                             negative_sampling=False,
+                             num_items=self.num_items,
+                             pad_users_to_batch_size=False)
+    batch = collator.collate(users_interactions)[0]
+    out, input_dense = self._predict_batch(batch)
+    if return_input:
+      return out, input_dense
+    return out
+
+  def _predict_batch(self, batch):
+    model = self.model
+    W = model.num_items_padded
+    B = len(batch.users)
+    dense = self._densify(jnp.asarray(batch.rows), jnp.asarray(batch.cols),
+                          jnp.asarray(batch.vals), B, W)
+    out = model.apply(model.params, dense,
+                      input_users=jnp.asarray(batch.users), training=False)
+    out = np.asarray(out)[:, :self.num_items]
+    input_dense = np.asarray(dense)[:, :self.num_items]
+    return out, input_dense
+
+  def recommend(self, users_interactions, num_recommendations):
+    """Top-k recommendations excluding each user's seen items."""
+    if not self._model_initialized:
+      raise RuntimeError('Model not initialized.')
+    collator = BatchCollator(batch_size=len(users_interactions.users),
+                             negative_sampling=False,
+                             num_items=self.num_items,
+                             pad_users_to_batch_size=False)
+    batch = collator.collate(users_interactions)[0]
+    fn = self._get_recommend_fn(num_recommendations)
+    top_idx, _ = fn(self.model.params, jnp.asarray(batch.rows),
+                    jnp.asarray(batch.cols), jnp.asarray(batch.vals),
+                    jnp.asarray(batch.users))
+    return np.asarray(top_idx).tolist()
+
+  def _evaluate(self, eval_dataset, num_recommendations, metrics,
+                batch_size=1, num_users=None):
+    if not self._model_initialized:
+      raise RuntimeError('Model not initialized')
+    from recoder_tpu.recommender import InferenceRecommender
+    recommender = InferenceRecommender(self, num_recommendations)
+    evaluator = RecommenderEvaluator(recommender, metrics)
+    return evaluator.evaluate(eval_dataset, batch_size=batch_size,
+                              num_users=num_users)
+
+  def evaluate(self, eval_dataset, num_recommendations, metrics,
+               batch_size=1, num_users=None):
+    """Evaluate on a dataset; logs the mean of each metric."""
+    results = self._evaluate(eval_dataset, num_recommendations, metrics,
+                             batch_size=batch_size, num_users=num_users)
+    for metric in results:
+      log.info('%s: %s', metric, np.mean(results[metric]))
+    return results
+
+  # ------------------------------------------------------------------
+  # checkpointing
+  # ------------------------------------------------------------------
+
+  def save_state(self, model_checkpoint_prefix):
+    """Save a checkpoint to ``{prefix}_epoch_{N}.model``; returns path."""
+    checkpoint_file = (f'{model_checkpoint_prefix}_epoch_'
+                       f'{self.current_epoch}.model')
+    log.info('Saving model to %s', checkpoint_file)
+    meta = {
+        'recoder_version': __version__,
+        'model_class': type(self.model).__name__,
+        'model_params': self.model.model_params(),
+        'model_sparse': bool(self.model.sparse_param_paths()),
+        'last_epoch': self.current_epoch,
+        'optimizer_type': self.optimizer_type,
+        'num_items': self.num_items,
+        'num_users': self.num_users,
+        'global_step': self._global_step,
+    }
+    if isinstance(self.loss, str):
+      meta['loss'] = self.loss
+      meta['loss_params'] = self.loss_params
+
+    arrays = {'model': self.model.params}
+    if self.opt_state is not None:
+      arrays['optimizer'] = self.opt_state
+    if self.sparse_states:
+      arrays['sparse_optimizer'] = self.sparse_states
+    if self.items is not None:
+      arrays['items'] = np.asarray(self.items)
+    if self.users is not None:
+      arrays['users'] = np.asarray(self.users)
+
+    save_checkpoint(checkpoint_file, arrays, meta)
+    return checkpoint_file
+
+  def init_from_model_file(self, model_file):
+    """Restore model/optimizer/training state from a checkpoint."""
+    import os
+    log.info('Loading model from: %s', model_file)
+    if not os.path.isfile(model_file):
+      raise FileNotFoundError(f'No state file found in {model_file}')
+    arrays, meta = load_checkpoint(model_file)
+
+    self.current_epoch = meta['last_epoch']
+    self._global_step = meta.get('global_step', 0)
+    self.loss = meta.get('loss', self.loss)
+    self.loss_params = meta.get('loss_params', self.loss_params)
+    self.optimizer_type = meta['optimizer_type']
+    self.num_items = meta.get('num_items')
+    self.num_users = meta.get('num_users')
+    self.items = arrays.get('items')
+    self.users = arrays.get('users')
+    self._pending_opt_arrays = (arrays.get('optimizer'),
+                                arrays.get('sparse_optimizer') or {})
+
+    self.model.load_model_params(meta['model_params'])
+    self._init_model()
+    # overwrite freshly-initialized params with the checkpoint weights
+    self.model.params = jax.tree_util.tree_map(
+        lambda ref, new: jnp.asarray(new, ref.dtype),
+        self.model.params, arrays['model'])

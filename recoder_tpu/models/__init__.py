@@ -1,0 +1,14 @@
+"""Factorization model zoo (pure-functional JAX, TPU-shaped).
+
+Parity with reference recoder/nn.py: :class:`FactorizationModel` ABC,
+:class:`DynamicAutoencoder`, :class:`MatrixFactorization`. Models hold
+hyper-parameters and a params pytree; the compute path is a pure
+``apply(params, ...)`` suitable for ``jax.jit`` / ``pjit``.
+"""
+
+from recoder_tpu.models.base import FactorizationModel, activation
+from recoder_tpu.models.autoencoder import DynamicAutoencoder
+from recoder_tpu.models.matrix_factorization import MatrixFactorization
+
+__all__ = ['FactorizationModel', 'activation', 'DynamicAutoencoder',
+           'MatrixFactorization']

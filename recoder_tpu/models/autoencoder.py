@@ -1,0 +1,227 @@
+"""Dynamic (item-union) autoencoder.
+
+Parity with reference recoder/nn.py:68-280 (DynamicAutoencoder +
+LinearEmbedding): an autoencoder whose first and last layers gather
+only the mini-batch's item rows from the embedding tables, so encode
+and decode cost scale with the batch item-union instead of the catalog.
+
+Compute-path mapping (reference -> here):
+  F.normalize(input, 2, 1)        nn.py:235  -> l2_normalize_rows
+  noise dropout                   nn.py:236  -> dropout(rate=noise_prob)
+  encode LinearEmbedding          nn.py:239  -> z @ E_en[items] + b_en
+  hidden encode/decode Linears    nn.py:242-249
+  bottleneck dropout              nn.py:245
+  decode LinearEmbedding          nn.py:251  -> h @ E_de[items].T + b_de[items]
+  weight tying (is_constrained)   nn.py:224-232 -> decode reuses encode arrays
+
+The gather+matmul pairs route through recoder_tpu.ops.gather_matmul,
+which lowers to a fused Pallas kernel on TPU and plain XLA elsewhere.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from recoder_tpu.models.base import (FactorizationModel, activation, dropout,
+                                     l2_normalize_rows, pad_dim,
+                                     xavier_uniform)
+from recoder_tpu.ops.gather_matmul import (encode_gather_matmul,
+                                           decode_gather_matmul)
+
+
+class DynamicAutoencoder(FactorizationModel):
+  """Autoencoder over variable item subsets (negative sampling friendly).
+
+  Args:
+    hidden_layers (list): encoder layer sizes; the first entry is the
+      embedding dim, later entries are hidden encoder Linear widths.
+      The decoder mirrors them.
+    activation_type (str): activation name ('tanh', 'relu', ..., 'none').
+    is_constrained (bool): tie decoder weights to encoder transposes.
+    dropout_prob (float): bottleneck dropout.
+    noise_prob (float): input (denoising) dropout.
+    sparse (bool): request sparse row-wise optimizer updates for the
+      embedding tables (semantics of torch SparseAdam; see
+      recoder_tpu.optim).
+  """
+
+  def __init__(self, hidden_layers=None, activation_type='tanh',
+               is_constrained=False, dropout_prob=0.0,
+               noise_prob=0.0, sparse=False):
+    self.hidden_layers = hidden_layers
+    self.activation_type = activation_type
+    self.is_constrained = is_constrained
+    self.dropout_prob = dropout_prob
+    self.noise_prob = noise_prob
+    self.sparse = sparse
+
+    self.num_items = None
+    self.num_items_padded = None
+    self.params = None
+
+  # -- init / hyperparams ------------------------------------------------
+
+  def init_model(self, num_items=None, num_users=None, seed=0):
+    assert self.hidden_layers, 'hidden_layers must be a non-empty list'
+    self.num_items = int(num_items)
+    self.num_items_padded = pad_dim(self.num_items)
+    d0 = self.hidden_layers[0]
+
+    key = jax.random.PRNGKey(seed)
+    keys = iter(jax.random.split(key, 4 + 4 * len(self.hidden_layers)))
+
+    params = {}
+    # encoder embedding table [num_items_padded, d0]; logical fans for init
+    params['en_embedding'] = xavier_uniform(
+        next(keys), (self.num_items_padded, d0),
+        fan_in=d0, fan_out=self.num_items)
+    params['en_bias'] = jnp.zeros((d0,), jnp.float32)
+
+    # hidden encoder linears: sizes hidden_layers[i-1] -> hidden_layers[i]
+    for i, width in enumerate(self.hidden_layers[1:], 1):
+      prev = self.hidden_layers[i - 1]
+      params[f'encode_w_{i}'] = xavier_uniform(
+          next(keys), (prev, width), fan_in=prev, fan_out=width)
+      params[f'encode_b_{i}'] = jnp.zeros((width,), jnp.float32)
+
+    # hidden decoder linears mirror the encoder (reversed sizes); when
+    # constrained only biases are parameters (weights = encoder.T)
+    rev = list(reversed(self.hidden_layers))
+    for i, width in enumerate(rev[1:], 1):
+      prev = rev[i - 1]
+      if not self.is_constrained:
+        params[f'decode_w_{i}'] = xavier_uniform(
+            next(keys), (prev, width), fan_in=prev, fan_out=width)
+      params[f'decode_b_{i}'] = jnp.zeros((width,), jnp.float32)
+
+    if not self.is_constrained:
+      params['de_embedding'] = xavier_uniform(
+          next(keys), (self.num_items_padded, d0),
+          fan_in=d0, fan_out=self.num_items)
+    params['de_bias'] = jnp.zeros((self.num_items_padded,), jnp.float32)
+
+    self.params = params
+    return params
+
+  def model_params(self):
+    return {
+        'hidden_layers': self.hidden_layers,
+        'activation_type': self.activation_type,
+        'is_constrained': self.is_constrained,
+        'dropout_prob': self.dropout_prob,
+        'noise_prob': self.noise_prob,
+    }
+
+  def load_model_params(self, model_params):
+    self.hidden_layers = model_params['hidden_layers']
+    self.activation_type = model_params['activation_type']
+    self.is_constrained = model_params['is_constrained']
+    self.dropout_prob = model_params['dropout_prob']
+    self.noise_prob = model_params['noise_prob']
+
+  def param_axes(self):
+    axes = {'en_embedding': ('item', 'embed'), 'en_bias': ('embed',),
+            'de_bias': ('item',)}
+    if not self.is_constrained:
+      axes['de_embedding'] = ('item', 'embed')
+    for i in range(1, len(self.hidden_layers)):
+      axes[f'encode_w_{i}'] = (None, None)
+      axes[f'encode_b_{i}'] = (None,)
+      if not self.is_constrained:
+        axes[f'decode_w_{i}'] = (None, None)
+      axes[f'decode_b_{i}'] = (None,)
+    return axes
+
+  def sparse_param_paths(self):
+    if not self.sparse:
+      return ()
+    paths = ['en_embedding']
+    if not self.is_constrained:
+      paths.append('de_embedding')
+    return tuple(paths)
+
+  # -- forward -----------------------------------------------------------
+
+  def _forward_core(self, params, input, en_operand, en_ids,
+                    de_operand, de_ids, de_bias, rng, training):
+    """Shared forward; operands may be full tables (+ids) or
+    pre-gathered row matrices (ids=None)."""
+    if training and (self.noise_prob > 0 or self.dropout_prob > 0):
+      assert rng is not None, 'training with dropout requires rng'
+      noise_rng, drop_rng = jax.random.split(rng)
+
+    z = l2_normalize_rows(input)
+    if training and self.noise_prob > 0:
+      z = dropout(z, self.noise_prob, noise_rng)
+
+    # encode: z[B, U] @ E_en[items][U, d0] + b_en
+    z = encode_gather_matmul(z, en_operand, en_ids, params['en_bias'])
+    z = activation(z, self.activation_type)
+
+    for i in range(1, len(self.hidden_layers)):
+      z = z @ params[f'encode_w_{i}'] + params[f'encode_b_{i}']
+      z = activation(z, self.activation_type)
+
+    if training and self.dropout_prob > 0:
+      z = dropout(z, self.dropout_prob, drop_rng)
+
+    n_dec = len(self.hidden_layers) - 1
+    for i in range(1, n_dec + 1):
+      if self.is_constrained:
+        # decoder layer i mirrors encoder layer (n_dec - i + 1), transposed
+        w = params[f'encode_w_{n_dec - i + 1}'].T
+      else:
+        w = params[f'decode_w_{i}']
+      z = z @ w + params[f'decode_b_{i}']
+      z = activation(z, self.activation_type)
+
+    # decode: h[B, d0] @ E_de[items].T + b_de[items]
+    z = decode_gather_matmul(z, de_operand, de_ids, de_bias)
+    return z
+
+  def apply(self, params, input, input_users=None, input_items=None,
+            target_users=None, target_items=None, rng=None, training=False):
+    del input_users, target_users  # item-based model
+    if input_items is None and input.shape[1] < self.num_items_padded:
+      # full-catalog input given at logical width: pad to the table
+      input = jnp.pad(input,
+                      ((0, 0), (0, self.num_items_padded - input.shape[1])))
+    de_table = (params['en_embedding'] if self.is_constrained
+                else params['de_embedding'])
+    return self._forward_core(params, input,
+                              en_operand=params['en_embedding'],
+                              en_ids=input_items,
+                              de_operand=de_table, de_ids=target_items,
+                              de_bias=params['de_bias'],
+                              rng=rng, training=training)
+
+  # -- sparse (row-gathered) path -----------------------------------------
+
+  def sparse_entries(self, input_users=None, input_items=None,
+                     target_users=None, target_items=None):
+    """Row-gather plan for the sparse optimizer path.
+
+    Returns a list of ``(name, table_path, ids)``. When the decoder is
+    tied to the encoder and decodes the same item union, the single
+    'en_rows' entry serves both uses so gradients accumulate into one
+    row-sparse update (matching torch's coalesced sparse grad).
+    """
+    entries = [('en_rows', 'en_embedding', input_items)]
+    de_table = 'en_embedding' if self.is_constrained else 'de_embedding'
+    shared = (de_table == 'en_embedding') and (target_items is input_items)
+    if not shared:
+      entries.append(('de_rows', de_table, target_items))
+    return entries
+
+  def apply_gathered(self, params, gathered, input, input_users=None,
+                     input_items=None, target_users=None, target_items=None,
+                     rng=None, training=False):
+    """Forward where embedding-table rows arrive pre-gathered (the
+    differentiable leaves of the sparse path)."""
+    del input_users, target_users, input_items
+    from recoder_tpu.ops.gather_matmul import take_rows
+    de_rows = gathered.get('de_rows', gathered['en_rows'])
+    de_bias = take_rows(params['de_bias'], target_items)
+    return self._forward_core(params, input,
+                              en_operand=gathered['en_rows'], en_ids=None,
+                              de_operand=de_rows, de_ids=None,
+                              de_bias=de_bias, rng=rng, training=training)

@@ -1,0 +1,111 @@
+"""Matrix-factorization model.
+
+Parity with reference recoder/nn.py:283-362: user/item embedding tables
+plus a per-item bias; ``scores = act(U[users]) @ V[items].T + b[items]``
+with optional dropout on the user factors. The item axis gathers only
+the batch's target items (negative sampling), same as the autoencoder's
+decoder.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from recoder_tpu.models.base import (FactorizationModel, activation, dropout,
+                                     pad_dim, xavier_uniform)
+from recoder_tpu.ops.gather_matmul import decode_gather_matmul, take_rows
+
+
+class MatrixFactorization(FactorizationModel):
+  """Latent-factor MF for collaborative filtering.
+
+  Args:
+    embedding_size (int): rank of the factorization.
+    activation_type (str): activation applied to user embeddings.
+    dropout_prob (float): dropout on user embeddings.
+    sparse (bool): request sparse row-wise optimizer updates for the
+      embedding tables.
+  """
+
+  def __init__(self, embedding_size, activation_type='none',
+               dropout_prob=0, sparse=False):
+    self.embedding_size = embedding_size
+    self.activation_type = activation_type
+    self.dropout_prob = dropout_prob
+    self.sparse = sparse
+
+    self.num_users = None
+    self.num_items = None
+    self.num_users_padded = None
+    self.num_items_padded = None
+    self.params = None
+
+  def init_model(self, num_items=None, num_users=None, seed=0):
+    self.num_items = int(num_items)
+    self.num_users = int(num_users)
+    self.num_items_padded = pad_dim(self.num_items)
+    self.num_users_padded = pad_dim(self.num_users)
+
+    key = jax.random.PRNGKey(seed)
+    k_user, k_item = jax.random.split(key)
+    d = self.embedding_size
+    self.params = {
+        'user_embedding': xavier_uniform(
+            k_user, (self.num_users_padded, d),
+            fan_in=d, fan_out=self.num_users),
+        'item_embedding': xavier_uniform(
+            k_item, (self.num_items_padded, d),
+            fan_in=d, fan_out=self.num_items),
+        'bias': jnp.zeros((self.num_items_padded,), jnp.float32),
+    }
+    return self.params
+
+  def model_params(self):
+    return {
+        'embedding_size': self.embedding_size,
+        'activation_type': self.activation_type,
+        'dropout_prob': self.dropout_prob,
+    }
+
+  def load_model_params(self, model_params):
+    self.embedding_size = model_params['embedding_size']
+    self.activation_type = model_params['activation_type']
+    self.dropout_prob = model_params['dropout_prob']
+
+  def param_axes(self):
+    return {'user_embedding': ('user', 'embed'),
+            'item_embedding': ('item', 'embed'),
+            'bias': ('item',)}
+
+  def sparse_param_paths(self):
+    return ('user_embedding', 'item_embedding') if self.sparse else ()
+
+  def _forward_core(self, params, user_rows, item_operand, item_ids,
+                    bias, rng, training):
+    u = activation(user_rows, self.activation_type)
+    if training and self.dropout_prob > 0:
+      assert rng is not None, 'training with dropout requires rng'
+      u = dropout(u, self.dropout_prob, rng)
+    return decode_gather_matmul(u, item_operand, item_ids, bias)
+
+  def apply(self, params, input, input_users=None, input_items=None,
+            target_users=None, target_items=None, rng=None, training=False):
+    del input, input_items, target_users  # interactions enter via users/items
+    u = take_rows(params['user_embedding'], input_users)
+    return self._forward_core(params, u, params['item_embedding'],
+                              target_items, params['bias'], rng, training)
+
+  # -- sparse (row-gathered) path -----------------------------------------
+
+  def sparse_entries(self, input_users=None, input_items=None,
+                     target_users=None, target_items=None):
+    return [('user_rows', 'user_embedding', input_users),
+            ('item_rows', 'item_embedding', target_items)]
+
+  def apply_gathered(self, params, gathered, input, input_users=None,
+                     input_items=None, target_users=None, target_items=None,
+                     rng=None, training=False):
+    del input, input_items, input_users, target_users
+    bias = take_rows(params['bias'], target_items)
+    return self._forward_core(params, gathered['user_rows'],
+                              gathered['item_rows'], None, bias,
+                              rng, training)

@@ -1,0 +1,197 @@
+"""Optimizers with reference (torch) semantics, as pure pytree updates.
+
+The reference trains with torch.optim {SGD(momentum=0.9), Adam, Adagrad,
+RMSprop(momentum=0.9)} plus torch.optim.SparseAdam for sparse embedding
+gradients (reference model.py:101-156). We re-implement the exact update
+rules rather than use optax so that:
+  * weight decay is L2-added-to-gradient (torch style), masked off for
+    bias parameters (model.py:121-124);
+  * SparseAdam semantics hold: only the rows touched by the batch get
+    moment/parameter updates, with bias correction from a global step
+    counter -- realized here as a scatter update over the batch's item
+    union rows (TPU-friendly: the full table is never read or written).
+
+All update functions are pure and jit-safe; ``lr`` is a traced scalar so
+LR schedules do not recompile.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _tree_zeros(params):
+  return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+
+class Optimizer:
+  """Dense optimizer over a params pytree.
+
+  Args:
+    kind (str): 'sgd' | 'adam' | 'adagrad' | 'rmsprop'.
+    weight_decay: float or pytree (same structure as params) of per-leaf
+      decay factors; tree form is used to zero decay on biases.
+    betas, eps, momentum, alpha: per-rule hyper-parameters (torch
+      defaults).
+  """
+
+  def __init__(self, kind, weight_decay=0.0, betas=(0.9, 0.999), eps=1e-8,
+               momentum=0.9, alpha=0.99, adagrad_eps=1e-10):
+    assert kind in ('sgd', 'adam', 'adagrad', 'rmsprop'), \
+        f'Unknown optimizer kind {kind}'
+    self.kind = kind
+    self.weight_decay = weight_decay
+    self.betas = betas
+    self.eps = eps
+    self.momentum = momentum
+    self.alpha = alpha
+    self.adagrad_eps = adagrad_eps
+
+  def init(self, params):
+    step = jnp.zeros((), jnp.int32)
+    if self.kind == 'sgd':
+      return {'step': step, 'momentum': _tree_zeros(params)}
+    if self.kind == 'adam':
+      return {'step': step, 'm': _tree_zeros(params), 'v': _tree_zeros(params)}
+    if self.kind == 'adagrad':
+      return {'step': step, 'sum': _tree_zeros(params)}
+    if self.kind == 'rmsprop':
+      return {'step': step, 'sq': _tree_zeros(params),
+              'buf': _tree_zeros(params)}
+
+  def _decayed(self, grads, params):
+    wd = self.weight_decay
+    if isinstance(wd, (int, float)):
+      if wd == 0:
+        return grads
+      return jax.tree_util.tree_map(lambda g, p: g + wd * p, grads, params)
+    return jax.tree_util.tree_map(lambda g, p, w: g + w * p,
+                                  grads, params, wd)
+
+  def update(self, grads, state, params, lr):
+    """Returns (new_params, new_state)."""
+    grads = self._decayed(grads, params)
+    step = state['step'] + 1
+
+    if self.kind == 'sgd':
+      mu = self.momentum
+      new_buf = jax.tree_util.tree_map(lambda b, g: mu * b + g,
+                                       state['momentum'], grads)
+      new_params = jax.tree_util.tree_map(lambda p, b: p - lr * b,
+                                          params, new_buf)
+      return new_params, {'step': step, 'momentum': new_buf}
+
+    if self.kind == 'adam':
+      b1, b2 = self.betas
+      bc1 = 1.0 - b1 ** step.astype(jnp.float32)
+      bc2 = 1.0 - b2 ** step.astype(jnp.float32)
+      new_m = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g,
+                                     state['m'], grads)
+      new_v = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                     state['v'], grads)
+
+      def upd(p, m, v):
+        denom = jnp.sqrt(v) / jnp.sqrt(bc2) + self.eps
+        return p - (lr / bc1) * m / denom
+
+      new_params = jax.tree_util.tree_map(upd, params, new_m, new_v)
+      return new_params, {'step': step, 'm': new_m, 'v': new_v}
+
+    if self.kind == 'adagrad':
+      new_sum = jax.tree_util.tree_map(lambda s, g: s + g * g,
+                                       state['sum'], grads)
+      new_params = jax.tree_util.tree_map(
+          lambda p, g, s: p - lr * g / (jnp.sqrt(s) + self.adagrad_eps),
+          params, grads, new_sum)
+      return new_params, {'step': step, 'sum': new_sum}
+
+    if self.kind == 'rmsprop':
+      a, mu = self.alpha, self.momentum
+      new_sq = jax.tree_util.tree_map(lambda s, g: a * s + (1 - a) * g * g,
+                                      state['sq'], grads)
+      new_buf = jax.tree_util.tree_map(
+          lambda b, g, s: mu * b + g / (jnp.sqrt(s) + self.eps),
+          state['buf'], grads, new_sq)
+      new_params = jax.tree_util.tree_map(lambda p, b: p - lr * b,
+                                          params, new_buf)
+      return new_params, {'step': step, 'sq': new_sq, 'buf': new_buf}
+
+
+class SparseRowAdam:
+  """Row-sparse Adam over a 2-D embedding table (torch SparseAdam).
+
+  Per step, only the rows indexed by ``ids`` (the batch item/user union,
+  unique by construction) have their first/second moments and parameters
+  updated; bias correction uses a global step counter. No weight decay
+  (torch SparseAdam has none).
+
+  The update never materializes full-table temporaries: it is gather ->
+  small row-space math -> scatter, so cost is O(|union| * d) regardless
+  of catalog size.
+  """
+
+  def __init__(self, betas=(0.9, 0.999), eps=1e-8):
+    self.betas = betas
+    self.eps = eps
+
+  def init(self, table):
+    return {'step': jnp.zeros((), jnp.int32),
+            'm': jnp.zeros_like(table), 'v': jnp.zeros_like(table)}
+
+  def update_rows(self, table, state, ids, row_grads, lr):
+    """Apply one sparse step.
+
+    Args:
+      table: [N, d] parameter table.
+      state: moments from :meth:`init`.
+      ids: int32 [R] unique row indices (or None for all rows).
+      row_grads: [R, d] gradient w.r.t. the gathered rows.
+      lr: scalar learning rate.
+
+    Returns (new_table, new_state).
+    """
+    b1, b2 = self.betas
+    step = state['step'] + 1
+    bc1 = 1.0 - b1 ** step.astype(jnp.float32)
+    bc2 = 1.0 - b2 ** step.astype(jnp.float32)
+    step_size = lr * jnp.sqrt(bc2) / bc1
+
+    if ids is None:
+      m_rows, v_rows, p_rows = state['m'], state['v'], table
+    else:
+      m_rows = state['m'].at[ids].get(mode='promise_in_bounds')
+      v_rows = state['v'].at[ids].get(mode='promise_in_bounds')
+      p_rows = table.at[ids].get(mode='promise_in_bounds')
+
+    new_m = b1 * m_rows + (1 - b1) * row_grads
+    new_v = b2 * v_rows + (1 - b2) * row_grads * row_grads
+    new_p = p_rows - step_size * new_m / (jnp.sqrt(new_v) + self.eps)
+
+    if ids is None:
+      return new_p, {'step': step, 'm': new_m, 'v': new_v}
+
+    return (table.at[ids].set(new_p, mode='promise_in_bounds',
+                              unique_indices=True),
+            {'step': step,
+             'm': state['m'].at[ids].set(new_m, mode='promise_in_bounds',
+                                         unique_indices=True),
+             'v': state['v'].at[ids].set(new_v, mode='promise_in_bounds',
+                                         unique_indices=True)})
+
+
+def make_weight_decay_tree(params, weight_decay, bias_free_paths=None,
+                           is_bias=None):
+  """Build a per-leaf weight-decay tree: 0 for biases, wd elsewhere.
+
+  ``is_bias`` is a predicate over the flattened '/'-joined path name;
+  default: any path segment containing 'bias' (matching the reference's
+  ``'bias' in param_name`` rule, model.py:123).
+  """
+  del bias_free_paths
+  if is_bias is None:
+    is_bias = lambda path: 'bias' in path
+
+  flat = jax.tree_util.tree_flatten_with_path(params)
+  paths = ['/'.join(str(getattr(k, "key", k)) for k in path)
+           for path, _ in flat[0]]
+  leaves = [0.0 if is_bias(p) else float(weight_decay) for p in paths]
+  return jax.tree_util.tree_unflatten(flat[1], leaves)

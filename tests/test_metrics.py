@@ -1,0 +1,77 @@
+"""Metric tests: the reference's hand-computed truth tables
+(tests/test_metrics.py) plus equality between the per-user and
+vectorized-batch implementations."""
+
+import numpy as np
+import pytest
+
+from recoder_tpu.metrics import AveragePrecision, NDCG, Recall
+
+RTOL = 1e-9
+ATOL = 0.0
+
+
+test_ap_tests = [
+    (np.arange(10), [0, 2, 5, 8, 9], 10, False,
+     1 / 5 * (1 + 2 / 3 + 3 / 6 + 4 / 9 + 5 / 10)),
+    (np.arange(10), [1, 4, 5, 6, 12], 10, False,
+     1 / 5 * (1 / 2 + 2 / 5 + 3 / 6 + 4 / 7 + 0)),
+    (np.arange(10), [0, 1, 2, 3, 4], 10, False, 1),
+    (np.arange(10), [0, 2, 5, 8, 9], 3, True, 1 / 3 * (1 + 2 / 3)),
+    (np.arange(10), [1, 4, 5, 6, 12], 3, True, 1 / 3 * (1 / 2)),
+]
+
+
+@pytest.mark.parametrize('x, y, k, normalize, expected_value', test_ap_tests)
+def test_ap(x, y, k, normalize, expected_value):
+  metric = AveragePrecision(k=k, normalize=normalize)
+  assert np.isclose(metric.evaluate(x, y), expected_value,
+                    rtol=RTOL, atol=ATOL)
+
+
+test_recall_tests = [
+    (np.arange(10), [0, 2, 5, 8, 9], 10, False, 1),
+    (np.arange(10), [1, 4, 5, 6, 12], 10, False, 4 / 5),
+    (np.arange(10), [0, 2, 5, 8, 9], 3, False, 2 / 5),
+    (np.arange(10), [1, 4, 5, 6, 12], 3, False, 1 / 5),
+    (np.arange(10), [0, 2, 5, 8, 9], 3, True, 2 / 3),
+    (np.arange(10), [1, 4, 5, 6, 12], 3, True, 1 / 3),
+]
+
+
+@pytest.mark.parametrize('x, y, k, normalize, expected_value',
+                         test_recall_tests)
+def test_recall(x, y, k, normalize, expected_value):
+  metric = Recall(k=k, normalize=normalize)
+  assert np.isclose(metric.evaluate(x, y), expected_value,
+                    rtol=RTOL, atol=ATOL)
+
+
+test_ndcg_tests = [
+    (np.arange(10), [0, 2, 5, 8, 9], 10, 0.8296882915641869),
+    (np.arange(10), [1, 4, 5, 6, 12], 10, 0.5790560467042355),
+    (np.arange(10), [0, 2, 5, 8, 9], 3, 0.7039180890341347),
+    (np.arange(10), [1, 4, 5, 6, 12], 3, 0.2960819109658652),
+]
+
+
+@pytest.mark.parametrize('x, y, k, expected_value', test_ndcg_tests)
+def test_ndcg(x, y, k, expected_value):
+  metric = NDCG(k=k)
+  assert np.isclose(metric.evaluate(x, y), expected_value,
+                    rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize('metric', [
+    AveragePrecision(k=10), AveragePrecision(k=3, normalize=False),
+    Recall(k=10), Recall(k=4, normalize=False), NDCG(k=10), NDCG(k=3)])
+def test_batch_matches_per_user(metric):
+  rng = np.random.default_rng(7)
+  B, K = 50, 10
+  x_batch = np.stack([rng.permutation(100)[:K] for _ in range(B)])
+  y_list = [np.unique(rng.integers(0, 100, rng.integers(1, 20)))
+            for _ in range(B)]
+  batch_vals = metric.evaluate_batch(x_batch, y_list)
+  loop_vals = np.array([metric.evaluate(x, y)
+                        for x, y in zip(x_batch, y_list)])
+  np.testing.assert_allclose(batch_vals, loop_vals, rtol=1e-12)
