@@ -1,0 +1,108 @@
+"""Headline benchmark: ML-20M-scale training throughput on one chip.
+
+Workload (BASELINE.json config 2 / reference README.md:26-27 claim):
+DynamicAutoencoder[200], MSE loss, mini-batch negative sampling,
+batch_size=500 -- the config the reference "fully trains in less than a
+minute" on an Nvidia Tesla K80. ML-20M itself is not vendored here, so
+the benchmark synthesizes a dataset with ML-20M's published post-filter
+shape (116,677 train users, 20,108 items, ~9.99M interactions; vae_cf
+split, scripts/ml-20m/preprocess.py) and Zipf item popularity, which
+reproduces the batch item-union statistics that drive the compute.
+
+Baseline derivation: "fully trained < 60 s" on K80 at batch 500 over
+117k users ~= 10 epochs x 234 user-batches / 60 s = 39 user-batches/s.
+vs_baseline is measured steady-state user-batches/s over that number.
+
+Prints ONE JSON line:
+  {"metric": "ml20m_user_batches_per_sec", "value": N,
+   "unit": "batches/s", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+K80_BASELINE_BATCHES_PER_SEC = 39.0
+
+NUM_USERS = 116_677
+NUM_ITEMS = 20_108
+MEAN_ITEMS_PER_USER = 86
+BATCH_SIZE = 500
+
+
+def log(*a):
+  print(*a, file=sys.stderr, flush=True)
+
+
+def synthesize_ml20m(seed=0):
+  """CSR matrix with ML-20M's shape and a Zipf popularity profile."""
+  from scipy.sparse import csr_matrix
+  rng = np.random.default_rng(seed)
+  # per-user interaction counts: lognormal, clipped to [5, 1000]
+  counts = np.clip(rng.lognormal(mean=np.log(MEAN_ITEMS_PER_USER * 0.6),
+                                 sigma=0.9, size=NUM_USERS),
+                   5, 1000).astype(np.int64)
+  total = int(counts.sum())
+  log(f'synthesizing {total:,} interactions for {NUM_USERS:,} users '
+      f'x {NUM_ITEMS:,} items')
+  users = np.repeat(np.arange(NUM_USERS, dtype=np.int64), counts)
+  # Zipf-ish item popularity via the inverse-CDF of a power law
+  u = rng.random(total)
+  items = np.floor(NUM_ITEMS * u ** 2.2).astype(np.int64)
+  items = np.minimum(items, NUM_ITEMS - 1)
+  vals = np.ones(total, dtype=np.float32)
+  m = csr_matrix((vals, (users, items)), shape=(NUM_USERS, NUM_ITEMS))
+  m.sum_duplicates()
+  m.data[:] = 1.0
+  log(f'matrix built: nnz={m.nnz:,}')
+  return m
+
+
+def main():
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  matrix = synthesize_ml20m()
+  dataset = RecommendationDataset(matrix)
+
+  model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
+                             noise_prob=0.5)
+  trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
+                    loss_params={'confidence': 3})
+
+  num_batches = int(np.ceil(NUM_USERS / BATCH_SIZE))
+
+  common = dict(train_dataset=dataset, batch_size=BATCH_SIZE, lr=1e-3,
+                weight_decay=2e-5, negative_sampling=True,
+                num_data_workers=2)
+
+  # warmup epoch: jit compiles for every shape bucket
+  log('warmup epoch (compilation)...')
+  trainer.train(num_epochs=1, **common)
+
+  timed_epochs = 3
+  log(f'timing {timed_epochs} epochs...')
+  t0 = time.time()
+  trainer.train(num_epochs=1 + timed_epochs, **common)
+  dt = time.time() - t0
+
+  batches_per_sec = timed_epochs * num_batches / dt
+  epoch_time = dt / timed_epochs
+  log(f'epoch_time={epoch_time:.2f}s  users/s='
+      f'{timed_epochs * NUM_USERS / dt:,.0f}  '
+      f'full-train(10ep) projection={10 * epoch_time:.1f}s')
+
+  print(json.dumps({
+      'metric': 'ml20m_user_batches_per_sec',
+      'value': round(batches_per_sec, 2),
+      'unit': 'batches/s',
+      'vs_baseline': round(batches_per_sec / K80_BASELINE_BATCHES_PER_SEC, 3),
+  }))
+
+
+if __name__ == '__main__':
+  main()

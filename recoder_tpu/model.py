@@ -71,6 +71,10 @@ class Recoder:
     user_based / item_based (bool): consistency checks between the model
       and datasets (reference model.py:238-250).
     seed (int): RNG seed for init and dropout streams.
+    mesh (jax.sharding.Mesh, optional): a ('data', 'model') mesh from
+      :func:`recoder_tpu.parallel.make_mesh`. When given, embedding
+      tables are row-sharded over 'model', the batch users axis over
+      'data', and training steps run SPMD over the mesh.
   """
 
   def __init__(self, model: FactorizationModel,
@@ -78,8 +82,9 @@ class Recoder:
                optimizer_type='sgd', loss='mse',
                loss_params=None, use_cuda=False,
                user_based=True, item_based=True,
-               seed=42):
+               seed=42, mesh=None):
     del use_cuda
+    self.mesh = mesh
     self.model = model
     self.num_items = num_items
     self.num_users = num_users
@@ -117,6 +122,10 @@ class Recoder:
     if self._model_initialized:
       return
     self.model.init_model(self.num_items, self.num_users, seed=self.seed)
+    if self.mesh is not None:
+      from recoder_tpu.parallel import shard_params
+      self.model.params = shard_params(self.model.params, self.model,
+                                       self.mesh)
     self._model_initialized = True
 
   def _init_loss_module(self):
@@ -226,7 +235,12 @@ class Recoder:
 
   def _densify(self, rows, cols, vals, batch_pad, width):
     dense = jnp.zeros((batch_pad, width), jnp.float32)
-    return dense.at[rows, cols].add(vals, mode='drop')
+    dense = dense.at[rows, cols].add(vals, mode='drop')
+    if self.mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      dense = jax.lax.with_sharding_constraint(
+          dense, NamedSharding(self.mesh, P('data', None)))
+    return dense
 
   def _forward_loss(self, params, batch, rng, training, gathered=None):
     """Pure loss for one staged batch (used by train, validate)."""
@@ -467,6 +481,9 @@ class Recoder:
 
   def _train_step(self, input_batch, target_batch, lr_arr, sparse):
     batch, _ = self._stage_batch(input_batch, target_batch)
+    if self.mesh is not None:
+      from recoder_tpu.parallel import shard_batch
+      batch = shard_batch(batch, self.mesh)
     step_fn = self._get_step_fn(target_batch is not None, sparse)
     step_idx = np.int32(self._global_step)
     self._global_step += 1

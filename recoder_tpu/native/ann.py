@@ -1,0 +1,135 @@
+"""ctypes bindings + on-demand build of the C++ ANN index.
+
+The shared library is compiled once from ann_index.cpp with g++ into
+the package directory (or $RECODER_TPU_CACHE) and memoized. No
+pybind11: the C ABI is called through ctypes with numpy buffers.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _lib_path():
+  cache = os.environ.get('RECODER_TPU_CACHE', _HERE)
+  return os.path.join(cache, 'libann_index.so')
+
+
+def _build_lib(out):
+  src = os.path.join(_HERE, 'ann_index.cpp')
+  cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-pthread',
+         '-o', out, src]
+  subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+  global _LIB
+  with _LOCK:
+    if _LIB is not None:
+      return _LIB
+    path = _lib_path()
+    src = os.path.join(_HERE, 'ann_index.cpp')
+    if (not os.path.exists(path)
+        or os.path.getmtime(path) < os.path.getmtime(src)):
+      _build_lib(path)
+    lib = ctypes.CDLL(path)
+    lib.ann_create.restype = ctypes.c_void_p
+    lib.ann_create.argtypes = [ctypes.c_int]
+    lib.ann_free.argtypes = [ctypes.c_void_p]
+    lib.ann_add_items.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int]
+    lib.ann_build.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                              ctypes.c_uint32, ctypes.c_int]
+    lib.ann_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.ann_save.restype = ctypes.c_int
+    lib.ann_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.ann_load.restype = ctypes.c_int
+    lib.ann_n_items.argtypes = [ctypes.c_void_p]
+    lib.ann_n_items.restype = ctypes.c_int
+    lib.ann_dim.argtypes = [ctypes.c_void_p]
+    lib.ann_dim.restype = ctypes.c_int
+    lib.ann_get_item.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_void_p]
+    lib.ann_get_nns_by_item.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_void_p, ctypes.c_void_p]
+    lib.ann_get_nns_by_item.restype = ctypes.c_int
+    lib.ann_get_nns_by_vector.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_int, ctypes.c_int,
+                                          ctypes.c_void_p, ctypes.c_void_p]
+    lib.ann_get_nns_by_vector.restype = ctypes.c_int
+    lib.ann_get_distance.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.c_int]
+    lib.ann_get_distance.restype = ctypes.c_float
+    _LIB = lib
+    return lib
+
+
+class AnnIndex:
+  """Thin object wrapper over the C ABI.
+
+  Args:
+    dim (int): embedding dimensionality.
+  """
+
+  def __init__(self, dim):
+    self._lib = _load()
+    self._dim = int(dim)
+    self._ptr = self._lib.ann_create(self._dim)
+
+  def __del__(self):
+    if getattr(self, '_ptr', None):
+      self._lib.ann_free(self._ptr)
+      self._ptr = None
+
+  def add_items(self, embeddings):
+    arr = np.ascontiguousarray(embeddings, dtype=np.float32)
+    assert arr.ndim == 2 and arr.shape[1] == self._dim
+    self._lib.ann_add_items(self._ptr, arr.ctypes.data, arr.shape[0])
+
+  def build(self, n_trees, seed=0, leaf_size=0):
+    self._lib.ann_build(self._ptr, int(n_trees), int(seed), int(leaf_size))
+
+  def save(self, path):
+    if not self._lib.ann_save(self._ptr, path.encode()):
+      raise IOError(f'failed to save index to {path}')
+
+  def load(self, path):
+    if not self._lib.ann_load(self._ptr, path.encode()):
+      raise IOError(f'failed to load index from {path}')
+
+  @property
+  def n_items(self):
+    return self._lib.ann_n_items(self._ptr)
+
+  def get_item_vector(self, i):
+    out = np.empty(self._dim, dtype=np.float32)
+    self._lib.ann_get_item(self._ptr, int(i), out.ctypes.data)
+    return out.tolist()
+
+  def get_nns_by_item(self, i, n, search_k=-1):
+    ids = np.empty(n, dtype=np.int32)
+    dists = np.empty(n, dtype=np.float32)
+    k = self._lib.ann_get_nns_by_item(self._ptr, int(i), int(n),
+                                      int(search_k), ids.ctypes.data,
+                                      dists.ctypes.data)
+    return ids[:k].tolist(), dists[:k].tolist()
+
+  def get_nns_by_vector(self, vec, n, search_k=-1):
+    v = np.ascontiguousarray(vec, dtype=np.float32)
+    ids = np.empty(n, dtype=np.int32)
+    dists = np.empty(n, dtype=np.float32)
+    k = self._lib.ann_get_nns_by_vector(self._ptr, v.ctypes.data, int(n),
+                                        int(search_k), ids.ctypes.data,
+                                        dists.ctypes.data)
+    return ids[:k].tolist(), dists[:k].tolist()
+
+  def get_distance(self, i, j):
+    return float(self._lib.ann_get_distance(self._ptr, int(i), int(j)))

@@ -1,0 +1,114 @@
+"""Embedding-index tests, mirroring reference tests/test_embedding.py
+(build -> save -> load roundtrip, identical results) for both the C++
+ANN forest and the exact brute-force index, plus an ANN recall check
+against exact search."""
+
+import numpy as np
+import pytest
+
+from recoder_tpu.embedding import (AnnEmbeddingsIndex,
+                                   BruteForceEmbeddingsIndex,
+                                   MemCacheEmbeddingsIndex)
+
+
+@pytest.fixture(scope='module')
+def embeddings():
+  rng = np.random.default_rng(0)
+  return rng.random((1000, 128)).astype(np.float32)
+
+
+@pytest.mark.parametrize('index_cls', [BruteForceEmbeddingsIndex,
+                                       AnnEmbeddingsIndex])
+def test_build_save_load_roundtrip(index_cls, embeddings, tmp_path):
+  index = index_cls(embeddings=embeddings)
+  path = str(tmp_path / 'test_embeddings')
+  index.build(index_file=path)
+
+  loaded = index_cls()
+  loaded.load(index_file=path)
+
+  assert loaded.embedding_size == index.embedding_size == 128
+
+  rng = np.random.default_rng(1)
+  test_item = int(rng.integers(1000))
+  assert index.get_embedding(test_item) == loaded.get_embedding(test_item)
+  assert index.get_nns_by_id(test_item, 100) == \
+      loaded.get_nns_by_id(test_item, 100)
+
+  i1, i2 = int(rng.integers(1000)), int(rng.integers(1000))
+  assert index.get_similarity(i1, i2) == loaded.get_similarity(i1, i2)
+  # similarity is in [0, 1], self-similarity is 1
+  assert 0.0 <= index.get_similarity(i1, i2) <= 1.0
+  assert index.get_similarity(i1, i1) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_brute_force_exactness(embeddings):
+  """Brute force returns the true angular neighbors."""
+  index = BruteForceEmbeddingsIndex(embeddings=embeddings)
+  index.build()
+  q = 17
+  nns = index.get_nns_by_id(q, 10)
+  normed = embeddings / np.linalg.norm(embeddings, axis=1, keepdims=True)
+  cos = normed @ normed[q]
+  expected = np.argsort(-cos)[:10].tolist()
+  assert nns == expected
+  assert nns[0] == q  # the item itself is its own nearest neighbor
+
+
+def test_ann_recall_vs_exact(embeddings):
+  """The RP forest recovers the true top-10 when allowed to inspect 20%
+  of the catalog (random uniform vectors are the ANN worst case), and
+  recall improves monotonically-ish with search_k."""
+  exact = BruteForceEmbeddingsIndex(embeddings=embeddings)
+  exact.build()
+
+  def mean_recall(search_k):
+    ann = AnnEmbeddingsIndex(embeddings=embeddings, n_trees=20,
+                             search_k=search_k)
+    ann.build()
+    rng = np.random.default_rng(2)
+    recalls = []
+    for q in rng.integers(0, 1000, 30):
+      truth = set(exact.get_nns_by_id(int(q), 10))
+      got = set(ann.get_nns_by_id(int(q), 10))
+      recalls.append(len(truth & got) / 10)
+    return np.mean(recalls)
+
+  low, high = mean_recall(200), mean_recall(2000)
+  assert high >= 0.9
+  assert high >= low
+
+
+def test_include_distances(embeddings):
+  index = AnnEmbeddingsIndex(embeddings=embeddings, include_distances=True)
+  index.build()
+  out = index.get_nns_by_id(5, 10)
+  assert isinstance(out, dict) and len(out) == 10
+  assert min(out.values()) >= 0.0
+  assert out[5] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_id_map(embeddings):
+  id_map = {f'item_{i}': i for i in range(len(embeddings))}
+  index = BruteForceEmbeddingsIndex(embeddings=embeddings, id_map=id_map)
+  index.build()
+  nns = index.get_nns_by_id('item_42', 5)
+  assert all(isinstance(i, str) and i.startswith('item_') for i in nns)
+  assert nns[0] == 'item_42'
+
+
+def test_memcache_wrapper(embeddings):
+  class Counting(BruteForceEmbeddingsIndex):
+    calls = 0
+
+    def get_nns_by_id(self, embedding_id, n):
+      Counting.calls += 1
+      return super().get_nns_by_id(embedding_id, n)
+
+  inner = Counting(embeddings=embeddings)
+  inner.build()
+  cached = MemCacheEmbeddingsIndex(inner)
+  a = cached.get_nns_by_id(3, 5)
+  b = cached.get_nns_by_id(3, 5)
+  assert a == b and Counting.calls == 1
+  assert cached.get_similarity(1, 2) == inner.get_similarity(1, 2)

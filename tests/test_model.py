@@ -1,0 +1,139 @@
+"""End-to-end integration test with metric parity gates, mirroring
+reference tests/test_model.py:14-84: train DynamicAutoencoder[200] with
+logloss + negative sampling for 30 epochs on the ML-20M-derived fixture,
+assert ranking metrics, then checkpoint -> reload into a fresh trainer ->
+identical metrics. Parametrized over the dense and sparse optimizer
+paths, which must agree.
+
+Gate values were pinned from this codebase on this fixture (the
+reference's train.csv is not available in its snapshot; fixtures are a
+deterministic 80/20 per-user split of its val.csv -- see
+tools/make_test_data.py). Reference-style evaluation orientation:
+input = the 20% fold-in, ground truth = the 80% training interactions.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from recoder_tpu.data import RecommendationDataset
+from recoder_tpu.metrics import NDCG, Recall
+from recoder_tpu.model import Recoder
+from recoder_tpu.models import DynamicAutoencoder, MatrixFactorization
+from recoder_tpu.utils import dataframe_to_csr_matrix
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), 'data')
+
+
+def _load_datasets():
+  train_df = pd.read_csv(os.path.join(DATA_DIR, 'train.csv.gz'))
+  val_df = pd.read_csv(os.path.join(DATA_DIR, 'val.csv.gz'))
+  val_df = val_df[val_df.sid.isin(train_df.sid.unique())]
+
+  train_matrix, item_id_map, user_id_map = dataframe_to_csr_matrix(
+      train_df, user_col='uid', item_col='sid', inter_col='watched')
+  val_matrix, _, _ = dataframe_to_csr_matrix(
+      val_df, user_col='uid', item_col='sid', inter_col='watched',
+      item_id_map=item_id_map, user_id_map=user_id_map)
+
+  train_dataset = RecommendationDataset(train_matrix)
+  val_dataset = RecommendationDataset(val_matrix, train_matrix)
+  return train_dataset, val_dataset
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('sparse,exp_recall_20,exp_recall_50,exp_ndcg_100', [
+    (False, 0.14, 0.24, 0.17),
+    (True, 0.14, 0.24, 0.17),
+])
+def test_model(sparse, exp_recall_20, exp_recall_50, exp_ndcg_100, tmp_path):
+  train_dataset, val_dataset = _load_datasets()
+
+  model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
+                             noise_prob=0.5, sparse=sparse)
+  trainer = Recoder(model=model, optimizer_type='adam', loss='logloss')
+
+  trainer.train(train_dataset=train_dataset, val_dataset=val_dataset,
+                batch_size=500, lr=1e-3, weight_decay=2e-5,
+                num_epochs=30, negative_sampling=True)
+
+  recall_20 = Recall(k=20, normalize=True)
+  recall_50 = Recall(k=50, normalize=True)
+  ndcg_100 = NDCG(k=100)
+  metrics = [recall_20, recall_50, ndcg_100]
+
+  results = trainer._evaluate(eval_dataset=val_dataset,
+                              num_recommendations=100,
+                              metrics=metrics, batch_size=500)
+  means = {m: np.mean(v) for m, v in results.items()}
+
+  assert np.isclose(means[recall_20], exp_recall_20, atol=0.015, rtol=0)
+  assert np.isclose(means[recall_50], exp_recall_50, atol=0.015, rtol=0)
+  assert np.isclose(means[ndcg_100], exp_ndcg_100, atol=0.015, rtol=0)
+
+  # checkpoint -> fresh model/trainer -> identical metrics
+  state_file = trainer.save_state(str(tmp_path / 'test_model'))
+
+  model2 = DynamicAutoencoder(sparse=sparse)
+  trainer2 = Recoder(model=model2, optimizer_type='adam', loss='logloss')
+  trainer2.init_from_model_file(state_file)
+
+  results2 = trainer2._evaluate(eval_dataset=val_dataset,
+                                num_recommendations=100,
+                                metrics=metrics, batch_size=500)
+  for m in metrics:
+    assert np.isclose(np.mean(results2[m]), means[m], atol=1e-6, rtol=0)
+
+  os.remove(state_file)
+
+
+@pytest.mark.slow
+def test_matrix_factorization_trains():
+  """MF + weighted MSE + negative sampling learns better-than-random
+  rankings (BASELINE config 1)."""
+  train_dataset, val_dataset = _load_datasets()
+
+  model = MatrixFactorization(embedding_size=128, activation_type='tanh',
+                              dropout_prob=0.2)
+  trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
+                    loss_params={'confidence': 40})
+  trainer.train(train_dataset=train_dataset, batch_size=500, lr=1e-3,
+                num_epochs=20, negative_sampling=True)
+
+  recall_20 = Recall(k=20)
+  results = trainer._evaluate(eval_dataset=val_dataset,
+                              num_recommendations=100,
+                              metrics=[recall_20], batch_size=500)
+  # random recall@20 on ~7.4k items would be ~20/7418 = 0.003
+  assert np.mean(results[recall_20]) > 0.03
+
+
+def test_checkpoint_resume_continues_epochs(tmp_path):
+  """Resume semantics: training continues from last_epoch + 1 with
+  optimizer state restored (reference model.py:166-191,327-330)."""
+  rng = np.random.default_rng(0)
+  df = pd.DataFrame({'uid': rng.integers(0, 40, 400),
+                     'sid': rng.integers(0, 60, 400),
+                     'watched': 1.0}).drop_duplicates(['uid', 'sid'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'uid', 'sid', 'watched')
+  ds = RecommendationDataset(m)
+
+  model = DynamicAutoencoder(hidden_layers=[32])
+  tr = Recoder(model=model, optimizer_type='adam', loss='mse')
+  tr.train(train_dataset=ds, batch_size=20, num_epochs=3,
+           negative_sampling=True,
+           model_checkpoint_prefix=str(tmp_path / 'ck'))
+  assert tr.current_epoch == 3
+
+  tr2 = Recoder(model=DynamicAutoencoder(), optimizer_type='adam',
+                loss='mse')
+  tr2.init_from_model_file(str(tmp_path / 'ck_epoch_3.model'))
+  assert tr2.current_epoch == 3
+  assert int(tr2._pending_opt_arrays[0]['step']) > 0
+  tr2.train(train_dataset=ds, batch_size=20, num_epochs=5,
+            negative_sampling=True)
+  assert tr2.current_epoch == 5
+  # optimizer step counter carried across the resume
+  assert int(tr2.opt_state['step']) > int(tr.opt_state['step'])

@@ -1,0 +1,97 @@
+"""Multi-chip SPMD tests on a virtual 8-device CPU mesh: the jitted
+train step under mesh (4 data x 2 model) must match the single-device
+run (same seed, same batches) to numerical tolerance -- the JAX-native
+analog of distributed-parity testing (SURVEY.md section 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from recoder_tpu.data import RecommendationDataset
+from recoder_tpu.model import Recoder
+from recoder_tpu.models import DynamicAutoencoder, MatrixFactorization
+from recoder_tpu.parallel import (MeshConfig, make_mesh, param_pspecs,
+                                  shard_params)
+from recoder_tpu.utils import dataframe_to_csr_matrix
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason='needs 8 (virtual) devices')
+
+
+def _dataset(seed=0, users=64, items=300):
+  rng = np.random.default_rng(seed)
+  df = pd.DataFrame({
+      'user': rng.integers(0, users, users * 12),
+      'item': rng.integers(0, items, users * 12),
+      'inter': 1.0,
+  }).drop_duplicates(['user', 'item'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'user', 'item', 'inter')
+  return RecommendationDataset(m)
+
+
+def test_param_pspecs():
+  ae = DynamicAutoencoder([64, 32])
+  ae.init_model(num_items=300, seed=0)
+  specs = param_pspecs(ae)
+  assert specs['en_embedding'] == jax.sharding.PartitionSpec('model', None)
+  assert specs['de_bias'] == jax.sharding.PartitionSpec('model')
+  assert specs['encode_w_1'] == jax.sharding.PartitionSpec(None, None)
+
+
+def test_shard_params_places_on_mesh():
+  mesh = make_mesh(MeshConfig(data=4, model=2))
+  ae = DynamicAutoencoder([64])
+  params = ae.init_model(num_items=300, seed=0)
+  sharded = shard_params(params, ae, mesh)
+  table = sharded['en_embedding']
+  # row-sharded over the 2-way model axis
+  shard_shapes = {s.data.shape for s in table.addressable_shards}
+  assert shard_shapes == {(table.shape[0] // 2, table.shape[1])}
+
+
+@pytest.mark.parametrize('model_cls,kw', [
+    (DynamicAutoencoder, dict(hidden_layers=[64], activation_type='tanh')),
+    (MatrixFactorization, dict(embedding_size=32, activation_type='tanh')),
+])
+def test_sharded_training_matches_single_device(model_cls, kw):
+  ds = _dataset()
+
+  def run(mesh):
+    model = model_cls(**kw)
+    trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
+                      seed=7, mesh=mesh)
+    trainer.train(train_dataset=ds, batch_size=16, lr=1e-3,
+                  num_epochs=3, negative_sampling=True,
+                  num_sampling_users=32)
+    return jax.tree_util.tree_map(np.asarray, trainer.model.params)
+
+  ref = run(None)
+  mesh = make_mesh(MeshConfig(data=4, model=2))
+  got = run(mesh)
+
+  flat_ref = jax.tree_util.tree_flatten(ref)[0]
+  flat_got = jax.tree_util.tree_flatten(got)[0]
+  for a, b in zip(flat_ref, flat_got):
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
+
+
+def test_sharded_eval_matches_single_device():
+  ds = _dataset(seed=3)
+  from recoder_tpu.data import UsersInteractions
+
+  def run(mesh):
+    model = DynamicAutoencoder(hidden_layers=[64])
+    trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
+                      seed=11, mesh=mesh)
+    trainer.train(train_dataset=ds, batch_size=16, num_epochs=2,
+                  negative_sampling=True)
+    ui = UsersInteractions(users=np.arange(8),
+                           interactions_matrix=ds.interactions_matrix[:8])
+    return np.asarray(trainer.predict(ui))
+
+  ref = run(None)
+  got = run(make_mesh(MeshConfig(data=4, model=2)))
+  np.testing.assert_allclose(ref, got, rtol=5e-4, atol=1e-5)
