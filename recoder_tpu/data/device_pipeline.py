@@ -1,0 +1,196 @@
+"""On-device data pipeline: CSR resident in HBM, batches built inside jit.
+
+The reference builds every mini-batch on the host (scipy slicing +
+np.unique, data.py:203-251) and ships it to the device each step
+(model.py:457-458). On TPU -- especially through a high-latency host
+tunnel -- per-step host->device transfers dominate the step time, so
+this pipeline uploads the training CSR **once** and reconstructs the
+reference's exact batch semantics on device, inside the jitted train
+step:
+
+  1. epoch shuffle: ``jax.random.permutation`` over users, on device;
+  2. mega-batch gather: each step slices ``num_sampling_users`` users'
+     interactions out of the flat CSR arrays with vectorized
+     searchsorted indexing (no host round trip);
+  3. item-union negative sampling: sort + first-occurrence ranking
+     reproduces ``np.unique(..., return_inverse=True)`` (data.py:220)
+     with static shapes: the union is scattered into a fixed-width
+     ``items`` vector padded with the sentinel id;
+  4. densify: scatter the slice's (row, compressed-col, value) triplets
+     into the [batch, union] slab.
+
+All shapes are static (budgets with safety margins, overflow truncates
+the rare oversized mega-batch tail); one compiled program serves the
+whole run.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DeviceDataSource:
+  """A training CSR matrix resident on device, sliceable inside jit.
+
+  Args:
+    matrix (scipy.sparse.csr_matrix): user-item interactions.
+    batch_size (int): users per compute batch.
+    num_sampling_users (int): mega-batch size (>= batch_size, multiple).
+    num_items (int): logical catalog size (pad sentinel id).
+    union_width (int): static width of the item-union vector.
+    mega_nnz_budget (int, optional): static nnz budget per mega-batch;
+      defaults to 1.1x the worst sampled window, aligned to 1024.
+    binary (bool, optional): force value-free (all-ones) mode; detected
+      from the data when None.
+  """
+
+  def __init__(self, matrix, batch_size, num_sampling_users, num_items,
+               union_width, mega_nnz_budget=None, binary=None):
+    matrix = matrix.tocsr()
+    self.num_users_total = matrix.shape[0]
+    self.num_items = num_items
+    self.batch_size = batch_size
+    self.mega = num_sampling_users
+    assert self.mega % batch_size == 0
+    self.slices_per_mega = self.mega // batch_size
+    self.steps_per_epoch = math.ceil(self.num_users_total / batch_size)
+    self.union_width = union_width
+
+    indptr = matrix.indptr.astype(np.int32)
+    counts = np.diff(indptr)
+
+    if mega_nnz_budget is None:
+      # estimate from random shuffled windows (what training actually
+      # draws); a 25% margin over the sampled max makes overflow --
+      # which truncates that mega-batch's tail -- rare. Budget size is
+      # the dominant per-step cost of the on-device collator, so a
+      # tight estimate matters.
+      rng = np.random.default_rng(4321)
+      n = self.num_users_total
+      window = min(self.mega, n)
+      max_win = 1
+      for _ in range(32):
+        idx = rng.choice(n, size=window, replace=False)
+        max_win = max(max_win, int(counts[idx].sum()))
+      mega_nnz_budget = int(max_win * 1.25) + 256
+      mega_nnz_budget = (mega_nnz_budget + 1023) // 1024 * 1024
+    self.mega_nnz_budget = mega_nnz_budget
+
+    if binary is None:
+      binary = bool(np.all(matrix.data == 1.0))
+    self.binary = binary
+
+    # pad user axis so any perm slice of length `mega` is valid;
+    # sentinel users have zero interactions
+    n_pad = math.ceil(self.num_users_total / self.mega) * self.mega
+    counts_pad = np.zeros(n_pad, np.int32)
+    counts_pad[:self.num_users_total] = counts
+    starts_pad = np.zeros(n_pad, np.int32)
+    starts_pad[:self.num_users_total] = indptr[:-1]
+
+    self.d_counts = jax.device_put(jnp.asarray(counts_pad))
+    self.d_starts = jax.device_put(jnp.asarray(starts_pad))
+    self.d_cols = jax.device_put(jnp.asarray(matrix.indices.astype(np.int32)))
+    self.d_vals = (None if binary
+                   else jax.device_put(jnp.asarray(
+                       matrix.data.astype(np.float32))))
+    self.n_pad = n_pad
+
+  def epoch_permutation(self, key):
+    """Shuffled user ids for one epoch, padded with sentinel users."""
+    perm = jax.random.permutation(key, self.num_users_total)
+    pad = jnp.arange(self.num_users_total, self.n_pad, dtype=perm.dtype)
+    return jnp.concatenate([perm, pad]).astype(jnp.int32)
+
+  # -- pure batch construction (called inside the jitted step) ----------
+
+  def build_batch(self, perm, step_idx, negative_sampling=True):
+    """Build one compute batch's dense inputs on device.
+
+    Returns a dict: input_dense [B, W], items [W] (or None), masks and
+    valid counts -- the same payload the host collator produces, built
+    without leaving the device.
+    """
+    B = self.batch_size
+    S = self.mega
+    M = self.mega_nnz_budget
+    spm = self.slices_per_mega
+    sentinel = self.num_items
+
+    m = step_idx // spm
+    s = step_idx % spm
+
+    users = jax.lax.dynamic_slice(perm, (m * S,), (S,))          # [S]
+    counts = self.d_counts[users]                                 # [S]
+    starts = self.d_starts[users]                                 # [S]
+    cum = jnp.cumsum(counts)                                      # [S] incl.
+    total = cum[-1]
+    offsets = cum - counts                                        # excl.
+
+    # flat gather indices for the mega-batch's nnz, budget M.
+    # u_of_j (owner user of flat slot j) via segment marks + cumsum:
+    # a vectorized-searchsorted here costs ~4 ms at M~50k on TPU, the
+    # scatter+cumsum form ~0.5 ms.
+    j = jnp.arange(M, dtype=jnp.int32)
+    marks = jnp.zeros((M,), jnp.int32).at[offsets].add(1, mode='drop')
+    u_of_j = jnp.cumsum(marks) - 1
+    u_clip = jnp.minimum(u_of_j, S - 1)
+    src = starts[u_clip] + (j - offsets[u_clip])
+    valid = j < total
+    src = jnp.where(valid, src, 0)
+    cols_m = jnp.where(valid, self.d_cols[src], sentinel)         # [M]
+
+    if negative_sampling:
+      # np.unique(cols, return_inverse=True) with static shapes:
+      # one lax.sort yields both the sorted keys and the permutation
+      sorted_cols, order = jax.lax.sort(
+          (cols_m, jnp.arange(M, dtype=jnp.int32)), num_keys=1)
+      first = jnp.concatenate([
+          jnp.ones((1,), bool),
+          sorted_cols[1:] != sorted_cols[:-1]])
+      ranks_sorted = jnp.cumsum(first) - 1                        # [M]
+      # union vector: unique sorted values scattered by rank
+      items = jnp.full((self.union_width,), sentinel, jnp.int32)
+      items = items.at[jnp.where(first, ranks_sorted,
+                                 self.union_width)].set(
+          sorted_cols, mode='drop')
+      # inverse permutation -> compressed col per element
+      compressed = jnp.zeros((M,), jnp.int32).at[order].set(
+          ranks_sorted.astype(jnp.int32))
+      width_valid = jnp.sum(jnp.logical_and(first,
+                                            sorted_cols != sentinel))
+      W = self.union_width
+    else:
+      compressed = cols_m
+      items = None
+      width_valid = jnp.int32(self.num_items)
+      W = None  # caller decides padded catalog width
+
+    # slice s of the mega-batch
+    lo_u, hi_u = s * B, s * B + B
+    start_s = offsets[lo_u]
+    end_s = jnp.where(hi_u - 1 < S, cum[hi_u - 1], total)
+    rows_m = u_of_j - lo_u
+    in_slice = jnp.logical_and(j >= start_s, j < end_s)
+    in_slice = jnp.logical_and(in_slice, valid)
+    rows_m = jnp.where(in_slice, rows_m, B)      # OOB row -> dropped
+    if self.binary:
+      vals_m = in_slice.astype(jnp.float32)
+    else:
+      vals_m = jnp.where(in_slice, self.d_vals[src], 0.0)
+
+    slice_users = jax.lax.dynamic_slice(perm, (m * S + s * B,), (B,))
+    num_users = jnp.sum(slice_users < self.num_users_total)
+    # sentinel (pad) users may exceed the model's padded user axis:
+    # clamp to the sentinel row `num_users_total`
+    slice_users = jnp.minimum(slice_users, self.num_users_total)
+
+    return {
+        'rows': rows_m, 'cols': compressed, 'vals': vals_m,
+        'items': items, 'users': slice_users,
+        'num_users': jnp.maximum(num_users, 1).astype(jnp.float32),
+        'width_valid': width_valid,
+        'union_width': W,
+    }

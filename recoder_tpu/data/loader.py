@@ -80,13 +80,28 @@ class BatchCollator:
 
   def __init__(self, batch_size, negative_sampling=False, num_items=None,
                item_ladder=None, nnz_ladder=None,
-               pad_users_to_batch_size=True):
+               pad_users_to_batch_size=True,
+               fixed_union_width=None, fixed_nnz_width=None):
     self.batch_size = batch_size
     self.negative_sampling = negative_sampling
     self.num_items = num_items
     self.item_ladder = item_ladder or BucketLadder(min_size=256, growth=1.25)
     self.nnz_ladder = nnz_ladder or BucketLadder(min_size=1024, growth=1.25)
     self.pad_users_to_batch_size = pad_users_to_batch_size
+    # stable-shape mode: one compiled program instead of one per bucket
+    # pair; the ladder is the fallback when a mega-batch overflows
+    self.fixed_union_width = fixed_union_width
+    self.fixed_nnz_width = fixed_nnz_width
+
+  def _fit_union(self, n):
+    if self.fixed_union_width is not None and n <= self.fixed_union_width:
+      return self.fixed_union_width
+    return self.item_ladder.fit(max(n, 1))
+
+  def _fit_nnz(self, n):
+    if self.fixed_nnz_width is not None and n <= self.fixed_nnz_width:
+      return self.fixed_nnz_width
+    return self.nnz_ladder.fit(max(n, 1))
 
   def collate(self, users_interactions):
     """Collate one mega-batch into a list of :class:`Batch`.
@@ -107,7 +122,7 @@ class BatchCollator:
       # item union of the mega-batch -> compressed column space
       batch_items, compressed_cols = np.unique(all_cols, return_inverse=True)
       union = len(batch_items)
-      union_pad = self.item_ladder.fit(max(union, 1))
+      union_pad = self._fit_union(union)
       items_padded = np.full(union_pad, num_items, dtype=np.int32)
       items_padded[:union] = batch_items
       vector_dim = union
@@ -130,7 +145,7 @@ class BatchCollator:
       slice_vals = all_vals[lo_ptr:hi_ptr].astype(np.float32)
 
       batch_pad = self.batch_size if self.pad_users_to_batch_size else rows_valid
-      nnz_pad = self.nnz_ladder.fit(max(nnz, 1))
+      nnz_pad = self._fit_nnz(nnz)
 
       rows_p = np.full(nnz_pad, batch_pad, dtype=np.int32)  # OOB -> dropped
       cols_p = np.zeros(nnz_pad, dtype=np.int32)
@@ -170,11 +185,15 @@ class RecommendationDataLoader:
     shuffle (bool): shuffle users every epoch.
     seed (int): RNG seed for shuffling.
     item_ladder / nnz_ladder (BucketLadder, optional): padding ladders.
+    stable_shapes (bool): estimate fixed union/nnz pad widths from a few
+      sampled mega-batches so the whole epoch reuses one compiled step
+      (overflowing mega-batches fall back to the ladder). Default True.
   """
 
   def __init__(self, dataset, batch_size, negative_sampling=False,
                num_sampling_users=0, num_workers=0, collate_fn=None,
-               shuffle=True, seed=0, item_ladder=None, nnz_ladder=None):
+               shuffle=True, seed=0, item_ladder=None, nnz_ladder=None,
+               stable_shapes=True):
     self.dataset = dataset
     self.batch_size = batch_size
     self.negative_sampling = negative_sampling
@@ -186,10 +205,15 @@ class RecommendationDataLoader:
     assert self.num_sampling_users >= batch_size, \
         'num_sampling_users should be at least equal to the batch_size'
 
+    fixed_union, fixed_nnz = None, None
+    if stable_shapes and collate_fn is None:
+      fixed_union, fixed_nnz = self._estimate_widths()
+
     self.batch_collator = BatchCollator(
         batch_size=batch_size, negative_sampling=negative_sampling,
         num_items=dataset.interactions_matrix.shape[1],
-        item_ladder=item_ladder, nnz_ladder=nnz_ladder)
+        item_ladder=item_ladder, nnz_ladder=nnz_ladder,
+        fixed_union_width=fixed_union, fixed_nnz_width=fixed_nnz)
 
     if collate_fn is None:
       self._collate_fn = self.batch_collator.collate
@@ -197,6 +221,41 @@ class RecommendationDataLoader:
     else:
       self._collate_fn = collate_fn
       self._identity_collate = True
+
+  def _estimate_widths(self, samples=4, margin=1.08, align=256):
+    """Estimate stable pad widths from random mega-batch windows.
+
+    Returns (union_width, nnz_width): the sampled maxima with a safety
+    margin, snapped to ``align``. Unions across random windows of a
+    fixed user count concentrate tightly, so a small margin suffices;
+    overflows just fall back to the ladder (a rare extra compile).
+    """
+    matrix = self.dataset.interactions_matrix
+    n = matrix.shape[0]
+    rng = np.random.default_rng(1234)
+    max_union, max_nnz = 1, 1
+    for _ in range(samples):
+      idx = rng.choice(n, size=min(self.num_sampling_users, n),
+                       replace=False)
+      counts = matrix.indptr[idx + 1] - matrix.indptr[idx]
+      # per compute-batch nnz: worst window of batch_size users
+      order = np.arange(len(idx))
+      for off in range(0, len(idx), self.batch_size):
+        max_nnz = max(max_nnz, int(counts[order[off:off + self.batch_size]]
+                                   .sum()))
+      if self.negative_sampling:
+        cols = np.concatenate([
+            matrix.indices[matrix.indptr[i]:matrix.indptr[i + 1]]
+            for i in idx]) if len(idx) else np.array([], np.int32)
+        max_union = max(max_union, len(np.unique(cols)))
+    if not self.negative_sampling:
+      max_union = matrix.shape[1]
+
+    def snap(v):
+      v = int(v * margin)
+      return ((v + align - 1) // align) * align
+
+    return snap(max_union), snap(max_nnz)
 
   def _mega_batches(self):
     n = len(self.dataset)

@@ -233,9 +233,49 @@ class Recoder:
                len(target_batch.rows)) or None)
     return d, key
 
+  def _to_device(self, staged):
+    """Move a staged batch to device (sharded when a mesh is set)."""
+    if self.mesh is not None:
+      from recoder_tpu.parallel import shard_batch
+      return shard_batch(staged, self.mesh)
+    return {k: (jax.device_put(v) if v is not None else None)
+            for k, v in staged.items()}
+
+  def _device_batch_iter(self, dataloader, depth=6):
+    """Stage + transfer batches to device on a background thread.
+
+    Host->device copies ride a high-latency tunnel on some platforms
+    (~10 ms per batch observed on the axon TPU client); overlapping
+    them with the compute dispatch loop is worth ~5x throughput.
+    Yields (device_batch_dict, has_target).
+    """
+    import queue as _queue
+    import threading as _threading
+    q = _queue.Queue(maxsize=depth)
+
+    def producer():
+      try:
+        for input_batch, target_batch in dataloader:
+          staged, _ = self._stage_batch(input_batch, target_batch)
+          staged = self._to_device(staged)
+          q.put(('ok', (staged, target_batch is not None)))
+        q.put(('done', None))
+      except BaseException as e:  # propagate into the training loop
+        q.put(('err', e))
+
+    _threading.Thread(target=producer, daemon=True).start()
+    while True:
+      kind, payload = q.get()
+      if kind == 'done':
+        return
+      if kind == 'err':
+        raise payload
+      yield payload
+
   def _densify(self, rows, cols, vals, batch_pad, width):
-    dense = jnp.zeros((batch_pad, width), jnp.float32)
-    dense = dense.at[rows, cols].add(vals, mode='drop')
+    dtype = getattr(self.model, 'compute_dtype', None) or jnp.float32
+    dense = jnp.zeros((batch_pad, width), dtype)
+    dense = dense.at[rows, cols].add(vals.astype(dtype), mode='drop')
     if self.mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
       dense = jax.lax.with_sharding_constraint(
@@ -284,66 +324,114 @@ class Recoder:
   # jitted steps
   # ------------------------------------------------------------------
 
+  def _dense_step_math(self, params, opt_state, batch, lr, rng):
+    """One dense-optimizer update (pure; traced inside jit)."""
+    def loss_fn(p):
+      return self._forward_loss(p, batch, rng, training=True)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    new_params, new_opt_state = self.optimizer.update(
+        grads, opt_state, params, lr)
+    return new_params, new_opt_state, loss
+
+  def _sparse_step_math(self, params, opt_state, sparse_states, batch,
+                        lr, rng):
+    """One sparse-path update: grads w.r.t. gathered rows, row-sparse
+    Adam scatter into the tables (pure; traced inside jit)."""
+    model = self.model
+    sparse_paths = tuple(sorted(model.sparse_param_paths()))
+    in_items = batch.get('in_items', None)
+    tg_items = batch.get('tg_items', in_items)
+    entries = model.sparse_entries(input_users=batch['in_users'],
+                                   input_items=in_items,
+                                   target_items=tg_items)
+    from recoder_tpu.ops.gather_matmul import take_rows
+    gathered = {name: take_rows(params[path], ids)
+                for name, path, ids in entries}
+    dense_params = {k: v for k, v in params.items()
+                    if k not in sparse_paths}
+
+    def loss_fn(dp, g):
+      return self._forward_loss({**dp}, batch, rng, training=True,
+                                gathered=g)
+
+    loss, (dense_grads, gathered_grads) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1))(dense_params, gathered)
+
+    new_dense, new_opt_state = self.optimizer.update(
+        dense_grads, opt_state, dense_params, lr)
+
+    new_params = dict(new_dense)
+    new_sparse_states = dict(sparse_states)
+    tables = {p: params[p] for p in sparse_paths}
+    for name, path, ids in entries:
+      tables[path], new_sparse_states[path] = (
+          self.sparse_adam.update_rows(tables[path],
+                                       new_sparse_states[path],
+                                       ids, gathered_grads[name], lr))
+    new_params.update(tables)
+    return new_params, new_opt_state, new_sparse_states, loss
+
   def _get_step_fn(self, has_target, sparse):
     cache_key = ('step', has_target, sparse)
     if cache_key in self._step_fns:
       return self._step_fns[cache_key]
 
-    model = self.model
-
     if not sparse:
       def step(params, opt_state, batch, lr, step_idx):
         rng = jax.random.fold_in(self._base_rng, step_idx)
-
-        def loss_fn(p):
-          return self._forward_loss(p, batch, rng, training=True)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        new_params, new_opt_state = self.optimizer.update(
-            grads, opt_state, params, lr)
-        return new_params, new_opt_state, loss
+        return self._dense_step_math(params, opt_state, batch, lr, rng)
 
       fn = jax.jit(step, donate_argnums=(0, 1))
     else:
-      sparse_paths = tuple(sorted(model.sparse_param_paths()))
-
       def step(params, opt_state, sparse_states, batch, lr, step_idx):
         rng = jax.random.fold_in(self._base_rng, step_idx)
-        in_items = batch.get('in_items', None)
-        tg_items = batch.get('tg_items', in_items)
-        entries = model.sparse_entries(input_users=batch['in_users'],
-                                       input_items=in_items,
-                                       target_items=tg_items)
-        from recoder_tpu.ops.gather_matmul import take_rows
-        gathered = {name: take_rows(params[path], ids)
-                    for name, path, ids in entries}
-        dense_params = {k: v for k, v in params.items()
-                        if k not in sparse_paths}
-
-        def loss_fn(dp, g):
-          return self._forward_loss({**dp}, batch, rng, training=True,
-                                    gathered=g)
-
-        loss, (dense_grads, gathered_grads) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1))(dense_params, gathered)
-
-        new_dense, new_opt_state = self.optimizer.update(
-            dense_grads, opt_state, dense_params, lr)
-
-        new_params = dict(new_dense)
-        new_sparse_states = dict(sparse_states)
-        tables = {p: params[p] for p in sparse_paths}
-        for name, path, ids in entries:
-          tables[path], new_sparse_states[path] = (
-              self.sparse_adam.update_rows(tables[path],
-                                           new_sparse_states[path],
-                                           ids, gathered_grads[name], lr))
-        new_params.update(tables)
-        return new_params, new_opt_state, new_sparse_states, loss
+        return self._sparse_step_math(params, opt_state, sparse_states,
+                                      batch, lr, rng)
 
       fn = jax.jit(step, donate_argnums=(0, 1, 2))
 
     self._step_fns[cache_key] = fn
+    return fn
+
+  def _get_fused_step_fn(self, source, negative_sampling, sparse):
+    """A step that builds its batch on device from a resident CSR
+    (recoder_tpu.data.device_pipeline) -- no per-step host transfer."""
+    cache_key = ('fused', negative_sampling, sparse, source.batch_size,
+                 source.mega, source.mega_nnz_budget, source.union_width,
+                 source.n_pad, source.binary)
+    cached = self._step_fns.get(cache_key)
+    if cached is not None and cached[0] is source:
+      return cached[1]
+
+    def build(perm, step_idx):
+      b = source.build_batch(perm, step_idx,
+                             negative_sampling=negative_sampling)
+      return {
+          'in_rows': b['rows'], 'in_cols': b['cols'], 'in_vals': b['vals'],
+          'in_users': b['users'], 'in_items': b['items'],
+          'in_valid_users': b['num_users'],
+          'in_valid_width': b['width_valid'],
+      }
+
+    if not sparse:
+      def step(params, opt_state, perm, lr, step_in_epoch, rng_idx):
+        rng = jax.random.fold_in(self._base_rng, rng_idx)
+        batch = build(perm, step_in_epoch)
+        return self._dense_step_math(params, opt_state, batch, lr, rng)
+
+      fn = jax.jit(step, donate_argnums=(0, 1))
+    else:
+      def step(params, opt_state, sparse_states, perm, lr, step_in_epoch,
+               rng_idx):
+        rng = jax.random.fold_in(self._base_rng, rng_idx)
+        batch = build(perm, step_in_epoch)
+        return self._sparse_step_math(params, opt_state, sparse_states,
+                                      batch, lr, rng)
+
+      fn = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    self._step_fns[cache_key] = (source, fn)
     return fn
 
   def _get_val_loss_fn(self):
@@ -430,6 +518,28 @@ class Recoder:
 
     sparse = bool(self.model.sparse_param_paths())
 
+    # Fused on-device pipeline: resident CSR + batch construction inside
+    # the jitted step; used whenever the training data is a plain
+    # interactions matrix on a single device (the hot configuration).
+    fused_source = None
+    if (self.mesh is None
+        and train_dataset.target_interactions_matrix is None):
+      src_key = (id(train_dataset.interactions_matrix), batch_size,
+                 num_sampling_users)
+      cached = getattr(self, '_fused_source_cache', None)
+      if cached is not None and cached[0] == src_key:
+        fused_source = cached[1]
+      else:
+        from recoder_tpu.data.device_pipeline import DeviceDataSource
+        union_width = (train_dataloader.batch_collator.fixed_union_width
+                       or train_dataloader._estimate_widths()[0])
+        fused_source = DeviceDataSource(
+            train_dataset.interactions_matrix, batch_size=batch_size,
+            num_sampling_users=num_sampling_users, num_items=self.num_items,
+            union_width=union_width)
+        self._fused_source_cache = (src_key, fused_source)
+      num_batches = fused_source.steps_per_epoch
+
     for epoch in range(self.current_epoch, num_epochs + 1):
       self.current_epoch = epoch
       epoch_lr = _multistep_lr(lr, lr_milestones, epoch)
@@ -437,24 +547,60 @@ class Recoder:
       epoch_losses = []
       t0 = time.time()
 
-      if self._train_iterator is None or self._iters_consumed >= num_batches:
-        self._train_iterator = iter(train_dataloader)
-        self._iters_consumed = 0
+      if fused_source is not None:
+        if (not isinstance(self._train_iterator, tuple)
+            or self._iters_consumed >= num_batches):
+          perm_key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 1),
+                                        epoch)
+          self._train_iterator = ('fused',
+                                  fused_source.epoch_permutation(perm_key))
+          self._iters_consumed = 0
+        _, perm = self._train_iterator
 
-      iters_to_process = min(iters_per_epoch,
-                             num_batches - self._iters_consumed)
+        iters_to_process = min(iters_per_epoch,
+                               num_batches - self._iters_consumed)
+        step_fn = self._get_fused_step_fn(fused_source, negative_sampling,
+                                          sparse)
+        for _ in range(iters_to_process):
+          step_in_epoch = np.int32(self._iters_consumed)
+          rng_idx = np.int32(self._global_step)
+          self._iters_consumed += 1
+          self._global_step += 1
+          if not sparse:
+            dense_params, _ = self._split_params()
+            new_params, self.opt_state, loss = step_fn(
+                dense_params, self.opt_state, perm, lr_arr,
+                step_in_epoch, rng_idx)
+            self.model.params = new_params
+          else:
+            (self.model.params, self.opt_state, self.sparse_states,
+             loss) = step_fn(self.model.params, self.opt_state,
+                             self.sparse_states, perm, lr_arr,
+                             step_in_epoch, rng_idx)
+          epoch_losses.append(loss)
+      else:
+        if (self._train_iterator is None
+            or isinstance(self._train_iterator, tuple)
+            or self._iters_consumed >= num_batches):
+          self._train_iterator = self._device_batch_iter(train_dataloader)
+          self._iters_consumed = 0
 
-      for _ in range(iters_to_process):
-        try:
-          input_batch, target_batch = next(self._train_iterator)
-        except StopIteration:
-          break
-        self._iters_consumed += 1
-        loss = self._train_step(input_batch, target_batch, lr_arr, sparse)
-        epoch_losses.append(loss)
+        iters_to_process = min(iters_per_epoch,
+                               num_batches - self._iters_consumed)
 
-      mean_loss = float(np.mean([float(l) for l in epoch_losses])) \
-          if epoch_losses else float('nan')
+        for _ in range(iters_to_process):
+          try:
+            device_batch, has_target = next(self._train_iterator)
+          except StopIteration:
+            break
+          self._iters_consumed += 1
+          loss = self._train_step(device_batch, has_target, lr_arr, sparse)
+          epoch_losses.append(loss)
+
+      # one stacked device->host fetch; per-scalar fetches pay a full
+      # round trip each on tunneled platforms
+      mean_loss = (float(jnp.mean(jnp.stack(epoch_losses)))
+                   if epoch_losses else float('nan'))
       dt = time.time() - t0
       msg = (f'Epoch {epoch}/{num_epochs} (lr={epoch_lr:g}) '
              f'loss={mean_loss:.5f} '
@@ -479,12 +625,8 @@ class Recoder:
            or epoch == num_epochs):
         self.save_state(model_checkpoint_prefix)
 
-  def _train_step(self, input_batch, target_batch, lr_arr, sparse):
-    batch, _ = self._stage_batch(input_batch, target_batch)
-    if self.mesh is not None:
-      from recoder_tpu.parallel import shard_batch
-      batch = shard_batch(batch, self.mesh)
-    step_fn = self._get_step_fn(target_batch is not None, sparse)
+  def _train_step(self, batch, has_target, lr_arr, sparse):
+    step_fn = self._get_step_fn(has_target, sparse)
     step_idx = np.int32(self._global_step)
     self._global_step += 1
     if not sparse:
@@ -501,12 +643,13 @@ class Recoder:
 
   def _validate(self, val_dataloader):
     val_loss_fn = self._get_val_loss_fn()
-    total, n = 0.0, 0
-    for input_batch, target_batch in val_dataloader:
-      batch, _ = self._stage_batch(input_batch, target_batch)
-      total += float(val_loss_fn(self.model.params, batch))
-      n += 1
-    return total / max(n, 1)
+    losses = []
+    for batch, _ in self._device_batch_iter(val_dataloader):
+      losses.append(val_loss_fn(self.model.params, batch))
+    if not losses:
+      return float('nan')
+    # single host sync at the end, not one per batch
+    return float(jnp.mean(jnp.stack(losses)))
 
   # ------------------------------------------------------------------
   # inference / evaluation

@@ -42,17 +42,22 @@ class DynamicAutoencoder(FactorizationModel):
     sparse (bool): request sparse row-wise optimizer updates for the
       embedding tables (semantics of torch SparseAdam; see
       recoder_tpu.optim).
+    compute_dtype (str, optional): matmul compute dtype ('bfloat16' for
+      MXU speed; params stay float32, accumulation is float32). None
+      keeps float32 compute end to end.
   """
 
   def __init__(self, hidden_layers=None, activation_type='tanh',
                is_constrained=False, dropout_prob=0.0,
-               noise_prob=0.0, sparse=False):
+               noise_prob=0.0, sparse=False, compute_dtype=None):
     self.hidden_layers = hidden_layers
     self.activation_type = activation_type
     self.is_constrained = is_constrained
     self.dropout_prob = dropout_prob
     self.noise_prob = noise_prob
     self.sparse = sparse
+    self.compute_dtype = (jnp.dtype(compute_dtype)
+                          if compute_dtype is not None else None)
 
     self.num_items = None
     self.num_items_padded = None
@@ -153,12 +158,20 @@ class DynamicAutoencoder(FactorizationModel):
     if training and self.noise_prob > 0:
       z = dropout(z, self.noise_prob, noise_rng)
 
+    cd = self.compute_dtype
+
     # encode: z[B, U] @ E_en[items][U, d0] + b_en
-    z = encode_gather_matmul(z, en_operand, en_ids, params['en_bias'])
+    z = encode_gather_matmul(z, en_operand, en_ids, params['en_bias'],
+                             compute_dtype=cd)
     z = activation(z, self.activation_type)
 
     for i in range(1, len(self.hidden_layers)):
-      z = z @ params[f'encode_w_{i}'] + params[f'encode_b_{i}']
+      w = params[f'encode_w_{i}']
+      if cd is not None:
+        z = (z.astype(cd) @ w.astype(cd)).astype(jnp.float32)
+        z = z + params[f'encode_b_{i}']
+      else:
+        z = z @ w + params[f'encode_b_{i}']
       z = activation(z, self.activation_type)
 
     if training and self.dropout_prob > 0:
@@ -171,11 +184,19 @@ class DynamicAutoencoder(FactorizationModel):
         w = params[f'encode_w_{n_dec - i + 1}'].T
       else:
         w = params[f'decode_w_{i}']
-      z = z @ w + params[f'decode_b_{i}']
+      if cd is not None:
+        z = (z.astype(cd) @ w.astype(cd)).astype(jnp.float32)
+        z = z + params[f'decode_b_{i}']
+      else:
+        z = z @ w + params[f'decode_b_{i}']
       z = activation(z, self.activation_type)
 
     # decode: h[B, d0] @ E_de[items].T + b_de[items]
-    z = decode_gather_matmul(z, de_operand, de_ids, de_bias)
+    z = decode_gather_matmul(z, de_operand, de_ids, de_bias,
+                             compute_dtype=cd)
+    if cd is not None:
+      # scores travel in the compute dtype; losses re-accumulate in f32
+      z = z.astype(cd)
     return z
 
   def apply(self, params, input, input_users=None, input_items=None,

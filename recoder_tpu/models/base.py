@@ -48,9 +48,14 @@ def xavier_uniform(key, shape, fan_in, fan_out, dtype=jnp.float32):
 
 
 def l2_normalize_rows(x, eps=1e-12):
-  """Row-wise L2 normalize, matching torch F.normalize(p=2, dim=1)."""
-  norm = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
-  return x / jnp.maximum(norm, eps)
+  """Row-wise L2 normalize, matching torch F.normalize(p=2, dim=1).
+
+  The squared-sum accumulates in float32 even for bf16 inputs (the cast
+  fuses into the reduction).
+  """
+  sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1, keepdims=True)
+  norm = jnp.maximum(jnp.sqrt(sq), eps)
+  return x / norm.astype(x.dtype)
 
 
 def dropout(x, rate, rng):

@@ -27,11 +27,13 @@ class MatrixFactorization(FactorizationModel):
   """
 
   def __init__(self, embedding_size, activation_type='none',
-               dropout_prob=0, sparse=False):
+               dropout_prob=0, sparse=False, compute_dtype=None):
     self.embedding_size = embedding_size
     self.activation_type = activation_type
     self.dropout_prob = dropout_prob
     self.sparse = sparse
+    self.compute_dtype = (jnp.dtype(compute_dtype)
+                          if compute_dtype is not None else None)
 
     self.num_users = None
     self.num_items = None
@@ -85,7 +87,11 @@ class MatrixFactorization(FactorizationModel):
     if training and self.dropout_prob > 0:
       assert rng is not None, 'training with dropout requires rng'
       u = dropout(u, self.dropout_prob, rng)
-    return decode_gather_matmul(u, item_operand, item_ids, bias)
+    out = decode_gather_matmul(u, item_operand, item_ids, bias,
+                               compute_dtype=self.compute_dtype)
+    if self.compute_dtype is not None:
+      out = out.astype(self.compute_dtype)
+    return out
 
   def apply(self, params, input, input_users=None, input_items=None,
             target_users=None, target_items=None, rng=None, training=False):
@@ -93,6 +99,8 @@ class MatrixFactorization(FactorizationModel):
     u = take_rows(params['user_embedding'], input_users)
     return self._forward_core(params, u, params['item_embedding'],
                               target_items, params['bias'], rng, training)
+
+  # compute dtype is applied inside decode_gather_matmul
 
   # -- sparse (row-gathered) path -----------------------------------------
 

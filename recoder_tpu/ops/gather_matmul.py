@@ -6,14 +6,15 @@ dense batch slab by the gathered item rows of the encoder table, and
 decoding scores the bottleneck against the gathered rows of the decoder
 table.
 
-Two lowerings:
-  * XLA path (default, works on CPU/TPU): ``table.at[ids].get`` +
-    ``jnp.dot``. XLA fuses the gather into the matmul operand read on
-    TPU in most cases.
-  * Pallas path (TPU): a fused kernel that DMAs the indexed table rows
-    HBM->VMEM per output tile and feeds the MXU directly, never
-    materializing the gathered [union, d] matrix in HBM. Enabled via
-    :func:`set_impl` ('pallas') once the kernels are registered.
+Lowering: ``table.at[ids].get`` + ``jnp.dot`` (XLA). A fused Pallas
+gather+matmul variant was prototyped and measured, but single-row DMA
+from an HBM-resident f32 table is not expressible on the current
+Mosaic toolchain (arrays are (8, 128)-tiled in HBM, and both DMA slice
+shapes and starts must be 8-row aligned along the sublane dim), so the
+row gather stays with XLA's native lowering, which profiling shows is
+not the step bottleneck at ML-20M scale. Pallas effort goes to the
+block-aligned fused score+loss kernel instead (recoder_tpu.ops.
+pallas_loss).
 
 Indices are guaranteed in-bounds by the data pipeline (padded slots use
 the sentinel row ``num_items`` of a table padded to > num_items rows),
@@ -21,20 +22,6 @@ so gathers use mode='promise_in_bounds'.
 """
 
 import jax.numpy as jnp
-
-
-_IMPL = 'xla'
-
-
-def set_impl(impl):
-  """Select lowering: 'xla' or 'pallas'."""
-  global _IMPL
-  assert impl in ('xla', 'pallas')
-  _IMPL = impl
-
-
-def get_impl():
-  return _IMPL
 
 
 def take_rows(table, ids):
@@ -47,9 +34,6 @@ def take_rows(table, ids):
 
 def encode_gather_matmul(z, table, ids, bias, compute_dtype=None):
   """``z[B, U] @ table[ids][U, d] + bias[d]`` (full table if ids None)."""
-  if _IMPL == 'pallas' and ids is not None:
-    from recoder_tpu.ops import pallas_gather_matmul as pgm
-    return pgm.encode(z, table, ids, bias, compute_dtype=compute_dtype)
   rows = take_rows(table, ids)
   if compute_dtype is not None:
     z = z.astype(compute_dtype)
@@ -60,9 +44,6 @@ def encode_gather_matmul(z, table, ids, bias, compute_dtype=None):
 
 def decode_gather_matmul(h, table, ids, bias, compute_dtype=None):
   """``h[B, d] @ table[ids].T[d, U] + bias[ids]`` (full table if ids None)."""
-  if _IMPL == 'pallas' and ids is not None:
-    from recoder_tpu.ops import pallas_gather_matmul as pgm
-    return pgm.decode(h, table, ids, bias, compute_dtype=compute_dtype)
   rows = take_rows(table, ids)
   b = bias if ids is None else take_rows(bias, ids)
   if compute_dtype is not None:

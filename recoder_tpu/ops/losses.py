@@ -44,8 +44,14 @@ def _reduce(loss, reduction, row_mask=None, col_mask=None):
 
 
 def mse_loss(input, target, confidence=0.0, row_mask=None, col_mask=None):
-  """Confidence-weighted squared error: ``(1 + c*[t>0]) * (t - x)^2``."""
-  weights = 1.0 + confidence * (target > 0).astype(input.dtype)
+  """Confidence-weighted squared error: ``(1 + c*[t>0]) * (t - x)^2``.
+
+  Elementwise math runs in float32 regardless of the (possibly bf16)
+  input dtype; the casts fuse into the surrounding computation.
+  """
+  input = input.astype(jnp.float32)
+  target = target.astype(jnp.float32)
+  weights = 1.0 + confidence * (target > 0).astype(jnp.float32)
   loss = weights * jnp.square(input - target)
   return _apply_masks(loss, row_mask, col_mask)
 
@@ -53,6 +59,8 @@ def mse_loss(input, target, confidence=0.0, row_mask=None, col_mask=None):
 def logistic_loss(input, target, row_mask=None, col_mask=None):
   """BCE with logits, the stable form used by torch BCEWithLogitsLoss:
   ``max(x, 0) - x*y + log(1 + exp(-|x|))``."""
+  input = input.astype(jnp.float32)
+  target = target.astype(jnp.float32)
   loss = (jnp.maximum(input, 0.0) - input * target
           + jnp.log1p(jnp.exp(-jnp.abs(input))))
   return _apply_masks(loss, row_mask, col_mask)
@@ -65,6 +73,8 @@ def multinomial_nll_loss(input, target, row_mask=None, col_mask=None):
   large negative logit), otherwise the partition function would differ
   from the unpadded computation.
   """
+  input = input.astype(jnp.float32)
+  target = target.astype(jnp.float32)
   if col_mask is not None:
     logits = jnp.where(col_mask[None, :].astype(bool), input, _NEG_INF)
   else:

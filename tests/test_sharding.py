@@ -68,9 +68,10 @@ def test_sharded_training_matches_single_device(model_cls, kw):
                   num_sampling_users=32)
     return jax.tree_util.tree_map(np.asarray, trainer.model.params)
 
-  ref = run(None)
-  mesh = make_mesh(MeshConfig(data=4, model=2))
-  got = run(mesh)
+  # mesh size 1 vs mesh size 8: same jitted step, same host batches
+  ref = run(make_mesh(MeshConfig(data=1, model=1),
+                      devices=jax.devices()[:1]))
+  got = run(make_mesh(MeshConfig(data=4, model=2)))
 
   flat_ref = jax.tree_util.tree_flatten(ref)[0]
   flat_got = jax.tree_util.tree_flatten(got)[0]
@@ -92,6 +93,7 @@ def test_sharded_eval_matches_single_device():
                            interactions_matrix=ds.interactions_matrix[:8])
     return np.asarray(trainer.predict(ui))
 
-  ref = run(None)
+  ref = run(make_mesh(MeshConfig(data=1, model=1),
+                      devices=jax.devices()[:1]))
   got = run(make_mesh(MeshConfig(data=4, model=2)))
   np.testing.assert_allclose(ref, got, rtol=5e-4, atol=1e-5)
