@@ -1,0 +1,125 @@
+"""Thin command-line interface: train / evaluate from a JSON config.
+
+The reference has no CLI (everything is programmatic + hard-coded
+scripts); this is a TPU-native addition for production runs:
+
+  python -m recoder_tpu.cli train --config run.json
+  python -m recoder_tpu.cli evaluate --config run.json \
+      --model-file models/run_epoch_100.model
+
+Config schema (JSON):
+{
+  "data": {"train": "pro_sg/train.csv", "val_tr": "...", "val_te": "...",
+           "user_col": "uid", "item_col": "sid", "inter_col": "watched"},
+  "model": {"type": "autoencoder" | "mf", ...constructor kwargs...},
+  "trainer": {"optimizer_type": "adam", "loss": "logistic",
+              "loss_params": {}, "seed": 42,
+              "mesh_model": 0},
+  "train": { ...Recoder.train kwargs... }
+}
+"""
+
+import argparse
+import json
+
+import numpy as np
+import pandas as pd
+
+from recoder_tpu.data import RecommendationDataset
+from recoder_tpu.metrics import NDCG, Recall
+from recoder_tpu.model import Recoder
+from recoder_tpu.models import DynamicAutoencoder, MatrixFactorization
+from recoder_tpu.utils import dataframe_to_csr_matrix
+
+
+def _load_datasets(data_cfg):
+  cols = dict(user_col=data_cfg.get('user_col', 'uid'),
+              item_col=data_cfg.get('item_col', 'sid'),
+              inter_col=data_cfg.get('inter_col', 'watched'))
+  train_df = pd.read_csv(data_cfg['train'])
+  train_matrix, item_id_map, _ = dataframe_to_csr_matrix(train_df, **cols)
+  train_dataset = RecommendationDataset(train_matrix)
+
+  val_dataset = None
+  if data_cfg.get('val_tr') and data_cfg.get('val_te'):
+    val_tr = pd.read_csv(data_cfg['val_tr'])
+    val_te = pd.read_csv(data_cfg['val_te'])
+    val_tr_m, _, user_id_map = dataframe_to_csr_matrix(
+        val_tr, item_id_map=item_id_map, **cols)
+    val_te_m, _, _ = dataframe_to_csr_matrix(
+        val_te, item_id_map=item_id_map, user_id_map=user_id_map, **cols)
+    val_dataset = RecommendationDataset(val_tr_m, val_te_m)
+  return train_dataset, val_dataset
+
+
+def _build_model(model_cfg):
+  cfg = dict(model_cfg)
+  kind = cfg.pop('type', 'autoencoder')
+  if kind == 'autoencoder':
+    return DynamicAutoencoder(**cfg)
+  if kind == 'mf':
+    return MatrixFactorization(**cfg)
+  raise ValueError(f'unknown model type {kind}')
+
+
+def _build_trainer(cfg, model):
+  tr_cfg = dict(cfg.get('trainer', {}))
+  mesh = None
+  mesh_model = tr_cfg.pop('mesh_model', 0)
+  if mesh_model:
+    from recoder_tpu.parallel import MeshConfig, make_mesh
+    mesh = make_mesh(MeshConfig(model=mesh_model))
+  return Recoder(model=model, mesh=mesh, **tr_cfg)
+
+
+def cmd_train(cfg):
+  train_dataset, val_dataset = _load_datasets(cfg['data'])
+  model = _build_model(cfg.get('model', {}))
+  trainer = _build_trainer(cfg, model)
+  train_kwargs = dict(cfg.get('train', {}))
+  if 'metrics' in train_kwargs:
+    train_kwargs['metrics'] = [
+        Recall(k=k) if name == 'recall' else NDCG(k=k)
+        for name, k in train_kwargs['metrics']]
+  trainer.train(train_dataset=train_dataset, val_dataset=val_dataset,
+                **train_kwargs)
+
+
+def cmd_evaluate(cfg, model_file, num_recommendations, batch_size):
+  _, val_dataset = _load_datasets(cfg['data'])
+  assert val_dataset is not None, 'config needs val_tr/val_te for evaluate'
+  model = _build_model(cfg.get('model', {}))
+  trainer = _build_trainer(cfg, model)
+  trainer.init_from_model_file(model_file)
+  metrics = [Recall(k=20), Recall(k=50), NDCG(k=100)]
+  results = trainer.evaluate(val_dataset,
+                             num_recommendations=num_recommendations,
+                             metrics=metrics, batch_size=batch_size)
+  for m in results:
+    print(f'{m}: {np.mean(results[m])}')
+
+
+def main():
+  p = argparse.ArgumentParser(prog='recoder_tpu', description=__doc__)
+  sub = p.add_subparsers(dest='cmd', required=True)
+  pt = sub.add_parser('train')
+  pt.add_argument('--config', required=True)
+  pe = sub.add_parser('evaluate')
+  pe.add_argument('--config', required=True)
+  pe.add_argument('--model-file', required=True)
+  pe.add_argument('--num-recommendations', type=int, default=100)
+  pe.add_argument('--batch-size', type=int, default=500)
+  args = p.parse_args()
+
+  with open(args.config) as f:
+    cfg = json.load(f)
+
+  if args.cmd == 'train':
+    cmd_train(cfg)
+  else:
+    cmd_evaluate(cfg, args.model_file, args.num_recommendations,
+                 args.batch_size)
+
+
+if __name__ == '__main__':
+  main()

@@ -113,6 +113,7 @@ class Recoder:
     self._recommend_fns = {}
     self._train_iterator = None
     self._iters_consumed = 0
+    self._profiling = False
 
   # ------------------------------------------------------------------
   # initialization
@@ -473,9 +474,15 @@ class Recoder:
             negative_sampling=False, num_sampling_users=0, num_data_workers=0,
             model_checkpoint_prefix=None, checkpoint_freq=0,
             eval_freq=0, eval_num_recommendations=None,
-            eval_num_users=None, metrics=None, eval_batch_size=None):
+            eval_num_users=None, metrics=None, eval_batch_size=None,
+            profile_dir=None, profile_steps=(10, 30)):
     """Train the model (argument semantics mirror the reference
-    model.py:256-347; see that docstring for parameter meanings)."""
+    model.py:256-347; see that docstring for parameter meanings).
+
+    TPU additions: ``profile_dir`` captures a jax.profiler trace of
+    global steps ``profile_steps=(start, stop)`` viewable in
+    TensorBoard/Perfetto; per-epoch wall time and steps/s are always
+    logged."""
     backend = jax.default_backend()
     log.info('%s Mode', backend.upper())
     for param, value in self.model.model_params().items():
@@ -562,6 +569,7 @@ class Recoder:
         step_fn = self._get_fused_step_fn(fused_source, negative_sampling,
                                           sparse)
         for _ in range(iters_to_process):
+          self._maybe_profile(profile_dir, profile_steps)
           step_in_epoch = np.int32(self._iters_consumed)
           rng_idx = np.int32(self._global_step)
           self._iters_consumed += 1
@@ -589,6 +597,7 @@ class Recoder:
                                num_batches - self._iters_consumed)
 
         for _ in range(iters_to_process):
+          self._maybe_profile(profile_dir, profile_steps)
           try:
             device_batch, has_target = next(self._train_iterator)
           except StopIteration:
@@ -624,6 +633,25 @@ class Recoder:
           ((checkpoint_freq > 0 and epoch % checkpoint_freq == 0)
            or epoch == num_epochs):
         self.save_state(model_checkpoint_prefix)
+
+    if self._profiling:  # window extended past the last step
+      jax.profiler.stop_trace()
+      self._profiling = False
+
+  def _maybe_profile(self, profile_dir, profile_steps):
+    """Start/stop a jax.profiler trace window around global steps."""
+    if profile_dir is None:
+      return
+    start, stop = profile_steps
+    if self._global_step == start and not self._profiling:
+      jax.profiler.start_trace(profile_dir)
+      self._profiling = True
+      log.info('profiler trace started (step %d) -> %s',
+               self._global_step, profile_dir)
+    elif self._global_step >= stop and self._profiling:
+      jax.profiler.stop_trace()
+      self._profiling = False
+      log.info('profiler trace stopped (step %d)', self._global_step)
 
   def _train_step(self, batch, has_target, lr_arr, sparse):
     step_fn = self._get_step_fn(has_target, sparse)

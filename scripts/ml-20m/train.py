@@ -1,0 +1,87 @@
+"""Train the ML-20M autoencoder (reference scripts/ml-20m/train.py
+config: DynamicAutoencoder[200] tanh, noise 0.5, BCE, adam, bs 500,
+lr 1e-3, wd 2e-5, 100 epochs, LR milestones [60, 80])."""
+
+import argparse
+import os
+
+import pandas as pd
+
+from recoder_tpu.data import RecommendationDataset
+from recoder_tpu.metrics import NDCG, Recall
+from recoder_tpu.model import Recoder
+from recoder_tpu.models import DynamicAutoencoder, MatrixFactorization
+from recoder_tpu.utils import dataframe_to_csr_matrix
+
+COMMON = {'user_col': 'uid', 'item_col': 'sid', 'inter_col': 'watched'}
+
+
+def main():
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument('--data-dir', default='data/ml-20m/pro_sg/')
+  p.add_argument('--model-dir', default='models/ml-20m/')
+  p.add_argument('--model', choices=['autoencoder', 'mf'],
+                 default='autoencoder')
+  p.add_argument('--loss', default='logistic',
+                 choices=['logistic', 'mse', 'logloss'])
+  p.add_argument('--epochs', type=int, default=100)
+  p.add_argument('--batch-size', type=int, default=500)
+  p.add_argument('--lr', type=float, default=1e-3)
+  p.add_argument('--weight-decay', type=float, default=2e-5)
+  p.add_argument('--num-sampling-users', type=int, default=0)
+  p.add_argument('--sparse', action='store_true')
+  p.add_argument('--compute-dtype', default=None,
+                 help="e.g. 'bfloat16' for MXU-speed matmuls")
+  p.add_argument('--resume', default=None,
+                 help='checkpoint file to resume from')
+  args = p.parse_args()
+
+  train_df = pd.read_csv(args.data_dir + 'train.csv')
+  val_tr_df = pd.read_csv(args.data_dir + 'validation_tr.csv')
+  val_te_df = pd.read_csv(args.data_dir + 'validation_te.csv')
+
+  train_matrix, item_id_map, _ = dataframe_to_csr_matrix(train_df, **COMMON)
+  val_tr_matrix, _, user_id_map = dataframe_to_csr_matrix(
+      val_tr_df, item_id_map=item_id_map, **COMMON)
+  val_te_matrix, _, _ = dataframe_to_csr_matrix(
+      val_te_df, item_id_map=item_id_map, user_id_map=user_id_map, **COMMON)
+
+  train_dataset = RecommendationDataset(train_matrix)
+  val_dataset = RecommendationDataset(val_tr_matrix, val_te_matrix)
+
+  if args.model == 'autoencoder':
+    model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
+                               noise_prob=0.5, sparse=args.sparse,
+                               compute_dtype=args.compute_dtype)
+  else:
+    model = MatrixFactorization(embedding_size=200, activation_type='tanh',
+                                dropout_prob=0.5, sparse=args.sparse,
+                                compute_dtype=args.compute_dtype)
+
+  trainer = Recoder(model=model, optimizer_type='adam', loss=args.loss,
+                    user_based=False)
+  if args.resume:
+    trainer.init_from_model_file(args.resume)
+
+  os.makedirs(args.model_dir, exist_ok=True)
+  prefix = os.path.join(args.model_dir,
+                        f'{args.loss}_ns_d_0.0_n_0.5_200')
+
+  metrics = [Recall(k=20, normalize=True), Recall(k=50, normalize=True),
+             NDCG(k=100)]
+  try:
+    trainer.train(train_dataset=train_dataset, val_dataset=val_dataset,
+                  batch_size=args.batch_size, lr=args.lr,
+                  weight_decay=args.weight_decay, num_epochs=args.epochs,
+                  negative_sampling=True, lr_milestones=[60, 80],
+                  num_sampling_users=args.num_sampling_users,
+                  model_checkpoint_prefix=prefix, checkpoint_freq=10,
+                  eval_num_recommendations=100, metrics=metrics,
+                  eval_freq=10)
+  except (KeyboardInterrupt, SystemExit):
+    trainer.save_state(prefix)
+    raise
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,74 @@
+"""Train the MSD autoencoder (reference scripts/msd/train.py config:
+DynamicAutoencoder[200] tanh, noise 0.5, logistic loss, sparse
+row-wise updates, adam, bs 500, 100 epochs, milestones [60, 80])."""
+
+import argparse
+import os
+
+import pandas as pd
+
+from recoder_tpu.data import RecommendationDataset
+from recoder_tpu.metrics import NDCG, Recall
+from recoder_tpu.model import Recoder
+from recoder_tpu.models import DynamicAutoencoder
+from recoder_tpu.utils import dataframe_to_csr_matrix
+
+COMMON = {'user_col': 'uid', 'item_col': 'sid', 'inter_col': 'watched'}
+
+
+def main():
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument('--data-dir', default='data/msd/pro_sg/')
+  p.add_argument('--model-dir', default='models/msd/')
+  p.add_argument('--loss', default='logistic')
+  p.add_argument('--epochs', type=int, default=100)
+  p.add_argument('--batch-size', type=int, default=500)
+  p.add_argument('--lr', type=float, default=1e-3)
+  p.add_argument('--weight-decay', type=float, default=2e-5)
+  p.add_argument('--no-sparse', action='store_true',
+                 help='disable sparse row-wise embedding updates')
+  p.add_argument('--compute-dtype', default=None)
+  p.add_argument('--resume', default=None)
+  args = p.parse_args()
+
+  train_df = pd.read_csv(args.data_dir + 'train.csv')
+  val_tr_df = pd.read_csv(args.data_dir + 'validation_tr.csv')
+  val_te_df = pd.read_csv(args.data_dir + 'validation_te.csv')
+
+  train_matrix, item_id_map, _ = dataframe_to_csr_matrix(train_df, **COMMON)
+  val_tr_matrix, _, user_id_map = dataframe_to_csr_matrix(
+      val_tr_df, item_id_map=item_id_map, **COMMON)
+  val_te_matrix, _, _ = dataframe_to_csr_matrix(
+      val_te_df, item_id_map=item_id_map, user_id_map=user_id_map, **COMMON)
+
+  train_dataset = RecommendationDataset(train_matrix)
+  val_dataset = RecommendationDataset(val_tr_matrix, val_te_matrix)
+
+  model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
+                             noise_prob=0.5, sparse=not args.no_sparse,
+                             compute_dtype=args.compute_dtype)
+  trainer = Recoder(model=model, optimizer_type='adam', loss=args.loss,
+                    user_based=False)
+  if args.resume:
+    trainer.init_from_model_file(args.resume)
+
+  os.makedirs(args.model_dir, exist_ok=True)
+  prefix = os.path.join(args.model_dir, f'{args.loss}_ns_d_0.0_n_0.5_200')
+
+  metrics = [Recall(k=20, normalize=True), Recall(k=50, normalize=True),
+             NDCG(k=100)]
+  try:
+    trainer.train(train_dataset=train_dataset, val_dataset=val_dataset,
+                  batch_size=args.batch_size, lr=args.lr,
+                  weight_decay=args.weight_decay, num_epochs=args.epochs,
+                  negative_sampling=True, lr_milestones=[60, 80],
+                  model_checkpoint_prefix=prefix, checkpoint_freq=10,
+                  eval_num_recommendations=100, metrics=metrics,
+                  eval_freq=10)
+  except (KeyboardInterrupt, SystemExit):
+    trainer.save_state(prefix)
+    raise
+
+
+if __name__ == '__main__':
+  main()
