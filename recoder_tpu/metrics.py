@@ -165,28 +165,27 @@ class RecommenderEvaluator:
     """Returns {metric: [per-user values]}.
 
     ``num_workers`` is accepted for API parity; metric math here is
-    vectorized per batch so worker processes are unnecessary.
+    vectorized per batch so worker processes are unnecessary. When the
+    recommender exposes ``recommend_async`` (the model-based one does),
+    device dispatch runs a few batches ahead of result fetching, hiding
+    per-batch transfer latency.
     """
     del num_workers
+    import collections
     dataloader = RecommendationDataLoader(eval_dataset, batch_size=batch_size,
                                           collate_fn=lambda _: _,
                                           shuffle=False)
     results = {metric: [] for metric in self.metrics}
 
-    processed = 0
-    for input, target in dataloader:
-      recommendations = self.recommender.recommend(input)
-      tgt = target.interactions_matrix
-      relevant = [tgt.indices[tgt.indptr[i]:tgt.indptr[i + 1]]
-                  for i in range(len(target.users))]
+    def score(recommendations, relevant):
       # users with no relevant items are undefined under every metric
       # (0/0); skip them instead of poisoning the means with NaN
       keep = [i for i, y in enumerate(relevant) if len(y)]
+      if not keep:
+        return
       if len(keep) != len(relevant):
         recommendations = [recommendations[i] for i in keep]
         relevant = [relevant[i] for i in keep]
-      if not keep:
-        continue
       # pad ragged recommendation lists to a rectangle for batch eval
       max_len = max((len(r) for r in recommendations), default=0)
       rect = np.full((len(recommendations), max(max_len, 1)), -1,
@@ -194,10 +193,31 @@ class RecommenderEvaluator:
       for i, r in enumerate(recommendations):
         rect[i, :len(r)] = r
       for metric in self.metrics:
-        results[metric].extend(metric.evaluate_batch(rect, relevant).tolist())
+        results[metric].extend(
+            metric.evaluate_batch(rect, relevant).tolist())
+
+    use_async = hasattr(self.recommender, 'recommend_async')
+    pending = collections.deque()
+
+    processed = 0
+    for input, target in dataloader:
+      tgt = target.interactions_matrix
+      relevant = [tgt.indices[tgt.indptr[i]:tgt.indptr[i + 1]]
+                  for i in range(len(target.users))]
+      if use_async:
+        pending.append((self.recommender.recommend_async(input), relevant))
+        if len(pending) > 3:
+          handle, rel = pending.popleft()
+          score(np.asarray(handle).tolist(), rel)
+      else:
+        score(self.recommender.recommend(input), relevant)
 
       processed += len(target.users)
       if num_users is not None and processed >= num_users:
         break
+
+    while pending:
+      handle, rel = pending.popleft()
+      score(np.asarray(handle).tolist(), rel)
 
     return results

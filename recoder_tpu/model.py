@@ -715,8 +715,9 @@ class Recoder:
     input_dense = np.asarray(dense)[:, :self.num_items]
     return out, input_dense
 
-  def recommend(self, users_interactions, num_recommendations):
-    """Top-k recommendations excluding each user's seen items."""
+  def recommend_async(self, users_interactions, num_recommendations):
+    """Dispatch top-k recommendation on device; returns the device
+    array handle [B, k] (fetch with np.asarray)."""
     if not self._model_initialized:
       raise RuntimeError('Model not initialized.')
     collator = BatchCollator(batch_size=len(users_interactions.users),
@@ -728,7 +729,13 @@ class Recoder:
     top_idx, _ = fn(self.model.params, jnp.asarray(batch.rows),
                     jnp.asarray(batch.cols), jnp.asarray(batch.vals),
                     jnp.asarray(batch.users))
-    return np.asarray(top_idx).tolist()
+    return top_idx
+
+  def recommend(self, users_interactions, num_recommendations):
+    """Top-k recommendations excluding each user's seen items."""
+    return np.asarray(
+        self.recommend_async(users_interactions,
+                             num_recommendations)).tolist()
 
   def _evaluate(self, eval_dataset, num_recommendations, metrics,
                 batch_size=1, num_users=None):

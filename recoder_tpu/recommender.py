@@ -100,3 +100,12 @@ class InferenceRecommender(Recommender):
 
   def recommend(self, users_hist):
     return self.model.recommend(users_hist, self.num_recommendations)
+
+  def recommend_async(self, users_hist):
+    """Dispatch on device, return a handle; fetch with ``np.asarray``.
+
+    Lets the evaluator overlap device compute/transfers across batches
+    (one fetch round trip per batch otherwise dominates on tunneled
+    platforms).
+    """
+    return self.model.recommend_async(users_hist, self.num_recommendations)
