@@ -159,12 +159,22 @@ class Recoder:
       raise ValueError('Sparse gradients optimization only supported '
                        'with adam (sparse row-wise Adam)')
 
+    # continued training on the same instance keeps optimizer moments
+    # (reference model.py:101-107 stashes and reloads the state dict)
+    prev_opt_state = self.opt_state
+    prev_sparse_states = self.sparse_states
+
     wd_tree = make_weight_decay_tree(dense_params, weight_decay)
     self.optimizer = Optimizer(self.optimizer_type, weight_decay=wd_tree)
     self.opt_state = self.optimizer.init(dense_params)
     self.sparse_adam = SparseRowAdam()
     self.sparse_states = {p: self.sparse_adam.init(self.model.params[p])
                           for p in sparse_paths}
+
+    if prev_opt_state is not None:
+      self.opt_state = prev_opt_state
+    if prev_sparse_states:
+      self.sparse_states = prev_sparse_states
 
     if self._pending_opt_arrays is not None:
       opt, sparse = self._pending_opt_arrays

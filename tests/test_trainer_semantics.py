@@ -1,0 +1,88 @@
+"""Trainer-loop semantics: determinism, partial epochs (persistent
+iterator), eval_num_users, and continued-training behavior."""
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from recoder_tpu.data import RecommendationDataset
+from recoder_tpu.metrics import Recall
+from recoder_tpu.model import Recoder
+from recoder_tpu.models import DynamicAutoencoder
+from recoder_tpu.utils import dataframe_to_csr_matrix
+
+
+def _dataset(seed=0, users=60, items=120):
+  rng = np.random.default_rng(seed)
+  df = pd.DataFrame({'u': rng.integers(0, users, users * 10),
+                     'i': rng.integers(0, items, users * 10),
+                     'v': 1.0}).drop_duplicates(['u', 'i'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'u', 'i', 'v')
+  return RecommendationDataset(m)
+
+
+def _train(seed, epochs=4, iters_per_epoch=None, ds=None):
+  ds = ds or _dataset()
+  model = DynamicAutoencoder(hidden_layers=[32], noise_prob=0.3)
+  tr = Recoder(model=model, optimizer_type='adam', loss='mse', seed=seed)
+  tr.train(train_dataset=ds, batch_size=16, num_epochs=epochs,
+           negative_sampling=True, iters_per_epoch=iters_per_epoch)
+  return tr
+
+
+def test_same_seed_same_params():
+  a = _train(seed=5)
+  b = _train(seed=5)
+  for k in a.model.params:
+    np.testing.assert_array_equal(np.asarray(a.model.params[k]),
+                                  np.asarray(b.model.params[k]))
+
+
+def test_different_seed_different_params():
+  a = _train(seed=5)
+  b = _train(seed=6)
+  assert any(not np.allclose(np.asarray(a.model.params[k]),
+                             np.asarray(b.model.params[k]))
+             for k in a.model.params)
+
+
+def test_iters_per_epoch_partial_epochs():
+  """iters_per_epoch < num_batches: the data iterator persists across
+  epochs (reference model.py:356-379) -- total steps = epochs * iters."""
+  ds = _dataset()
+  tr = _train(seed=1, epochs=3, iters_per_epoch=2, ds=ds)
+  assert tr._global_step == 6
+  assert tr.current_epoch == 3
+
+
+def test_eval_num_users_truncates():
+  ds = _dataset()
+  full = RecommendationDataset(ds.interactions_matrix,
+                               ds.interactions_matrix)
+  tr = _train(seed=2, ds=ds)
+  r_all = tr._evaluate(full, 10, [Recall(k=10)], batch_size=16)
+  r_some = tr._evaluate(full, 10, [Recall(k=10)], batch_size=16,
+                        num_users=20)
+  n_all = len(r_all[Recall(k=10)])
+  n_some = len(r_some[Recall(k=10)])
+  assert n_some < n_all
+  assert n_some >= 20 or n_some == n_all
+
+
+def test_continue_training_same_instance():
+  """Calling train() again continues: optimizer moments carry over
+  (reference model.py:101-107 stashes and reloads the state dict)."""
+  ds = _dataset()
+  tr = _train(seed=3, epochs=2, ds=ds)
+  step2 = int(tr.opt_state['step'])
+  assert step2 > 0
+  m2 = np.asarray(jax.tree_util.tree_leaves(tr.opt_state['m'])[0]).copy()
+  tr.train(train_dataset=ds, batch_size=16, num_epochs=4,
+           negative_sampling=True)
+  assert tr.current_epoch == 4
+  # step counter CONTINUED (not reset to zero before the new steps)
+  assert int(tr.opt_state['step']) > step2
+  ran = tr._global_step - step2  # steps in the second call
+  assert int(tr.opt_state['step']) == step2 + ran
+  assert m2.any()  # moments were non-trivial before continuing
