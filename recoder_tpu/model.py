@@ -408,9 +408,9 @@ class Recoder:
   def _get_fused_step_fn(self, source, negative_sampling, sparse):
     """A step that builds its batch on device from a resident CSR
     (recoder_tpu.data.device_pipeline) -- no per-step host transfer."""
-    cache_key = ('fused', negative_sampling, sparse, source.batch_size,
-                 source.mega, source.mega_nnz_budget, source.union_width,
-                 source.n_pad, source.binary)
+    # keyed by the source object too: the compiled fn closes over the
+    # source's device arrays, so a new source needs a fresh trace
+    cache_key = ('fused', negative_sampling, sparse)
     cached = self._step_fns.get(cache_key)
     if cached is not None and cached[0] is source:
       return cached[1]
