@@ -107,33 +107,17 @@ class DeviceDataSource:
   # -- pure batch construction (called inside the jitted step) ----------
 
   def _unique_union(self, cols_m, valid, sentinel, M):
-    """np.unique(cols, return_inverse=True) with static shapes.
+    """np.unique(cols, return_inverse=True) with static shapes: one
+    lax.sort of the cols carrying an iota payload; first-occurrence
+    mask + cumsum ranks; inverse scatter. O(M log M), independent of
+    catalog size.
 
-    Two formulations with a size-based crossover:
-      * presence table (default for catalogs up to ~8x the nnz budget):
-        mark item presence, rank by cumsum over the catalog -- ascending
-        ids, exactly np.unique's order -- then compress by rank gather.
-        O(M + num_items), no sort; measured ~2x cheaper than sorting at
-        ML-20M scale.
-      * sort-based (huge catalogs): one lax.sort of the cols carries an
-        iota payload; first-occurrence mask + cumsum ranks; inverse
-        scatter. O(M log M), independent of catalog size.
+    (A catalog-sized presence-table formulation -- scatter-max presence
+    + rank cumsum, O(M + num_items), no sort -- was measured at 4.31 vs
+    3.93 ms/step at ML-20M scale and removed; TPU scatter cost exceeds
+    the sort's.)
     """
-    if sentinel + 1 <= 8 * M:
-      present = jnp.zeros((sentinel + 1,), jnp.int32)
-      present = present.at[cols_m].max(1, mode='drop')
-      present = present.at[sentinel].set(0)   # sentinel never ranks
-      ranks = jnp.cumsum(present) - present   # rank of item i if present
-      width_valid = jnp.sum(present)
-      compressed = jnp.where(
-          valid, ranks[cols_m], self.union_width).astype(jnp.int32)
-      items = jnp.full((self.union_width,), sentinel, jnp.int32)
-      item_ids = jnp.arange(sentinel + 1, dtype=jnp.int32)
-      items = items.at[jnp.where(present == 1, ranks,
-                                 self.union_width)].set(
-          item_ids, mode='drop')
-      return items, compressed, width_valid
-
+    del valid
     sorted_cols, order = jax.lax.sort(
         (cols_m, jnp.arange(M, dtype=jnp.int32)), num_keys=1)
     first = jnp.concatenate([
