@@ -616,15 +616,28 @@ class Recoder:
           loss = self._train_step(device_batch, has_target, lr_arr, sparse)
           epoch_losses.append(loss)
 
-      # one stacked device->host fetch; per-scalar fetches pay a full
-      # round trip each on tunneled platforms
-      mean_loss = (float(jnp.mean(jnp.stack(epoch_losses)))
-                   if epoch_losses else float('nan'))
+      # mean loss reduced on device; the host fetch happens on a logger
+      # thread so the next epoch's dispatch isn't blocked by the
+      # round trip (the fetch would otherwise drain the whole pipeline)
+      mean_loss_arr = (jnp.mean(jnp.stack(epoch_losses))
+                       if epoch_losses else None)
       dt = time.time() - t0
-      msg = (f'Epoch {epoch}/{num_epochs} (lr={epoch_lr:g}) '
-             f'loss={mean_loss:.5f} '
-             f'[{iters_to_process} it, {dt:.2f}s, '
-             f'{iters_to_process / max(dt, 1e-9):.1f} it/s]')
+      prefix = (f'Epoch {epoch}/{num_epochs} (lr={epoch_lr:g}) '
+                f'[{iters_to_process} it, {dt:.2f}s, '
+                f'{iters_to_process / max(dt, 1e-9):.1f} it/s]')
+      sync_log = (eval_freq > 0 and epoch % eval_freq == 0) \
+          or epoch == num_epochs
+      if sync_log or mean_loss_arr is None:
+        mean_loss = (float(mean_loss_arr)
+                     if mean_loss_arr is not None else float('nan'))
+        msg = f'{prefix} loss={mean_loss:.5f}'
+      else:
+        import threading as _threading
+        _threading.Thread(
+            target=lambda arr=mean_loss_arr, p=prefix: log.info(
+                '%s loss=%.5f', p, float(arr)),
+            daemon=True).start()
+        msg = None
 
       if eval_freq > 0 and epoch % eval_freq == 0 and val_dataloader is not None:
         val_loss = self._validate(val_dataloader)
@@ -637,7 +650,8 @@ class Recoder:
           for metric in results:
             msg += f' {metric}={np.mean(results[metric]):.4f}'
 
-      log.info(msg)
+      if msg is not None:
+        log.info(msg)
 
       if model_checkpoint_prefix and \
           ((checkpoint_freq > 0 and epoch % checkpoint_freq == 0)
