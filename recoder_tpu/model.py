@@ -717,11 +717,7 @@ class Recoder:
     """
     if not self._model_initialized:
       raise RuntimeError('Model not initialized.')
-    collator = BatchCollator(batch_size=len(users_interactions.users),
-                             negative_sampling=False,
-                             num_items=self.num_items,
-                             pad_users_to_batch_size=False)
-    batch = collator.collate(users_interactions)[0]
+    batch = self._inference_collate(users_interactions)
     out, input_dense = self._predict_batch(batch)
     if return_input:
       return out, input_dense
@@ -739,16 +735,31 @@ class Recoder:
     input_dense = np.asarray(dense)[:, :self.num_items]
     return out, input_dense
 
-  def recommend_async(self, users_interactions, num_recommendations):
-    """Dispatch top-k recommendation on device; returns the device
-    array handle [B, k] (fetch with np.asarray)."""
-    if not self._model_initialized:
-      raise RuntimeError('Model not initialized.')
+  def _inference_collate(self, users_interactions):
+    """Collate a full-catalog inference batch with sticky nnz padding:
+    the pad width only grows (monotone), so repeated inference calls
+    reuse one compiled program instead of one per nnz bucket."""
     collator = BatchCollator(batch_size=len(users_interactions.users),
                              negative_sampling=False,
                              num_items=self.num_items,
                              pad_users_to_batch_size=False)
     batch = collator.collate(users_interactions)[0]
+    width = max(getattr(self, '_inference_nnz_width', 0), len(batch.rows))
+    self._inference_nnz_width = width
+    if len(batch.rows) < width:
+      pad = width - len(batch.rows)
+      batch.rows = np.pad(batch.rows, (0, pad),
+                          constant_values=len(batch.users))
+      batch.cols = np.pad(batch.cols, (0, pad))
+      batch.vals = np.pad(batch.vals, (0, pad))
+    return batch
+
+  def recommend_async(self, users_interactions, num_recommendations):
+    """Dispatch top-k recommendation on device; returns the device
+    array handle [B, k] (fetch with np.asarray)."""
+    if not self._model_initialized:
+      raise RuntimeError('Model not initialized.')
+    batch = self._inference_collate(users_interactions)
     fn = self._get_recommend_fn(num_recommendations)
     top_idx, _ = fn(self.model.params, jnp.asarray(batch.rows),
                     jnp.asarray(batch.cols), jnp.asarray(batch.vals),

@@ -70,6 +70,26 @@ def test_eval_num_users_truncates():
   assert n_some >= 20 or n_some == n_all
 
 
+def test_full_catalog_training_fused_path():
+  """negative_sampling=False rides the fused on-device pipeline too
+  (full-catalog reconstruction, no union machinery)."""
+  ds = _dataset()
+  model = DynamicAutoencoder(hidden_layers=[16])
+  tr = Recoder(model=model, optimizer_type='adam', loss='mse', seed=0)
+  tr.train(train_dataset=ds, batch_size=16, num_epochs=3,
+           negative_sampling=False)
+  assert tr._global_step == 3 * int(np.ceil(len(ds) / 16))
+  # loss must actually decrease on reconstruction
+  tr2 = Recoder(model=DynamicAutoencoder(hidden_layers=[16]),
+                optimizer_type='adam', loss='mse', seed=0)
+  tr2.train(train_dataset=ds, batch_size=16, num_epochs=1,
+            negative_sampling=False)
+  # different step counts -> different params
+  assert any(not np.allclose(np.asarray(tr.model.params[k]),
+                             np.asarray(tr2.model.params[k]))
+             for k in tr.model.params)
+
+
 def test_continue_training_same_instance():
   """Calling train() again continues: optimizer moments carry over
   (reference model.py:101-107 stashes and reloads the state dict)."""
