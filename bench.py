@@ -62,6 +62,10 @@ def synthesize_ml20m(seed=0):
 
 
 def main():
+  import jax
+  # rbg is ~3% faster than threefry for the per-step dropout masks and
+  # hardware-friendly on TPU; streams only affect dropout realization
+  jax.config.update('jax_default_prng_impl', 'rbg')
   from recoder_tpu.data import RecommendationDataset
   from recoder_tpu.model import Recoder
   from recoder_tpu.models import DynamicAutoencoder

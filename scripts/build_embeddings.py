@@ -5,6 +5,11 @@ index for the SimilarityRecommender.
 cannot run; this is the working equivalent on the current API.)
 """
 
+# allow running from a repo checkout without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
+
 import argparse
 
 from recoder_tpu.embedding import (AnnEmbeddingsIndex,

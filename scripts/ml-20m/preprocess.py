@@ -3,6 +3,11 @@ generalization split with 10k held-out users (reference
 scripts/ml-20m/preprocess.py semantics, argparse instead of hard-coded
 paths)."""
 
+# allow running from a repo checkout without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
+
 import argparse
 import os
 

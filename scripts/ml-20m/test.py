@@ -1,6 +1,11 @@
 """Evaluate an ML-20M checkpoint on the test split, via model inference
 or ANN item-item similarity (reference scripts/ml-20m/test.py)."""
 
+# allow running from a repo checkout without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
+
 import argparse
 
 import numpy as np

@@ -2,6 +2,11 @@
 config: DynamicAutoencoder[200] tanh, noise 0.5, BCE, adam, bs 500,
 lr 1e-3, wd 2e-5, 100 epochs, LR milestones [60, 80])."""
 
+# allow running from a repo checkout without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
+
 import argparse
 import os
 

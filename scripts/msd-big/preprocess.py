@@ -2,6 +2,11 @@
 min_uc=20 / min_sc=50, hold out 50k users (reference
 scripts/msd-big/preprocess.py semantics)."""
 
+# allow running from a repo checkout without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
+
 import argparse
 import os
 

@@ -5,6 +5,11 @@ embedding tables row-shard over the mesh 'model' axis and the batch
 item-union rows are all-gathered over ICI (capability the reference
 lacks; SURVEY.md section 2.3)."""
 
+# allow running from a repo checkout without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
+
 import argparse
 import os
 

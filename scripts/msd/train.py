@@ -2,6 +2,11 @@
 DynamicAutoencoder[200] tanh, noise 0.5, logistic loss, sparse
 row-wise updates, adam, bs 500, 100 epochs, milestones [60, 80])."""
 
+# allow running from a repo checkout without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
+
 import argparse
 import os
 

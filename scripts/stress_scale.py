@@ -1,0 +1,90 @@
+"""Scale stress (BASELINE config 5 class): synthetic multi-million-item
+catalog, sharded embedding tables, sparse row-wise updates, and an ANN
+index build over the trained item embeddings.
+
+On a TPU pod slice, run with real dims:
+  python scripts/stress_scale.py --items 10000000 --dim 128 --mesh-model 8
+On a CPU host, smoke the shapes with virtual devices:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python scripts/stress_scale.py --items 2000000 --dim 16 --mesh-model 4 \
+      --users 2000 --cpu
+"""
+
+# allow running from a repo checkout without installing
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
+
+
+import argparse
+import time
+
+import numpy as np
+from scipy.sparse import csr_matrix
+
+
+def main():
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument('--items', type=int, default=10_000_000)
+  p.add_argument('--users', type=int, default=20_000)
+  p.add_argument('--items-per-user', type=int, default=50)
+  p.add_argument('--dim', type=int, default=128)
+  p.add_argument('--mesh-model', type=int, default=0)
+  p.add_argument('--epochs', type=int, default=2)
+  p.add_argument('--batch-size', type=int, default=500)
+  p.add_argument('--sparse', action='store_true', default=True)
+  p.add_argument('--cpu', action='store_true',
+                 help='force the CPU backend (virtual-device smoke)')
+  p.add_argument('--ann-items', type=int, default=200_000,
+                 help='items to index with the C++ ANN forest '
+                      '(full-catalog exact indexing is a single matmul '
+                      'per query on TPU)')
+  args = p.parse_args()
+
+  import jax
+  if args.cpu:
+    jax.config.update('jax_platforms', 'cpu')
+
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.embedding import AnnEmbeddingsIndex
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  rng = np.random.default_rng(0)
+  rows = np.repeat(np.arange(args.users), args.items_per_user)
+  cols = rng.integers(0, args.items, len(rows))
+  m = csr_matrix((np.ones(len(rows), np.float32), (rows, cols)),
+                 shape=(args.users, args.items))
+  m.sum_duplicates()
+  ds = RecommendationDataset(m)
+  print(f'{args.users:,} users x {args.items:,} items, nnz={m.nnz:,}')
+
+  mesh = None
+  if args.mesh_model > 0:
+    from recoder_tpu.parallel import MeshConfig, make_mesh
+    mesh = make_mesh(MeshConfig(model=args.mesh_model))
+    print('mesh:', dict(zip(mesh.axis_names, mesh.devices.shape)))
+
+  model = DynamicAutoencoder(hidden_layers=[args.dim],
+                             activation_type='tanh',
+                             sparse=args.sparse and mesh is None)
+  trainer = Recoder(model=model, optimizer_type='adam', loss='logistic',
+                    mesh=mesh)
+  t0 = time.time()
+  trainer.train(train_dataset=ds, batch_size=args.batch_size,
+                num_epochs=args.epochs, negative_sampling=True)
+  print(f'trained {args.epochs} epochs in {time.time() - t0:.1f}s '
+        f'(table {model.num_items_padded:,} x {args.dim})')
+
+  n_index = min(args.ann_items, args.items)
+  table = np.asarray(model.params['de_embedding'][:n_index])
+  t0 = time.time()
+  index = AnnEmbeddingsIndex(embeddings=table, n_trees=10)
+  index.build()
+  print(f'ANN forest over {n_index:,} items built in '
+        f'{time.time() - t0:.1f}s')
+  q = int(rng.integers(n_index))
+  print('sample neighbors of item', q, '->', index.get_nns_by_id(q, 5))
+
+
+if __name__ == '__main__':
+  main()
