@@ -8,7 +8,6 @@ stored under '/'-joined pytree paths, metadata as a JSON string -- so
 checkpoints are torch-free, mmap-friendly and endian-stable.
 """
 
-import io
 import json
 
 import jax

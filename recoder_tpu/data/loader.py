@@ -25,8 +25,6 @@ import threading
 import numpy as np
 
 from recoder_tpu.data.buckets import BucketLadder
-from recoder_tpu.data.dataset import RecommendationDataset  # noqa: F401
-import recoder_tpu.utils as utils
 
 
 class Batch:

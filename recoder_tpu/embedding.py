@@ -17,7 +17,6 @@ Similarity convention matches the reference: angular distance
 ``((1 - d^2/2) + 1) / 2`` in [0, 1] (embedding.py:155-159).
 """
 
-import json
 import pickle
 
 import numpy as np
