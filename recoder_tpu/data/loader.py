@@ -19,8 +19,6 @@ TPU-first differences from the reference:
     (reference data.py:135-136).
 """
 
-import queue
-import threading
 
 import numpy as np
 
@@ -281,33 +279,25 @@ class RecommendationDataLoader:
           yield input_batch, (target_out[i] if target_out is not None else None)
 
   def _prefetched(self):
-    """Run mega-batch collation on background threads, bounded depth."""
-    megas = list(self._mega_batches())
-    out_q = queue.Queue(maxsize=max(2, self.num_workers * 2))
-    stop = threading.Event()
+    """Collate mega-batches on a thread pool, yielding in order.
 
-    def producer():
-      try:
-        for idx in megas:
-          if stop.is_set():
-            return
-          out_q.put(('ok', self._collate_mega(idx)))
-        out_q.put(('done', None))
-      except BaseException as e:  # surface worker errors to the consumer
-        out_q.put(('err', e))
+    ``num_workers`` collations run concurrently (numpy releases the GIL
+    for the heavy ops) with a bounded in-flight window so memory stays
+    proportional to the worker count.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    import collections
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    try:
-      while True:
-        kind, payload = out_q.get()
-        if kind == 'done':
-          return
-        if kind == 'err':
-          raise payload
-        yield payload
-    finally:
-      stop.set()
+    megas = self._mega_batches()
+    window = max(2, self.num_workers * 2)
+    with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+      pending = collections.deque()
+      for idx in megas:
+        pending.append(pool.submit(self._collate_mega, idx))
+        if len(pending) >= window:
+          yield pending.popleft().result()
+      while pending:
+        yield pending.popleft().result()
 
   def __len__(self):
     return int(np.ceil(len(self.dataset) / self.batch_size))
