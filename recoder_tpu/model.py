@@ -316,8 +316,11 @@ class Recoder:
       tg_valid_width = batch['in_valid_width']
       tg_width = in_width
 
+    # item-union id vectors from the collators are ascending + unique
+    # (np.unique semantics) with a sentinel tail -- promise it to XLA
     kwargs = dict(input_users=batch['in_users'], input_items=in_items,
-                  target_items=tg_items, rng=rng, training=training)
+                  target_items=tg_items, rng=rng, training=training,
+                  items_sorted_unique=True)
     if gathered is None:
       out = model.apply(params, input_dense, **kwargs)
     else:
@@ -357,7 +360,10 @@ class Recoder:
                                    input_items=in_items,
                                    target_items=tg_items)
     from recoder_tpu.ops.gather_matmul import take_rows
-    gathered = {name: take_rows(params[path], ids)
+    # item unions are sorted+unique; user id slices are not
+    union_ids = {id(x) for x in (in_items, tg_items) if x is not None}
+    gathered = {name: take_rows(params[path], ids,
+                                sorted_unique=id(ids) in union_ids)
                 for name, path, ids in entries}
     dense_params = {k: v for k, v in params.items()
                     if k not in sparse_paths}

@@ -147,7 +147,8 @@ class DynamicAutoencoder(FactorizationModel):
   # -- forward -----------------------------------------------------------
 
   def _forward_core(self, params, input, en_operand, en_ids,
-                    de_operand, de_ids, de_bias, rng, training):
+                    de_operand, de_ids, de_bias, rng, training,
+                    items_sorted_unique=False):
     """Shared forward; operands may be full tables (+ids) or
     pre-gathered row matrices (ids=None)."""
     if training and (self.noise_prob > 0 or self.dropout_prob > 0):
@@ -162,7 +163,8 @@ class DynamicAutoencoder(FactorizationModel):
 
     # encode: z[B, U] @ E_en[items][U, d0] + b_en
     z = encode_gather_matmul(z, en_operand, en_ids, params['en_bias'],
-                             compute_dtype=cd)
+                             compute_dtype=cd,
+                             sorted_unique=items_sorted_unique)
     z = activation(z, self.activation_type)
 
     for i in range(1, len(self.hidden_layers)):
@@ -193,14 +195,16 @@ class DynamicAutoencoder(FactorizationModel):
 
     # decode: h[B, d0] @ E_de[items].T + b_de[items]
     z = decode_gather_matmul(z, de_operand, de_ids, de_bias,
-                             compute_dtype=cd)
+                             compute_dtype=cd,
+                             sorted_unique=items_sorted_unique)
     if cd is not None:
       # scores travel in the compute dtype; losses re-accumulate in f32
       z = z.astype(cd)
     return z
 
   def apply(self, params, input, input_users=None, input_items=None,
-            target_users=None, target_items=None, rng=None, training=False):
+            target_users=None, target_items=None, rng=None, training=False,
+            items_sorted_unique=False):
     del input_users, target_users  # item-based model
     if input_items is None and input.shape[1] < self.num_items_padded:
       # full-catalog input given at logical width: pad to the table
@@ -213,7 +217,8 @@ class DynamicAutoencoder(FactorizationModel):
                               en_ids=input_items,
                               de_operand=de_table, de_ids=target_items,
                               de_bias=params['de_bias'],
-                              rng=rng, training=training)
+                              rng=rng, training=training,
+                              items_sorted_unique=items_sorted_unique)
 
   # -- sparse (row-gathered) path -----------------------------------------
 
@@ -235,13 +240,14 @@ class DynamicAutoencoder(FactorizationModel):
 
   def apply_gathered(self, params, gathered, input, input_users=None,
                      input_items=None, target_users=None, target_items=None,
-                     rng=None, training=False):
+                     rng=None, training=False, items_sorted_unique=False):
     """Forward where embedding-table rows arrive pre-gathered (the
     differentiable leaves of the sparse path)."""
     del input_users, target_users, input_items
     from recoder_tpu.ops.gather_matmul import take_rows
     de_rows = gathered.get('de_rows', gathered['en_rows'])
-    de_bias = take_rows(params['de_bias'], target_items)
+    de_bias = take_rows(params['de_bias'], target_items,
+                        items_sorted_unique)
     return self._forward_core(params, input,
                               en_operand=gathered['en_rows'], en_ids=None,
                               de_operand=de_rows, de_ids=None,

@@ -82,23 +82,26 @@ class MatrixFactorization(FactorizationModel):
     return ('user_embedding', 'item_embedding') if self.sparse else ()
 
   def _forward_core(self, params, user_rows, item_operand, item_ids,
-                    bias, rng, training):
+                    bias, rng, training, items_sorted_unique=False):
     u = activation(user_rows, self.activation_type)
     if training and self.dropout_prob > 0:
       assert rng is not None, 'training with dropout requires rng'
       u = dropout(u, self.dropout_prob, rng)
     out = decode_gather_matmul(u, item_operand, item_ids, bias,
-                               compute_dtype=self.compute_dtype)
+                               compute_dtype=self.compute_dtype,
+                               sorted_unique=items_sorted_unique)
     if self.compute_dtype is not None:
       out = out.astype(self.compute_dtype)
     return out
 
   def apply(self, params, input, input_users=None, input_items=None,
-            target_users=None, target_items=None, rng=None, training=False):
+            target_users=None, target_items=None, rng=None, training=False,
+            items_sorted_unique=False):
     del input, input_items, target_users  # interactions enter via users/items
     u = take_rows(params['user_embedding'], input_users)
     return self._forward_core(params, u, params['item_embedding'],
-                              target_items, params['bias'], rng, training)
+                              target_items, params['bias'], rng, training,
+                              items_sorted_unique=items_sorted_unique)
 
   # compute dtype is applied inside decode_gather_matmul
 
@@ -111,9 +114,9 @@ class MatrixFactorization(FactorizationModel):
 
   def apply_gathered(self, params, gathered, input, input_users=None,
                      input_items=None, target_users=None, target_items=None,
-                     rng=None, training=False):
+                     rng=None, training=False, items_sorted_unique=False):
     del input, input_items, input_users, target_users
-    bias = take_rows(params['bias'], target_items)
+    bias = take_rows(params['bias'], target_items, items_sorted_unique)
     return self._forward_core(params, gathered['user_rows'],
                               gathered['item_rows'], None, bias,
                               rng, training)

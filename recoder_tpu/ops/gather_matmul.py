@@ -24,17 +24,28 @@ so gathers use mode='promise_in_bounds'.
 import jax.numpy as jnp
 
 
-def take_rows(table, ids):
-  """Gather rows of ``table`` by int ids (in-bounds guaranteed)."""
+def take_rows(table, ids, sorted_unique=False):
+  """Gather rows of ``table`` by int ids (in-bounds guaranteed).
+
+  ``sorted_unique=True`` promises the ids are ascending and the valid
+  (non-sentinel) ids are unique -- true for item-union id vectors
+  (np.unique order + sentinel tail). The promise speeds up both the
+  gather and its scatter-add transpose (measured ~7% of the train
+  step); the sentinel-tail duplicates are safe because their cotangents
+  are exactly zero (masked loss / zero input columns), so racing +0
+  updates cannot change the row.
+  """
   if ids is None:
     return table
   return table.at[ids].get(mode='promise_in_bounds',
-                           unique_indices=False, indices_are_sorted=False)
+                           unique_indices=sorted_unique,
+                           indices_are_sorted=sorted_unique)
 
 
-def encode_gather_matmul(z, table, ids, bias, compute_dtype=None):
+def encode_gather_matmul(z, table, ids, bias, compute_dtype=None,
+                         sorted_unique=False):
   """``z[B, U] @ table[ids][U, d] + bias[d]`` (full table if ids None)."""
-  rows = take_rows(table, ids)
+  rows = take_rows(table, ids, sorted_unique)
   if compute_dtype is not None:
     z = z.astype(compute_dtype)
     rows = rows.astype(compute_dtype)
@@ -42,10 +53,11 @@ def encode_gather_matmul(z, table, ids, bias, compute_dtype=None):
   return out + bias
 
 
-def decode_gather_matmul(h, table, ids, bias, compute_dtype=None):
+def decode_gather_matmul(h, table, ids, bias, compute_dtype=None,
+                         sorted_unique=False):
   """``h[B, d] @ table[ids].T[d, U] + bias[ids]`` (full table if ids None)."""
-  rows = take_rows(table, ids)
-  b = bias if ids is None else take_rows(bias, ids)
+  rows = take_rows(table, ids, sorted_unique)
+  b = bias if ids is None else take_rows(bias, ids, sorted_unique)
   if compute_dtype is not None:
     h = h.astype(compute_dtype)
     rows = rows.astype(compute_dtype)
