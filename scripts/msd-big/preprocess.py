@@ -22,7 +22,7 @@ def main():
                  help='directory containing train_triplets.txt')
   p.add_argument('--out-dir', default=None)
   p.add_argument('--min-uc', type=int, default=20)
-  p.add_argument('--min-sc, type=int, default=50)
+  p.add_argument('--min-sc', type=int, default=50)
   p.add_argument('--heldout-users', type=int, default=50000)
   args = p.parse_args()
 
