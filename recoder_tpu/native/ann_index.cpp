@@ -251,17 +251,48 @@ class AnnIndex {
       return me;
     }
 
-    // split plane: normalized difference of two distinct random members
-    // (annoy-style two-means seeded split, single iteration)
+    // split plane via two-means: seed two random centroids, refine on a
+    // sample by assigning points to the closer centroid and averaging
+    // (the split heuristic annoy's angular trees use), then take the
+    // normalized centroid difference as the hyperplane
     std::uniform_int_distribution<size_t> pick(0, ids.size() - 1);
     std::vector<float> plane(dim_);
     bool ok = false;
     for (int attempt = 0; attempt < 5 && !ok; ++attempt) {
-      const float* a = norms_.data() + size_t(ids[pick(rng)]) * dim_;
-      const float* b = norms_.data() + size_t(ids[pick(rng)]) * dim_;
+      const float* a0 = norms_.data() + size_t(ids[pick(rng)]) * dim_;
+      const float* b0 = norms_.data() + size_t(ids[pick(rng)]) * dim_;
+      std::vector<float> c0(a0, a0 + dim_);
+      std::vector<float> c1(b0, b0 + dim_);
+
+      const int kIters = 3;
+      const size_t kSample = std::min<size_t>(ids.size(), 256);
+      std::vector<float> n0(dim_), n1(dim_);
+      for (int it = 0; it < kIters; ++it) {
+        std::fill(n0.begin(), n0.end(), 0.f);
+        std::fill(n1.begin(), n1.end(), 0.f);
+        int cnt0 = 0, cnt1 = 0;
+        for (size_t k = 0; k < kSample; ++k) {
+          const float* v = norms_.data() + size_t(ids[pick(rng)]) * dim_;
+          double d0 = 0, d1 = 0;
+          for (int d = 0; d < dim_; ++d) {
+            double e0 = v[d] - c0[d], e1 = v[d] - c1[d];
+            d0 += e0 * e0;
+            d1 += e1 * e1;
+          }
+          float* acc = d0 < d1 ? n0.data() : n1.data();
+          (d0 < d1 ? cnt0 : cnt1)++;
+          for (int d = 0; d < dim_; ++d) acc[d] += v[d];
+        }
+        if (cnt0 == 0 || cnt1 == 0) break;
+        for (int d = 0; d < dim_; ++d) {
+          c0[d] = n0[d] / cnt0;
+          c1[d] = n1[d] / cnt1;
+        }
+      }
+
       double s = 0;
       for (int d = 0; d < dim_; ++d) {
-        plane[d] = a[d] - b[d];
+        plane[d] = c0[d] - c1[d];
         s += double(plane[d]) * plane[d];
       }
       if (s > 1e-12) {
