@@ -20,3 +20,33 @@ Public API parity map (reference file -> here):
 """
 
 __version__ = '0.1.0'
+
+
+def _enable_compilation_cache():
+  """Persist compiled executables across processes.
+
+  Measured on the axon TPU client: a trivial jit compile costs up to
+  ~100 s through the remote compiler cold, ~2 s with the cache warm.
+  Opt out with RECODER_TPU_NO_COMPILE_CACHE=1 or by setting
+  JAX_COMPILATION_CACHE_DIR yourself.
+  """
+  import os
+  if os.environ.get('RECODER_TPU_NO_COMPILE_CACHE'):
+    return
+  if os.environ.get('JAX_COMPILATION_CACHE_DIR'):
+    return
+  try:
+    import jax
+    if jax.config.jax_compilation_cache_dir:
+      return
+    cache_dir = os.path.join(
+        os.environ.get('RECODER_TPU_CACHE',
+                       os.path.expanduser('~/.cache/recoder_tpu')),
+        'jax_compilation_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+  except Exception:  # never block import on cache setup
+    pass
+
+
+_enable_compilation_cache()

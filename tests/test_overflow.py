@@ -1,0 +1,87 @@
+"""Padding-budget overflow behavior: the host collator falls back to
+the bucket ladder (correctness preserved, extra compile), the device
+pipeline truncates the overflowing mega-batch tail (documented,
+bounded by the sampled margin)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from recoder_tpu.data import BatchCollator, RecommendationDataset
+from recoder_tpu.data.device_pipeline import DeviceDataSource
+from recoder_tpu.utils import dataframe_to_csr_matrix
+
+
+@pytest.fixture
+def matrix():
+  rng = np.random.default_rng(0)
+  df = pd.DataFrame({'u': rng.integers(0, 30, 2000),
+                     'i': rng.integers(0, 500, 2000),
+                     'v': 1.0}).drop_duplicates(['u', 'i'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'u', 'i', 'v')
+  return m
+
+
+def test_host_collator_ladder_fallback(matrix):
+  ds = RecommendationDataset(matrix)
+  inter, _ = ds[np.arange(30)]
+  true_union = len(np.unique(inter.interactions_matrix.indices))
+  # fixed widths far too small: collator must fall back, not truncate
+  collator = BatchCollator(batch_size=10, negative_sampling=True,
+                           num_items=matrix.shape[1],
+                           fixed_union_width=8, fixed_nnz_width=8)
+  batches = collator.collate(inter)
+  for b in batches:
+    assert b.num_items_in_batch == true_union
+    assert len(b.items) >= true_union          # ladder-padded, not 8
+    assert b.nnz == int(np.diff(matrix.indptr[
+        b.users[0]:b.users[0] + 0 + 1]).sum()) or b.nnz > 0
+    assert len(b.rows) >= b.nnz
+
+
+def test_device_pipeline_overflow_truncates(matrix):
+  """A too-small nnz budget drops the mega-batch tail but never
+  produces out-of-range indices."""
+  import jax.numpy as jnp
+  src = DeviceDataSource(matrix, batch_size=30, num_sampling_users=30,
+                         num_items=matrix.shape[1], union_width=512,
+                         mega_nnz_budget=64)  # << real nnz
+  perm = jnp.asarray(np.concatenate([
+      np.arange(matrix.shape[0]),
+      np.arange(matrix.shape[0], src.n_pad)]).astype(np.int32))
+  b = src.build_batch(perm, jnp.int32(0), negative_sampling=True)
+  rows = np.asarray(b['rows'])
+  cols = np.asarray(b['cols'])
+  # only budget-many slots exist; all indices in safe ranges
+  assert rows.shape[0] == 64
+  assert rows.max() <= 30          # valid row or the dropped sentinel
+  assert cols.max() <= 512
+  assert int(b['width_valid']) <= 512
+
+
+def test_device_pipeline_union_overflow_drops(matrix):
+  """A union wider than union_width drops the overflowing (highest-id)
+  items; everything else stays consistent."""
+  import jax.numpy as jnp
+  src = DeviceDataSource(matrix, batch_size=30, num_sampling_users=30,
+                         num_items=matrix.shape[1], union_width=256)
+  perm = jnp.asarray(np.concatenate([
+      np.arange(matrix.shape[0]),
+      np.arange(matrix.shape[0], src.n_pad)]).astype(np.int32))
+  b = src.build_batch(perm, jnp.int32(0), negative_sampling=True)
+  true_union = np.unique(matrix.indices)
+  items = np.asarray(b['items'])
+  assert len(true_union) > 256  # fixture genuinely overflows
+  # kept items are exactly the 256 smallest union ids
+  np.testing.assert_array_equal(items, true_union[:256])
+  # overflowing ranks exceed the slab width and are dropped by the
+  # scatter's mode='drop'; densifying stays in-bounds and consistent
+  dense = np.zeros((30, 256), np.float32)
+  rows = np.asarray(b['rows'])
+  cols = np.asarray(b['cols'])
+  vals = np.asarray(b['vals'])
+  keep = (rows < 30) & (cols < 256)
+  np.add.at(dense, (rows[keep], cols[keep]), vals[keep])
+  # every kept (row, item) really is an interaction on a kept item
+  for r, c in zip(rows[keep], cols[keep]):
+    assert matrix[r, items[c]] > 0
