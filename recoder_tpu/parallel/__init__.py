@@ -15,3 +15,7 @@ from recoder_tpu.parallel.sharding import (batch_pspecs, param_pspecs,
 
 __all__ = ['MeshConfig', 'make_mesh', 'param_pspecs', 'batch_pspecs',
            'shard_params', 'shard_batch']
+
+from recoder_tpu.parallel.distributed import host_user_shard, initialize  # noqa: E402,F401
+
+__all__ += ['initialize', 'host_user_shard']

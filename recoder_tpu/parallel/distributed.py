@@ -1,0 +1,43 @@
+"""Multi-host (multi-process) initialization for pod-scale training.
+
+Single-host multi-chip needs nothing beyond a Mesh; across hosts, each
+process must join the same JAX distributed system before devices are
+visible. This wrapper standardizes that bootstrap and the per-host
+data split (each host trains its own shard of users; gradients sync
+over DCN via the same psum the single-host mesh path already uses).
+
+Untested on real multi-host hardware in round 1 (single chip only);
+the API mirrors jax.distributed and is a thin veneer.
+"""
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address=None, num_processes=None,
+               process_id=None):
+  """Join the JAX distributed system (no-op when single-process).
+
+  Args:
+    coordinator_address: "host:port" of process 0 (None: auto / env).
+    num_processes: total process count (None: from the environment).
+    process_id: this process's index (None: from the environment).
+  """
+  if num_processes in (None, 1) and coordinator_address is None:
+    return  # single process
+  jax.distributed.initialize(coordinator_address=coordinator_address,
+                             num_processes=num_processes,
+                             process_id=process_id)
+
+
+def host_user_shard(num_users, process_id=None, num_processes=None):
+  """The contiguous user-id range this host should load and train.
+
+  Each host feeds only its own users (host data loading stays local);
+  the mesh handles cross-host gradient reduction.
+  Returns (lo, hi).
+  """
+  pid = jax.process_index() if process_id is None else process_id
+  n = jax.process_count() if num_processes is None else num_processes
+  bounds = np.linspace(0, num_users, n + 1).astype(int)
+  return int(bounds[pid]), int(bounds[pid + 1])
