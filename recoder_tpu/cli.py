@@ -99,6 +99,34 @@ def cmd_evaluate(cfg, model_file, num_recommendations, batch_size):
     print(f'{m}: {np.mean(results[m])}')
 
 
+def cmd_recommend(cfg, model_file, num_recommendations, batch_size, out):
+  """Batch-score every user in the training matrix and write top-k
+  recommendations as CSV (uid, rank, sid)."""
+  import sys
+
+  from recoder_tpu.data import UsersInteractions
+
+  train_dataset, _ = _load_datasets(cfg['data'])
+  model = _build_model(cfg.get('model', {}))
+  trainer = _build_trainer(cfg, model)
+  trainer.init_from_model_file(model_file)
+
+  matrix = train_dataset.interactions_matrix
+  fh = open(out, 'w') if out else sys.stdout
+  print('uid,rank,sid', file=fh)
+  for lo in range(0, matrix.shape[0], batch_size):
+    hi = min(lo + batch_size, matrix.shape[0])
+    ui = UsersInteractions(users=np.arange(lo, hi),
+                           interactions_matrix=matrix[lo:hi])
+    recs = trainer.recommend(ui, num_recommendations)
+    for u, items in zip(range(lo, hi), recs):
+      for rank, sid in enumerate(items, 1):
+        print(f'{u},{rank},{sid}', file=fh)
+  if out:
+    fh.close()
+    print(f'wrote recommendations for {matrix.shape[0]} users to {out}')
+
+
 def main():
   p = argparse.ArgumentParser(prog='recoder_tpu', description=__doc__)
   sub = p.add_subparsers(dest='cmd', required=True)
@@ -109,6 +137,12 @@ def main():
   pe.add_argument('--model-file', required=True)
   pe.add_argument('--num-recommendations', type=int, default=100)
   pe.add_argument('--batch-size', type=int, default=500)
+  pr = sub.add_parser('recommend')
+  pr.add_argument('--config', required=True)
+  pr.add_argument('--model-file', required=True)
+  pr.add_argument('--num-recommendations', type=int, default=10)
+  pr.add_argument('--batch-size', type=int, default=500)
+  pr.add_argument('--out', default=None, help='output CSV (default stdout)')
   args = p.parse_args()
 
   with open(args.config) as f:
@@ -116,9 +150,12 @@ def main():
 
   if args.cmd == 'train':
     cmd_train(cfg)
-  else:
+  elif args.cmd == 'evaluate':
     cmd_evaluate(cfg, args.model_file, args.num_recommendations,
                  args.batch_size)
+  else:
+    cmd_recommend(cfg, args.model_file, args.num_recommendations,
+                  args.batch_size, args.out)
 
 
 if __name__ == '__main__':
