@@ -75,3 +75,9 @@ def test_batch_matches_per_user(metric):
   loop_vals = np.array([metric.evaluate(x, y)
                         for x, y in zip(x_batch, y_list)])
   np.testing.assert_allclose(batch_vals, loop_vals, rtol=1e-12)
+
+  # the shared precomputed hits matrix must give identical values
+  from recoder_tpu.metrics import hits_from_relevant
+  shared = hits_from_relevant(x_batch, y_list)
+  shared_vals = metric.evaluate_batch(x_batch, y_list, hits=shared)
+  np.testing.assert_allclose(shared_vals, loop_vals, rtol=1e-12)
