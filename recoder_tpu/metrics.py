@@ -236,24 +236,37 @@ class RecommenderEvaluator:
     pending = collections.deque()
 
     processed = 0
+    if use_async:
+      # batch staging + dispatch runs on one worker thread (host->device
+      # transfers block the caller on tunneled platforms); the main
+      # thread fetches results and scores, a few batches behind
+      from concurrent.futures import ThreadPoolExecutor
+      with ThreadPoolExecutor(max_workers=1) as pool:
+        for input, target in dataloader:
+          tgt = target.interactions_matrix
+          relevant = [tgt.indices[tgt.indptr[i]:tgt.indptr[i + 1]]
+                      for i in range(len(target.users))]
+          pending.append(
+              (pool.submit(self.recommender.recommend_async, input),
+               relevant))
+          if len(pending) > 3:
+            fut, rel = pending.popleft()
+            score(np.asarray(fut.result()).tolist(), rel)
+          processed += len(target.users)
+          if num_users is not None and processed >= num_users:
+            break
+        while pending:
+          fut, rel = pending.popleft()
+          score(np.asarray(fut.result()).tolist(), rel)
+      return results
+
     for input, target in dataloader:
       tgt = target.interactions_matrix
       relevant = [tgt.indices[tgt.indptr[i]:tgt.indptr[i + 1]]
                   for i in range(len(target.users))]
-      if use_async:
-        pending.append((self.recommender.recommend_async(input), relevant))
-        if len(pending) > 3:
-          handle, rel = pending.popleft()
-          score(np.asarray(handle).tolist(), rel)
-      else:
-        score(self.recommender.recommend(input), relevant)
-
+      score(self.recommender.recommend(input), relevant)
       processed += len(target.users)
       if num_users is not None and processed >= num_users:
         break
-
-    while pending:
-      handle, rel = pending.popleft()
-      score(np.asarray(handle).tolist(), rel)
 
     return results
