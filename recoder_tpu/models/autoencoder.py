@@ -86,7 +86,7 @@ class DynamicAutoencoder(FactorizationModel):
       prev = self.hidden_layers[i - 1]
       params[f'encode_w_{i}'] = xavier_uniform(
           next(keys), (prev, width), fan_in=prev, fan_out=width)
-      params[f'encode_b_{i}'] = jnp.zeros((width,), jnp.float32)
+      params[f'encode_bias_{i}'] = jnp.zeros((width,), jnp.float32)
 
     # hidden decoder linears mirror the encoder (reversed sizes); when
     # constrained only biases are parameters (weights = encoder.T)
@@ -96,7 +96,7 @@ class DynamicAutoencoder(FactorizationModel):
       if not self.is_constrained:
         params[f'decode_w_{i}'] = xavier_uniform(
             next(keys), (prev, width), fan_in=prev, fan_out=width)
-      params[f'decode_b_{i}'] = jnp.zeros((width,), jnp.float32)
+      params[f'decode_bias_{i}'] = jnp.zeros((width,), jnp.float32)
 
     if not self.is_constrained:
       params['de_embedding'] = xavier_uniform(
@@ -130,10 +130,10 @@ class DynamicAutoencoder(FactorizationModel):
       axes['de_embedding'] = ('item', 'embed')
     for i in range(1, len(self.hidden_layers)):
       axes[f'encode_w_{i}'] = (None, None)
-      axes[f'encode_b_{i}'] = (None,)
+      axes[f'encode_bias_{i}'] = (None,)
       if not self.is_constrained:
         axes[f'decode_w_{i}'] = (None, None)
-      axes[f'decode_b_{i}'] = (None,)
+      axes[f'decode_bias_{i}'] = (None,)
     return axes
 
   def sparse_param_paths(self):
@@ -171,9 +171,9 @@ class DynamicAutoencoder(FactorizationModel):
       w = params[f'encode_w_{i}']
       if cd is not None:
         z = (z.astype(cd) @ w.astype(cd)).astype(jnp.float32)
-        z = z + params[f'encode_b_{i}']
+        z = z + params[f'encode_bias_{i}']
       else:
-        z = z @ w + params[f'encode_b_{i}']
+        z = z @ w + params[f'encode_bias_{i}']
       z = activation(z, self.activation_type)
 
     if training and self.dropout_prob > 0:
@@ -188,9 +188,9 @@ class DynamicAutoencoder(FactorizationModel):
         w = params[f'decode_w_{i}']
       if cd is not None:
         z = (z.astype(cd) @ w.astype(cd)).astype(jnp.float32)
-        z = z + params[f'decode_b_{i}']
+        z = z + params[f'decode_bias_{i}']
       else:
-        z = z @ w + params[f'decode_b_{i}']
+        z = z @ w + params[f'decode_bias_{i}']
       z = activation(z, self.activation_type)
 
     # decode: h[B, d0] @ E_de[items].T + b_de[items]

@@ -59,7 +59,7 @@ def test_constrained_ties_weights():
   ae.init_model(num_items=100, seed=0)
   assert 'de_embedding' not in ae.params
   assert 'decode_w_1' not in ae.params
-  assert 'decode_b_1' in ae.params
+  assert 'decode_bias_1' in ae.params
 
   x = jax.random.uniform(jax.random.PRNGKey(0), (3, 100))
   out = ae(x)

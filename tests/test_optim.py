@@ -2,6 +2,7 @@
 model.py:133-156): identical trajectories on a shared random problem,
 including SparseAdam vs the row-sparse Adam scatter update."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -113,3 +114,27 @@ def test_multistep_lr_schedule():
   lrs = [_multistep_lr(1.0, [60, 80], e) for e in [1, 59, 60, 61, 80, 81, 100]]
   assert lrs == [1.0, 1.0, 1.0, 0.1, 0.1,
                  pytest.approx(0.01), pytest.approx(0.01)]
+
+
+def test_weight_decay_tree_exempts_all_bias_params():
+  """ADVICE r1: multi-layer DynAE hidden biases must get zero decay.
+
+  Reference exempts every torch param whose name contains 'bias'
+  (reference model.py:121-124); our hidden-layer biases are named
+  encode_bias_{i}/decode_bias_{i} so the default predicate catches them.
+  """
+  from recoder_tpu.models.autoencoder import DynamicAutoencoder
+  ae = DynamicAutoencoder(hidden_layers=[32, 16])
+  ae.init_model(num_items=50, num_users=10)
+  wd_tree = make_weight_decay_tree(ae.params, 2e-5)
+  flat = jax.tree_util.tree_flatten_with_path(wd_tree)[0]
+  for path, wd in flat:
+    name = '/'.join(str(getattr(k, 'key', k)) for k in path)
+    if 'bias' in name:
+      assert wd == 0.0, f'{name} should be decay-exempt'
+    else:
+      assert wd == 2e-5, f'{name} should be decayed'
+  names = ['/'.join(str(getattr(k, 'key', k)) for k in path)
+           for path, _ in flat]
+  assert any('encode_bias_' in n for n in names)
+  assert any('decode_bias_' in n for n in names)

@@ -23,13 +23,13 @@ def torch_dynae_forward(params, x, input_items, target_items,
   z = torch.tanh(z)
   n = len(hidden_layers)
   for i in range(1, n):
-    z = torch.tanh(F.linear(z, t[f'encode_w_{i}'].t(), t[f'encode_b_{i}']))
+    z = torch.tanh(F.linear(z, t[f'encode_w_{i}'].t(), t[f'encode_bias_{i}']))
   for i in range(1, n):
     if constrained:
       # decoder layer i = transpose of encoder layer (n - i)
-      z = F.linear(z, t[f'encode_w_{n - i}'], t[f'decode_b_{i}'])
+      z = F.linear(z, t[f'encode_w_{n - i}'], t[f'decode_bias_{i}'])
     else:
-      z = F.linear(z, t[f'decode_w_{i}'].t(), t[f'decode_b_{i}'])
+      z = F.linear(z, t[f'decode_w_{i}'].t(), t[f'decode_bias_{i}'])
     z = torch.tanh(z)
   de_table = t['en_embedding'] if constrained else t['de_embedding']
   de = de_table[torch.tensor(target_items)]
