@@ -199,10 +199,24 @@ class DeviceDataSource:
     # clamp to the sentinel row `num_users_total`
     slice_users = jnp.minimum(slice_users, self.num_users_total)
 
+    # overflow accounting: [0] = interactions beyond the nnz budget
+    # (mega-batch tail truncated), [1] = union members beyond
+    # union_width (highest-id items dropped). Zero in normal operation;
+    # the trainer accumulates these per epoch, warns, and rebuilds the
+    # source with grown budgets (silent data loss is not acceptable).
+    nnz_dropped = jnp.maximum(total - M, 0).astype(jnp.int32)
+    if negative_sampling:
+      union_dropped = jnp.maximum(width_valid - self.union_width,
+                                  0).astype(jnp.int32)
+    else:
+      union_dropped = jnp.int32(0)
+    overflow = jnp.stack([nnz_dropped, union_dropped])
+
     return {
         'rows': rows_m, 'cols': compressed, 'vals': vals_m,
         'items': items, 'users': slice_users,
         'num_users': jnp.maximum(num_users, 1).astype(jnp.float32),
         'width_valid': width_valid,
         'union_width': W,
+        'overflow': overflow,
     }

@@ -41,6 +41,24 @@ class EmbeddingsIndex:
     """Similarity in [0, 1] between two items."""
     raise NotImplementedError
 
+  # -- batch API (loop fallbacks; concrete indexes override with
+  # vectorized / native-threaded implementations) ----------------------
+
+  def get_nns_by_ids(self, ids, n):
+    """Batch NN search: one id array per query (ids only, no dists)."""
+    out = []
+    for i in ids:
+      r = self.get_nns_by_id(i, n)
+      if isinstance(r, dict):
+        r = list(r.keys())
+      out.append(np.asarray(r).reshape(-1))
+    return out
+
+  def get_embeddings(self, ids):
+    """Batch embedding fetch: [m, d] float32 array."""
+    return np.asarray([self.get_embedding(i) for i in ids],
+                      dtype=np.float32).reshape(len(list(ids)), -1)
+
 
 class _BaseIndex(EmbeddingsIndex):
   """Shared id-map plumbing for concrete indexes.
@@ -144,6 +162,25 @@ class BruteForceEmbeddingsIndex(_BaseIndex):
     distance = float(np.sqrt(max(2.0 - 2.0 * float(a @ b), 0.0)))
     return self._angular_to_similarity(distance)
 
+  def get_nns_by_ids(self, ids, n):
+    """Exact batch search: one [m, N] matmul + per-row top-n."""
+    ids = list(ids)
+    if not ids:
+      return []
+    rows = np.asarray([self.id_map[i] for i in ids])
+    cos = self._normed[rows] @ self._normed.T               # [m, N]
+    n_eff = min(n, cos.shape[1])
+    idx = np.argpartition(-cos, n_eff - 1, axis=1)[:, :n_eff]
+    order = np.argsort(-np.take_along_axis(cos, idx, axis=1), axis=1,
+                       kind='stable')
+    idx = np.take_along_axis(idx, order, axis=1)
+    inv = self.inverse_id_map
+    return [np.asarray([inv[int(r)] for r in row]) for row in idx]
+
+  def get_embeddings(self, ids):
+    rows = [self.id_map[i] for i in ids]
+    return self.embeddings[rows].astype(np.float32, copy=False)
+
 
 class AnnEmbeddingsIndex(_BaseIndex):
   """Approximate NN index: C++ random-projection forest, angular metric.
@@ -219,6 +256,21 @@ class AnnEmbeddingsIndex(_BaseIndex):
                                          self.id_map[id2])
     return self._angular_to_similarity(distance)
 
+  def get_nns_by_ids(self, ids, n):
+    """Native threaded batch search (one FFI call for all queries)."""
+    ids = list(ids)
+    if not ids:
+      return []
+    rows = np.asarray([self.id_map[i] for i in ids], dtype=np.int32)
+    out_ids, _, counts = self._native.get_nns_batch(rows, n, self.search_k)
+    inv = self.inverse_id_map
+    return [np.asarray([inv[int(r)] for r in out_ids[i, :counts[i]]])
+            for i in range(len(ids))]
+
+  def get_embeddings(self, ids):
+    rows = np.asarray([self.id_map[i] for i in ids], dtype=np.int32)
+    return self._native.get_items(rows)
+
 
 # Drop-in name for users migrating from the reference API.
 AnnoyEmbeddingsIndex = AnnEmbeddingsIndex
@@ -246,6 +298,12 @@ class MemCacheEmbeddingsIndex(EmbeddingsIndex):
 
   def get_similarity(self, id1, id2):
     return self.embedding_index.get_similarity(id1, id2)
+
+  def get_nns_by_ids(self, ids, n):
+    return self.embedding_index.get_nns_by_ids(ids, n)
+
+  def get_embeddings(self, ids):
+    return self.embedding_index.get_embeddings(ids)
 
 
 def build_embeddings_index(recoder, index_class=BruteForceEmbeddingsIndex,

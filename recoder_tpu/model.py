@@ -114,6 +114,7 @@ class Recoder:
     self._train_iterator = None
     self._iters_consumed = 0
     self._profiling = False
+    self._overflow_rebuild = None
 
   # ------------------------------------------------------------------
   # initialization
@@ -429,22 +430,26 @@ class Recoder:
           'in_users': b['users'], 'in_items': b['items'],
           'in_valid_users': b['num_users'],
           'in_valid_width': b['width_valid'],
-      }
+      }, b['overflow']
 
     if not sparse:
       def step(params, opt_state, perm, lr, step_in_epoch, rng_idx):
         rng = jax.random.fold_in(self._base_rng, rng_idx)
-        batch = build(perm, step_in_epoch)
-        return self._dense_step_math(params, opt_state, batch, lr, rng)
+        batch, overflow = build(perm, step_in_epoch)
+        new_params, new_opt_state, loss = self._dense_step_math(
+            params, opt_state, batch, lr, rng)
+        return new_params, new_opt_state, loss, overflow
 
       fn = jax.jit(step, donate_argnums=(0, 1))
     else:
       def step(params, opt_state, sparse_states, perm, lr, step_in_epoch,
                rng_idx):
         rng = jax.random.fold_in(self._base_rng, rng_idx)
-        batch = build(perm, step_in_epoch)
-        return self._sparse_step_math(params, opt_state, sparse_states,
-                                      batch, lr, rng)
+        batch, overflow = build(perm, step_in_epoch)
+        new_params, new_opt_state, new_sparse, loss = (
+            self._sparse_step_math(params, opt_state, sparse_states,
+                                   batch, lr, rng))
+        return new_params, new_opt_state, new_sparse, loss, overflow
 
       fn = jax.jit(step, donate_argnums=(0, 1, 2))
 
@@ -568,7 +573,12 @@ class Recoder:
       epoch_lr = _multistep_lr(lr, lr_milestones, epoch)
       lr_arr = jnp.float32(epoch_lr)
       epoch_losses = []
+      epoch_overflows = []
       t0 = time.time()
+
+      if fused_source is not None and self._overflow_rebuild is not None:
+        fused_source = self._rebuild_fused_source(
+            fused_source, train_dataset, batch_size, num_sampling_users)
 
       if fused_source is not None:
         if (not isinstance(self._train_iterator, tuple)
@@ -592,16 +602,17 @@ class Recoder:
           self._global_step += 1
           if not sparse:
             dense_params, _ = self._split_params()
-            new_params, self.opt_state, loss = step_fn(
+            new_params, self.opt_state, loss, overflow = step_fn(
                 dense_params, self.opt_state, perm, lr_arr,
                 step_in_epoch, rng_idx)
             self.model.params = new_params
           else:
             (self.model.params, self.opt_state, self.sparse_states,
-             loss) = step_fn(self.model.params, self.opt_state,
-                             self.sparse_states, perm, lr_arr,
-                             step_in_epoch, rng_idx)
+             loss, overflow) = step_fn(self.model.params, self.opt_state,
+                                       self.sparse_states, perm, lr_arr,
+                                       step_in_epoch, rng_idx)
           epoch_losses.append(loss)
+          epoch_overflows.append(overflow)
       else:
         if (self._train_iterator is None
             or isinstance(self._train_iterator, tuple)
@@ -627,6 +638,13 @@ class Recoder:
       # round trip (the fetch would otherwise drain the whole pipeline)
       mean_loss_arr = (jnp.mean(jnp.stack(epoch_losses))
                        if epoch_losses else None)
+      # [sum_nnz, sum_union, max_nnz, max_union]: sums for reporting,
+      # per-step maxima to size the rebuilt budgets exactly
+      overflow_arr = None
+      if epoch_overflows:
+        stacked = jnp.stack(epoch_overflows)
+        overflow_arr = jnp.concatenate([jnp.sum(stacked, axis=0),
+                                        jnp.max(stacked, axis=0)])
       dt = time.time() - t0
       prefix = (f'Epoch {epoch}/{num_epochs} (lr={epoch_lr:g}) '
                 f'[{iters_to_process} it, {dt:.2f}s, '
@@ -637,12 +655,17 @@ class Recoder:
         mean_loss = (float(mean_loss_arr)
                      if mean_loss_arr is not None else float('nan'))
         msg = f'{prefix} loss={mean_loss:.5f}'
+        if overflow_arr is not None:
+          self._note_overflow(np.asarray(overflow_arr))
       else:
         import threading as _threading
-        _threading.Thread(
-            target=lambda arr=mean_loss_arr, p=prefix: log.info(
-                '%s loss=%.5f', p, float(arr)),
-            daemon=True).start()
+
+        def _log_epoch(arr=mean_loss_arr, ov=overflow_arr, p=prefix):
+          log.info('%s loss=%.5f', p, float(arr))
+          if ov is not None:
+            self._note_overflow(np.asarray(ov))
+
+        _threading.Thread(target=_log_epoch, daemon=True).start()
         msg = None
 
       if eval_freq > 0 and epoch % eval_freq == 0 and val_dataloader is not None:
@@ -667,6 +690,52 @@ class Recoder:
     if self._profiling:  # window extended past the last step
       jax.profiler.stop_trace()
       self._profiling = False
+
+  def _note_overflow(self, overflow):
+    """Record device-pipeline overflow counts fetched at epoch end.
+
+    overflow is [sum_nnz, sum_union, max_step_nnz, max_step_union]
+    for the epoch. Any nonzero count means the fixed budgets censored
+    training data this epoch; we warn and schedule a source rebuild
+    with grown budgets (applied at the next epoch boundary, where a
+    recompile is cheap relative to silent data loss)."""
+    nnz_dropped, union_dropped = int(overflow[0]), int(overflow[1])
+    if nnz_dropped == 0 and union_dropped == 0:
+      return
+    log.warning(
+        'device pipeline overflow this epoch: %d interactions truncated, '
+        '%d union items dropped; growing budgets and rebuilding the '
+        'on-device source', nnz_dropped, union_dropped)
+    self._overflow_rebuild = (int(overflow[2]), int(overflow[3]))
+
+  def _rebuild_fused_source(self, fused_source, train_dataset, batch_size,
+                            num_sampling_users):
+    """Replace the on-device source with grown budgets after overflow."""
+    from recoder_tpu.data.device_pipeline import DeviceDataSource
+    max_nnz_dropped, max_union_dropped = self._overflow_rebuild
+    self._overflow_rebuild = None
+    new_budget = fused_source.mega_nnz_budget
+    new_width = fused_source.union_width
+    if max_nnz_dropped:
+      # the worst step needed budget + max_nnz_dropped slots; add 10%
+      new_budget = max(int(new_budget * 1.5),
+                       int((new_budget + max_nnz_dropped) * 1.1))
+      new_budget = (new_budget + 1023) // 1024 * 1024
+    if max_union_dropped:
+      new_width = max(int(new_width * 1.25),
+                      int((new_width + max_union_dropped) * 1.1))
+      new_width = min((new_width + 63) // 64 * 64, self.num_items)
+    log.info('rebuilding device source: mega_nnz_budget %d -> %d, '
+             'union_width %d -> %d', fused_source.mega_nnz_budget,
+             new_budget, fused_source.union_width, new_width)
+    fused_source = DeviceDataSource(
+        train_dataset.interactions_matrix, batch_size=batch_size,
+        num_sampling_users=num_sampling_users, num_items=self.num_items,
+        union_width=new_width, mega_nnz_budget=new_budget)
+    src_key = (id(train_dataset.interactions_matrix), batch_size,
+               num_sampling_users)
+    self._fused_source_cache = (src_key, fused_source)
+    return fused_source
 
   def _maybe_profile(self, profile_dir, profile_steps):
     """Start/stop a jax.profiler trace window around global steps."""

@@ -68,6 +68,13 @@ def _load():
     lib.ann_get_distance.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                      ctypes.c_int]
     lib.ann_get_distance.restype = ctypes.c_float
+    lib.ann_get_nns_batch.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p]
+    lib.ann_get_items.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int, ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -133,3 +140,37 @@ class AnnIndex:
 
   def get_distance(self, i, j):
     return float(self._lib.ann_get_distance(self._ptr, int(i), int(j)))
+
+  def get_nns_batch(self, items, n, search_k=-1, n_threads=0):
+    """Batched NN search over a C++ worker pool.
+
+    Args:
+      items (array-like int): item ids to query.
+      n (int): neighbors per query.
+      search_k (int): per-query node-inspection budget (-1: default).
+      n_threads (int): worker threads (0: hardware concurrency).
+
+    Returns:
+      (ids [m, n] int32, dists [m, n] float32, counts [m] int32) --
+      row i has ``counts[i]`` valid leading entries.
+    """
+    q = np.ascontiguousarray(items, dtype=np.int32)
+    m = q.shape[0]
+    ids = np.empty((m, n), dtype=np.int32)
+    dists = np.empty((m, n), dtype=np.float32)
+    counts = np.empty(m, dtype=np.int32)
+    if m:
+      self._lib.ann_get_nns_batch(self._ptr, q.ctypes.data, m, int(n),
+                                  int(search_k), int(n_threads),
+                                  ids.ctypes.data, dists.ctypes.data,
+                                  counts.ctypes.data)
+    return ids, dists, counts
+
+  def get_items(self, ids):
+    """Bulk embedding-row fetch: [m, dim] float32."""
+    q = np.ascontiguousarray(ids, dtype=np.int32)
+    out = np.empty((q.shape[0], self._dim), dtype=np.float32)
+    if q.shape[0]:
+      self._lib.ann_get_items(self._ptr, q.ctypes.data, q.shape[0],
+                              out.ctypes.data)
+    return out

@@ -389,6 +389,45 @@ int ann_get_nns_by_vector(void* p, const float* vec, int n, int search_k,
                                                    out_ids, out_dists);
 }
 
+// Batched multi-query search over a worker pool. out_ids/out_dists are
+// [m, n] row-major; out_counts[i] holds the number of valid entries in
+// row i (trailing slots untouched). Search is read-only, so workers
+// share the index without locks.
+void ann_get_nns_batch(void* p, const int32_t* items, int m, int n,
+                       int search_k, int n_threads, int32_t* out_ids,
+                       float* out_dists, int32_t* out_counts) {
+  AnnIndex* index = static_cast<AnnIndex*>(p);
+  if (n_threads <= 0)
+    n_threads = int(std::max(1u, std::thread::hardware_concurrency()));
+  n_threads = std::max(1, std::min(n_threads, m));
+  std::atomic<int> next{0};
+  auto worker = [&] {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= m) return;
+      out_counts[i] = index->GetNnsByItem(
+          items[i], n, search_k, out_ids + size_t(i) * n,
+          out_dists + size_t(i) * n);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
+// Bulk row fetch: out is [m, dim] row-major.
+void ann_get_items(void* p, const int32_t* ids, int m, float* out) {
+  AnnIndex* index = static_cast<AnnIndex*>(p);
+  int dim = index->dim();
+  for (int i = 0; i < m; ++i)
+    index->GetItem(ids[i], out + size_t(i) * dim);
+}
+
 float ann_get_distance(void* p, int i, int j) {
   return static_cast<AnnIndex*>(p)->GetDistance(i, j);
 }

@@ -7,6 +7,7 @@ scheme over an embeddings index), and :class:`InferenceRecommender`
 """
 
 import numpy as np
+import scipy.sparse as sparse
 
 import recoder_tpu.utils as utils
 from recoder_tpu.embedding import EmbeddingsIndex
@@ -30,10 +31,20 @@ class Recommender:
 class SimilarityRecommender(Recommender):
   """Item-item similarity recommendations from an embeddings index.
 
-  For each user: pool the union of the ``n`` nearest neighbors of every
-  history item, drop seen items, score each pooled item by
-  ``sum((cos_sim+1)/2 ** scale)`` against the history, return top-k
-  (reference recommender.py:56-96; Aiolli, RecSys'13).
+  Semantics (reference recommender.py:27-101; Aiolli, RecSys'13): for
+  each user, the candidate pool is the union of the ``n`` nearest
+  neighbors of every history item, minus the history itself; each
+  candidate is scored ``sum_h ((cos(c, h) + 1) / 2) ** scale`` over the
+  user's history ``h``; the top ``num_recommendations`` by score win.
+
+  Implementation is fully batched (a TPU-era redesign of the
+  reference's per-user, per-item loops): one threaded NN query for all
+  distinct history items in the batch, then three matrix products --
+  candidate-eligibility (sparse NN-membership x sparse history),
+  similarity (dense candidate x history-embedding), and per-user score
+  accumulation (similarity x sparse history) -- followed by one
+  vectorized top-k. Cost per batch is O(|candidates| * |distinct
+  history| * d) flops instead of O(users * history) FFI round trips.
 
   Args:
     embeddings_index (EmbeddingsIndex): index for NN search + vectors.
@@ -49,45 +60,74 @@ class SimilarityRecommender(Recommender):
     self.num_recommendations = num_recommendations
     self.n = n
 
-  def _recommend_single(self, user_items):
-    user_items = np.asarray(user_items)
-
-    items_pool = [self.embeddings_index.get_nns_by_id(item_id, self.n)
-                  for item_id in user_items]
-    items_pool = np.unique(np.concatenate([np.asarray(p).reshape(-1)
-                                           for p in items_pool]))
-    filtered_items = items_pool[np.isin(items_pool, user_items, invert=True)]
-    if len(filtered_items) == 0:
-      return filtered_items
-
-    items_scores = self._compute_scores(filtered_items, user_items)
-
-    if len(items_scores) > self.num_recommendations:
-      top_ind = np.argpartition(-items_scores, self.num_recommendations)
-      top_ind = top_ind[:self.num_recommendations]
-    else:
-      top_ind = np.arange(len(items_scores))
-
-    top_ind = top_ind[np.argsort(-items_scores[top_ind])]
-    return filtered_items[top_ind]
-
-  def _compute_scores(self, items_pool, user_items):
-    pool_embeddings = np.array([self.embeddings_index.get_embedding(i)
-                                for i in items_pool])
-    user_embeddings = np.array([self.embeddings_index.get_embedding(i)
-                                for i in user_items])
-    pool_embeddings = utils.normalize(pool_embeddings, axis=1)
-    user_embeddings = utils.normalize(user_embeddings, axis=1)
-    scores = pool_embeddings @ user_embeddings.T  # cosine in [-1, 1]
-    scores = (scores + 1) / 2
-    return np.power(scores, self.scale).sum(axis=1)
-
   def recommend(self, users_hist):
     m = users_hist.interactions_matrix.tocsr()
+    num_users = len(users_hist.users)
+    empty = np.array([], dtype=m.indices.dtype)
+    if m.nnz == 0:
+      return [empty] * num_users
+
+    # distinct history items across the batch; each queried once
+    hist_lengths = np.diff(m.indptr[:num_users + 1])
+    uniq, hist_uidx = np.unique(m.indices[:m.indptr[num_users]],
+                                return_inverse=True)            # [U]
+    nn_lists = self.embeddings_index.get_nns_by_ids(uniq, self.n)
+
+    flat_nns = (np.concatenate(nn_lists) if nn_lists else empty)
+    cand = np.unique(flat_nns)                                   # [C]
+    if len(cand) == 0:
+      return [empty] * num_users
+    U, C = len(uniq), len(cand)
+
+    # membership: M[c, j] = 1 iff candidate c is in NN(uniq[j])
+    nn_counts = np.fromiter((len(l) for l in nn_lists), dtype=np.int64,
+                            count=U)
+    member = sparse.csr_matrix(
+        (np.ones(len(flat_nns), np.int8),
+         (np.searchsorted(cand, flat_nns), np.repeat(np.arange(U),
+                                                     nn_counts))),
+        shape=(C, U))
+
+    # history: A[u, j] = 1 iff uniq[j] is in user u's history
+    hist = sparse.csr_matrix(
+        (np.ones(int(hist_lengths.sum()), np.int8),
+         (np.repeat(np.arange(num_users), hist_lengths), hist_uidx)),
+        shape=(num_users, U))
+
+    # candidate c is eligible for user u iff some history item of u
+    # has c among its NNs; seen candidates are excluded
+    eligible = (member @ hist.T).toarray() > 0                   # [C, B]
+    cand_in_hist = np.searchsorted(uniq, cand)
+    present = (cand_in_hist < U) & (uniq[np.minimum(cand_in_hist,
+                                                    U - 1)] == cand)
+    seen = np.zeros((C, num_users), bool)
+    seen[present] = hist[:, cand_in_hist[present]].toarray().T > 0
+    allowed = eligible & ~seen
+
+    # scores: sum over history of ((cos + 1) / 2) ** scale; float64
+    # accumulation so the batched sum ties out with a per-user sum
+    cand_emb = utils.normalize(
+        self.embeddings_index.get_embeddings(cand).astype(np.float64),
+        axis=1)
+    hist_emb = utils.normalize(
+        self.embeddings_index.get_embeddings(uniq).astype(np.float64),
+        axis=1)
+    sims = np.power((cand_emb @ hist_emb.T + 1.0) / 2.0, self.scale)
+    scores = sims @ hist.T.astype(np.float64).toarray()          # [C, B]
+    scores[~allowed] = -np.inf
+
+    k = self.num_recommendations
     out = []
-    for i in range(len(users_hist.users)):
-      items = m.indices[m.indptr[i]:m.indptr[i + 1]]
-      out.append(self._recommend_single(items))
+    for u in range(num_users):
+      col = scores[:, u]
+      n_allowed = int(allowed[:, u].sum())
+      kk = min(k, n_allowed)
+      if kk == 0:
+        out.append(empty)
+        continue
+      top = np.argpartition(-col, kk - 1)[:kk]
+      top = top[np.argsort(-col[top])]
+      out.append(cand[top])
     return out
 
 

@@ -112,3 +112,21 @@ def test_memcache_wrapper(embeddings):
   b = cached.get_nns_by_id(3, 5)
   assert a == b and Counting.calls == 1
   assert cached.get_similarity(1, 2) == inner.get_similarity(1, 2)
+
+
+def test_ann_batch_queries_match_single():
+  """The threaded native batch search returns the same neighbors as
+  per-item queries (deterministic forest, read-only search)."""
+  rng = np.random.default_rng(5)
+  emb = rng.normal(size=(300, 16)).astype(np.float32)
+  index = AnnEmbeddingsIndex(embeddings=emb, n_trees=8)
+  index.build()
+  ids = [0, 17, 123, 299]
+  batch = index.get_nns_by_ids(ids, 10)
+  for i, lst in zip(ids, batch):
+    single = index.get_nns_by_id(i, 10)
+    np.testing.assert_array_equal(lst, single)
+
+  embs = index.get_embeddings(ids)
+  for row, i in zip(embs, ids):
+    np.testing.assert_allclose(row, emb[i], rtol=1e-6)

@@ -5,11 +5,19 @@ assert ranking metrics, then checkpoint -> reload into a fresh trainer ->
 identical metrics. Parametrized over the dense and sparse optimizer
 paths, which must agree.
 
-Gate values were pinned from this codebase on this fixture (the
-reference's train.csv is not available in its snapshot; fixtures are a
-deterministic 80/20 per-user split of its val.csv -- see
-tools/make_test_data.py). Reference-style evaluation orientation:
-input = the 20% fold-in, ground truth = the 80% training interactions.
+Gate values are pinned from the ACTUAL torch reference implementation
+run on this exact fixture (the reference's own train.csv is not in its
+snapshot; fixtures are a deterministic 80/20 per-user split of its
+val.csv -- see tools/make_test_data.py). Derivation: load the reference
+via tests/reference_shim.py and run its tests/test_model.py protocol
+(DynAE[200] tanh noise 0.5, logloss, adam, bs 500, lr 1e-3, wd 2e-5,
+30 epochs, negative sampling); 4 runs (3 dense + 1 sparse) gave
+Recall@20 in [0.1412, 0.1422], Recall@50 in [0.2391, 0.2396],
+NDCG@100 in [0.1681, 0.1687]. Pinned at the midpoints with the
+reference's own atol=0.01 (reference tests/test_model.py:60-62);
+test_reference_parity.py re-derives these live when /root/reference
+is mounted. Reference-style evaluation orientation: input = the 20%
+fold-in, ground truth = the 80% training interactions.
 """
 
 import os
@@ -43,10 +51,16 @@ def _load_datasets():
   return train_dataset, val_dataset
 
 
+REFERENCE_PINNED = {'recall_20': 0.1417, 'recall_50': 0.2393,
+                    'ndcg_100': 0.1684}
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize('sparse,exp_recall_20,exp_recall_50,exp_ndcg_100', [
-    (False, 0.14, 0.24, 0.17),
-    (True, 0.14, 0.24, 0.17),
+    (False, REFERENCE_PINNED['recall_20'], REFERENCE_PINNED['recall_50'],
+     REFERENCE_PINNED['ndcg_100']),
+    (True, REFERENCE_PINNED['recall_20'], REFERENCE_PINNED['recall_50'],
+     REFERENCE_PINNED['ndcg_100']),
 ])
 def test_model(sparse, exp_recall_20, exp_recall_50, exp_ndcg_100, tmp_path):
   train_dataset, val_dataset = _load_datasets()
@@ -69,9 +83,9 @@ def test_model(sparse, exp_recall_20, exp_recall_50, exp_ndcg_100, tmp_path):
                               metrics=metrics, batch_size=500)
   means = {m: np.mean(v) for m, v in results.items()}
 
-  assert np.isclose(means[recall_20], exp_recall_20, atol=0.015, rtol=0)
-  assert np.isclose(means[recall_50], exp_recall_50, atol=0.015, rtol=0)
-  assert np.isclose(means[ndcg_100], exp_ndcg_100, atol=0.015, rtol=0)
+  assert np.isclose(means[recall_20], exp_recall_20, atol=0.01, rtol=0)
+  assert np.isclose(means[recall_50], exp_recall_50, atol=0.01, rtol=0)
+  assert np.isclose(means[ndcg_100], exp_ndcg_100, atol=0.01, rtol=0)
 
   # checkpoint -> fresh model/trainer -> identical metrics
   state_file = trainer.save_state(str(tmp_path / 'test_model'))
