@@ -1,0 +1,157 @@
+"""North-star benchmark: wall-clock to reference quality on ML-20M-class
+data (BASELINE.json: "reference Recall@20/NDCG@100 in under 60 s on one
+TPU v5e", vs the reference's <60 s K80 claim, README.md:26-27).
+
+Protocol: the synthetic ML-20M-class dataset from bench.py, split
+strong-generalization style (vae_cf, reference
+scripts/ml-20m/preprocess.py:50-106): 10k users held out, their
+interactions folded 80% in (model input) / 20% out (ground truth).
+Train the headline config (DynamicAutoencoder[200], MSE confidence=3,
+negative sampling, batch 500) and evaluate Recall@20 / NDCG@100 after
+every epoch; report the wall-clock at which BOTH metrics reach the
+quality the ACTUAL torch reference converges to on this exact dataset.
+
+The quality bar (REFERENCE_QUALITY below) was measured by running the
+reference implementation itself via tools/derive_quality_target.py
+(torch CPU, same split, same config, 10 epochs == its "fully trained"
+<60 s K80 budget). Eval time is excluded from the clock: the reference
+claim times training only, and evaluation here runs after a timestamp.
+
+Prints ONE JSON line:
+  {"metric": "ml20m_seconds_to_reference_quality", "value": S,
+   "unit": "s", "vs_baseline": 60 / S}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from bench import BATCH_SIZE, synthesize_ml20m
+
+HELDOUT_USERS = 10_000
+TRAIN_SEED = 0
+NUM_EPOCHS = 10
+MAX_EPOCHS = 14  # headroom past the reference's 10-epoch budget
+
+# Measured from the torch reference by tools/derive_quality_target.py
+# (see its docstring): the quality "fully trained" means on this data.
+REFERENCE_QUALITY = {'recall_20': None, 'ndcg_100': None}
+# tolerance: same atol the reference's own integration gate uses
+QUALITY_ATOL = 0.01
+
+
+def log(*a):
+  print(*a, file=sys.stderr, flush=True)
+
+
+def split_heldout(matrix, seed=1234, heldout=HELDOUT_USERS,
+                  fold_in=0.8):
+  """Strong-generalization split of a CSR matrix.
+
+  Returns (train_matrix, val_fold_in, val_fold_out): the last
+  ``heldout`` users leave the training matrix; a deterministic 80/20
+  per-user split of their interactions forms eval input/truth
+  (reference scripts/ml-20m/preprocess.py:71-96 semantics).
+  """
+  from scipy.sparse import csr_matrix
+  rng = np.random.default_rng(seed)
+  n_users, n_items = matrix.shape
+  n_train = n_users - heldout
+  train_m = matrix[:n_train]
+
+  held = matrix[n_train:].tocsr()
+  rows_in, cols_in, rows_out, cols_out = [], [], [], []
+  for u in range(held.shape[0]):
+    items = held.indices[held.indptr[u]:held.indptr[u + 1]]
+    if len(items) < 2:
+      continue
+    perm = rng.permutation(len(items))
+    k = max(1, int(len(items) * fold_in))
+    k = min(k, len(items) - 1)  # always >=1 target item
+    cols_in.append(items[perm[:k]])
+    rows_in.append(np.full(k, u))
+    cols_out.append(items[perm[k:]])
+    rows_out.append(np.full(len(items) - k, u))
+
+  def build(rows, cols):
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    return csr_matrix((np.ones(len(r), np.float32), (r, c)),
+                      shape=(heldout, n_items))
+
+  return train_m, build(rows_in, cols_in), build(rows_out, cols_out)
+
+
+def main():
+  if REFERENCE_QUALITY['recall_20'] is None:
+    log('REFERENCE_QUALITY not derived yet -- run '
+        'tools/derive_quality_target.py and paste its numbers.')
+    sys.exit(2)
+
+  import jax
+  jax.config.update('jax_default_prng_impl', 'rbg')
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.metrics import NDCG, Recall
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  train_m, val_tr_m, val_te_m = split_heldout(
+      synthesize_ml20m(seed=TRAIN_SEED))
+  train_ds = RecommendationDataset(train_m)
+  val_ds = RecommendationDataset(val_tr_m, val_te_m)
+
+  model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
+                             noise_prob=0.5)
+  trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
+                    loss_params={'confidence': 3})
+  recall_20 = Recall(k=20, normalize=True)
+  ndcg_100 = NDCG(k=100)
+
+  common = dict(train_dataset=train_ds, batch_size=BATCH_SIZE, lr=1e-3,
+                weight_decay=2e-5, negative_sampling=True)
+
+  target_r, target_n = (REFERENCE_QUALITY['recall_20'] - QUALITY_ATOL,
+                        REFERENCE_QUALITY['ndcg_100'] - QUALITY_ATOL)
+  log(f'targets (ref - {QUALITY_ATOL}): recall@20 >= {target_r:.4f}, '
+      f'ndcg@100 >= {target_n:.4f}')
+
+  # compile outside the clock: one throwaway epoch on a copy trainer
+  # would pay the data upload twice; instead run epoch 1, note compile
+  # overhead separately by timing epochs 2+ (steady state) and epoch 1.
+  train_clock = 0.0
+  hit_at = None
+  history = []
+  for epoch in range(1, MAX_EPOCHS + 1):
+    t0 = time.time()
+    trainer.train(num_epochs=epoch, **common)
+    train_clock += time.time() - t0
+    res = trainer._evaluate(val_ds, num_recommendations=100,
+                            metrics=[recall_20, ndcg_100],
+                            batch_size=BATCH_SIZE)
+    r = float(np.mean(res[recall_20]))
+    n = float(np.mean(res[ndcg_100]))
+    history.append({'epoch': epoch, 'train_s': round(train_clock, 2),
+                    'recall_20': round(r, 4), 'ndcg_100': round(n, 4)})
+    log(f'epoch {epoch}: train_clock={train_clock:.1f}s '
+        f'recall@20={r:.4f} ndcg@100={n:.4f}')
+    if r >= target_r and n >= target_n:
+      hit_at = train_clock
+      break
+
+  log('history: ' + json.dumps(history))
+  if hit_at is None:
+    log(f'did NOT reach reference quality within {MAX_EPOCHS} epochs')
+    sys.exit(1)
+
+  print(json.dumps({
+      'metric': 'ml20m_seconds_to_reference_quality',
+      'value': round(hit_at, 2),
+      'unit': 's',
+      'vs_baseline': round(60.0 / hit_at, 3),
+  }))
+
+
+if __name__ == '__main__':
+  main()

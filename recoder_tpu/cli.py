@@ -26,10 +26,37 @@ import numpy as np
 import pandas as pd
 
 from recoder_tpu.data import RecommendationDataset
-from recoder_tpu.metrics import NDCG, Recall
+from recoder_tpu.metrics import NDCG, AveragePrecision, Recall
 from recoder_tpu.model import Recoder
 from recoder_tpu.models import DynamicAutoencoder, MatrixFactorization
 from recoder_tpu.utils import dataframe_to_csr_matrix
+
+_METRIC_KINDS = {'recall': Recall, 'ndcg': NDCG,
+                 'map': AveragePrecision, 'ap': AveragePrecision}
+
+
+def parse_metrics(specs):
+  """Metric specs -> metric objects.
+
+  Each spec is either ``[name, k]`` or ``{"name": ..., "k": ...,
+  "normalize": ...}``; names: recall | ndcg | map (AveragePrecision).
+  Also accepts compact strings like ``"recall@20"``.
+  """
+  out = []
+  for spec in specs:
+    if isinstance(spec, str):
+      name, _, k = spec.partition('@')
+      spec = {'name': name, 'k': int(k or 10)}
+    elif isinstance(spec, (list, tuple)):
+      spec = {'name': spec[0], 'k': int(spec[1])}
+    else:
+      spec = dict(spec)
+    name = spec.pop('name').lower()
+    if name not in _METRIC_KINDS:
+      raise ValueError(f'unknown metric {name!r}; '
+                       f'choose from {sorted(_METRIC_KINDS)}')
+    out.append(_METRIC_KINDS[name](**spec))
+  return out
 
 
 def _load_datasets(data_cfg):
@@ -78,20 +105,22 @@ def cmd_train(cfg):
   trainer = _build_trainer(cfg, model)
   train_kwargs = dict(cfg.get('train', {}))
   if 'metrics' in train_kwargs:
-    train_kwargs['metrics'] = [
-        Recall(k=k) if name == 'recall' else NDCG(k=k)
-        for name, k in train_kwargs['metrics']]
+    train_kwargs['metrics'] = parse_metrics(train_kwargs['metrics'])
   trainer.train(train_dataset=train_dataset, val_dataset=val_dataset,
                 **train_kwargs)
 
 
-def cmd_evaluate(cfg, model_file, num_recommendations, batch_size):
+def cmd_evaluate(cfg, model_file, num_recommendations, batch_size,
+                 metric_specs=None):
   _, val_dataset = _load_datasets(cfg['data'])
   assert val_dataset is not None, 'config needs val_tr/val_te for evaluate'
   model = _build_model(cfg.get('model', {}))
   trainer = _build_trainer(cfg, model)
   trainer.init_from_model_file(model_file)
-  metrics = [Recall(k=20), Recall(k=50), NDCG(k=100)]
+  specs = (metric_specs
+           or cfg.get('evaluate', {}).get('metrics')
+           or ['recall@20', 'recall@50', 'ndcg@100'])
+  metrics = parse_metrics(specs)
   results = trainer.evaluate(val_dataset,
                              num_recommendations=num_recommendations,
                              metrics=metrics, batch_size=batch_size)
@@ -137,6 +166,10 @@ def main():
   pe.add_argument('--model-file', required=True)
   pe.add_argument('--num-recommendations', type=int, default=100)
   pe.add_argument('--batch-size', type=int, default=500)
+  pe.add_argument('--metrics', nargs='*', default=None,
+                  help="metric specs like recall@20 ndcg@100 map@10 "
+                       "(default: config 'evaluate.metrics' or "
+                       "recall@20 recall@50 ndcg@100)")
   pr = sub.add_parser('recommend')
   pr.add_argument('--config', required=True)
   pr.add_argument('--model-file', required=True)
@@ -152,7 +185,7 @@ def main():
     cmd_train(cfg)
   elif args.cmd == 'evaluate':
     cmd_evaluate(cfg, args.model_file, args.num_recommendations,
-                 args.batch_size)
+                 args.batch_size, metric_specs=args.metrics)
   else:
     cmd_recommend(cfg, args.model_file, args.num_recommendations,
                   args.batch_size, args.out)

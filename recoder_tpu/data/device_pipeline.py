@@ -44,10 +44,19 @@ class DeviceDataSource:
       defaults to 1.1x the worst sampled window, aligned to 1024.
     binary (bool, optional): force value-free (all-ones) mode; detected
       from the data when None.
+    mesh (jax.sharding.Mesh, optional): when given, the resident CSR
+      arrays are replicated across the mesh so the batch build runs
+      SPMD (identical compute on every chip, zero communication); the
+      trainer's sharding constraint on the densified slab then splits
+      the users axis over 'data' and the model math splits tables over
+      'model'. Replication costs nnz * 8 bytes per chip -- the right
+      trade until the catalog outgrows HBM, at which point the host
+      loader path (which shards users per host) takes over.
   """
 
   def __init__(self, matrix, batch_size, num_sampling_users, num_items,
-               union_width, mega_nnz_budget=None, binary=None):
+               union_width, mega_nnz_budget=None, binary=None, mesh=None):
+    self.mesh = mesh
     matrix = matrix.tocsr()
     self.num_users_total = matrix.shape[0]
     self.num_items = num_items
@@ -90,19 +99,25 @@ class DeviceDataSource:
     starts_pad = np.zeros(n_pad, np.int32)
     starts_pad[:self.num_users_total] = indptr[:-1]
 
-    self.d_counts = jax.device_put(jnp.asarray(counts_pad))
-    self.d_starts = jax.device_put(jnp.asarray(starts_pad))
-    self.d_cols = jax.device_put(jnp.asarray(matrix.indices.astype(np.int32)))
+    put = self._put
+    self.d_counts = put(jnp.asarray(counts_pad))
+    self.d_starts = put(jnp.asarray(starts_pad))
+    self.d_cols = put(jnp.asarray(matrix.indices.astype(np.int32)))
     self.d_vals = (None if binary
-                   else jax.device_put(jnp.asarray(
-                       matrix.data.astype(np.float32))))
+                   else put(jnp.asarray(matrix.data.astype(np.float32))))
     self.n_pad = n_pad
+
+  def _put(self, arr):
+    if self.mesh is None:
+      return jax.device_put(arr)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
   def epoch_permutation(self, key):
     """Shuffled user ids for one epoch, padded with sentinel users."""
     perm = jax.random.permutation(key, self.num_users_total)
     pad = jnp.arange(self.num_users_total, self.n_pad, dtype=perm.dtype)
-    return jnp.concatenate([perm, pad]).astype(jnp.int32)
+    return self._put(jnp.concatenate([perm, pad]).astype(jnp.int32))
 
   # -- pure batch construction (called inside the jitted step) ----------
 

@@ -432,26 +432,34 @@ class Recoder:
           'in_valid_width': b['width_valid'],
       }, b['overflow']
 
+    def roll(ov_acc, overflow):
+      # [sum_nnz, sum_union, max_nnz, max_union] carried through the
+      # step (donated) -- one epoch-end fetch, no per-step host work
+      return jnp.concatenate([ov_acc[:2] + overflow,
+                              jnp.maximum(ov_acc[2:], overflow)])
+
     if not sparse:
-      def step(params, opt_state, perm, lr, step_in_epoch, rng_idx):
+      def step(params, opt_state, ov_acc, perm, lr, step_in_epoch,
+               rng_idx):
         rng = jax.random.fold_in(self._base_rng, rng_idx)
         batch, overflow = build(perm, step_in_epoch)
         new_params, new_opt_state, loss = self._dense_step_math(
             params, opt_state, batch, lr, rng)
-        return new_params, new_opt_state, loss, overflow
+        return new_params, new_opt_state, loss, roll(ov_acc, overflow)
 
-      fn = jax.jit(step, donate_argnums=(0, 1))
+      fn = jax.jit(step, donate_argnums=(0, 1, 2))
     else:
-      def step(params, opt_state, sparse_states, perm, lr, step_in_epoch,
-               rng_idx):
+      def step(params, opt_state, sparse_states, ov_acc, perm, lr,
+               step_in_epoch, rng_idx):
         rng = jax.random.fold_in(self._base_rng, rng_idx)
         batch, overflow = build(perm, step_in_epoch)
         new_params, new_opt_state, new_sparse, loss = (
             self._sparse_step_math(params, opt_state, sparse_states,
                                    batch, lr, rng))
-        return new_params, new_opt_state, new_sparse, loss, overflow
+        return (new_params, new_opt_state, new_sparse, loss,
+                roll(ov_acc, overflow))
 
-      fn = jax.jit(step, donate_argnums=(0, 1, 2))
+      fn = jax.jit(step, donate_argnums=(0, 1, 2, 3))
 
     self._step_fns[cache_key] = (source, fn)
     return fn
@@ -548,12 +556,12 @@ class Recoder:
 
     # Fused on-device pipeline: resident CSR + batch construction inside
     # the jitted step; used whenever the training data is a plain
-    # interactions matrix on a single device (the hot configuration).
+    # interactions matrix (the hot configuration). Under a mesh the CSR
+    # is replicated and the build runs SPMD (see DeviceDataSource).
     fused_source = None
-    if (self.mesh is None
-        and train_dataset.target_interactions_matrix is None):
+    if train_dataset.target_interactions_matrix is None:
       src_key = (id(train_dataset.interactions_matrix), batch_size,
-                 num_sampling_users)
+                 num_sampling_users, self.mesh)
       cached = getattr(self, '_fused_source_cache', None)
       if cached is not None and cached[0] == src_key:
         fused_source = cached[1]
@@ -564,7 +572,7 @@ class Recoder:
         fused_source = DeviceDataSource(
             train_dataset.interactions_matrix, batch_size=batch_size,
             num_sampling_users=num_sampling_users, num_items=self.num_items,
-            union_width=union_width)
+            union_width=union_width, mesh=self.mesh)
         self._fused_source_cache = (src_key, fused_source)
       num_batches = fused_source.steps_per_epoch
 
@@ -594,6 +602,7 @@ class Recoder:
                                num_batches - self._iters_consumed)
         step_fn = self._get_fused_step_fn(fused_source, negative_sampling,
                                           sparse)
+        ov_acc = fused_source._put(jnp.zeros((4,), jnp.int32))
         for _ in range(iters_to_process):
           self._maybe_profile(profile_dir, profile_steps)
           step_in_epoch = np.int32(self._iters_consumed)
@@ -602,17 +611,18 @@ class Recoder:
           self._global_step += 1
           if not sparse:
             dense_params, _ = self._split_params()
-            new_params, self.opt_state, loss, overflow = step_fn(
-                dense_params, self.opt_state, perm, lr_arr,
+            new_params, self.opt_state, loss, ov_acc = step_fn(
+                dense_params, self.opt_state, ov_acc, perm, lr_arr,
                 step_in_epoch, rng_idx)
             self.model.params = new_params
           else:
             (self.model.params, self.opt_state, self.sparse_states,
-             loss, overflow) = step_fn(self.model.params, self.opt_state,
-                                       self.sparse_states, perm, lr_arr,
-                                       step_in_epoch, rng_idx)
+             loss, ov_acc) = step_fn(self.model.params, self.opt_state,
+                                     self.sparse_states, ov_acc, perm,
+                                     lr_arr, step_in_epoch, rng_idx)
           epoch_losses.append(loss)
-          epoch_overflows.append(overflow)
+        if iters_to_process:
+          epoch_overflows.append(ov_acc)
       else:
         if (self._train_iterator is None
             or isinstance(self._train_iterator, tuple)
@@ -638,13 +648,9 @@ class Recoder:
       # round trip (the fetch would otherwise drain the whole pipeline)
       mean_loss_arr = (jnp.mean(jnp.stack(epoch_losses))
                        if epoch_losses else None)
-      # [sum_nnz, sum_union, max_nnz, max_union]: sums for reporting,
-      # per-step maxima to size the rebuilt budgets exactly
-      overflow_arr = None
-      if epoch_overflows:
-        stacked = jnp.stack(epoch_overflows)
-        overflow_arr = jnp.concatenate([jnp.sum(stacked, axis=0),
-                                        jnp.max(stacked, axis=0)])
+      # [sum_nnz, sum_union, max_nnz, max_union] -- already accumulated
+      # on device inside the fused step (donated carry)
+      overflow_arr = epoch_overflows[0] if epoch_overflows else None
       dt = time.time() - t0
       prefix = (f'Epoch {epoch}/{num_epochs} (lr={epoch_lr:g}) '
                 f'[{iters_to_process} it, {dt:.2f}s, '
@@ -731,9 +737,9 @@ class Recoder:
     fused_source = DeviceDataSource(
         train_dataset.interactions_matrix, batch_size=batch_size,
         num_sampling_users=num_sampling_users, num_items=self.num_items,
-        union_width=new_width, mega_nnz_budget=new_budget)
+        union_width=new_width, mega_nnz_budget=new_budget, mesh=self.mesh)
     src_key = (id(train_dataset.interactions_matrix), batch_size,
-               num_sampling_users)
+               num_sampling_users, self.mesh)
     self._fused_source_cache = (src_key, fused_source)
     return fused_source
 

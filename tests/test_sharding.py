@@ -97,3 +97,45 @@ def test_sharded_eval_matches_single_device():
                       devices=jax.devices()[:1]))
   got = run(make_mesh(MeshConfig(data=4, model=2)))
   np.testing.assert_allclose(ref, got, rtol=5e-4, atol=1e-5)
+
+
+def test_mesh_uses_fused_pipeline():
+  """Under a mesh, plain-matrix training must keep the fused on-device
+  pipeline (VERDICT r1 #3), not fall back to the host loader."""
+  ds = _dataset(seed=5)
+  mesh = make_mesh(MeshConfig(data=4, model=2))
+  model = DynamicAutoencoder(hidden_layers=[32])
+  trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
+                    seed=3, mesh=mesh)
+  trainer.train(train_dataset=ds, batch_size=16, num_epochs=1,
+                negative_sampling=True)
+  assert getattr(trainer, '_fused_source_cache', None) is not None
+  src = trainer._fused_source_cache[1]
+  assert src.mesh is mesh
+  # resident CSR is replicated over every device of the mesh
+  assert len(src.d_cols.sharding.device_set) == 8
+
+
+@pytest.mark.parametrize('sparse', [False, True])
+def test_sharded_sparse_training_matches_single_device(sparse):
+  """1-vs-8-device equality for the sparse (row-sparse Adam) path --
+  the msd flagship config is sparse=True (reference msd/train.py:42-49),
+  so the sparse scatter into 'model'-row-sharded tables must partition
+  correctly (VERDICT r1 #5)."""
+  ds = _dataset(seed=9)
+
+  def run(mesh):
+    model = DynamicAutoencoder(hidden_layers=[48], sparse=sparse)
+    trainer = Recoder(model=model, optimizer_type='adam', loss='logloss',
+                      seed=13, mesh=mesh)
+    trainer.train(train_dataset=ds, batch_size=16, lr=1e-3,
+                  num_epochs=2, negative_sampling=True,
+                  num_sampling_users=32)
+    return jax.tree_util.tree_map(np.asarray, trainer.model.params)
+
+  ref = run(make_mesh(MeshConfig(data=1, model=1),
+                      devices=jax.devices()[:1]))
+  got = run(make_mesh(MeshConfig(data=4, model=2)))
+  for (ka, a), (kb, b) in zip(sorted(ref.items()), sorted(got.items())):
+    assert ka == kb
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5, err_msg=ka)
