@@ -62,6 +62,13 @@ def synthesize_ml20m(seed=0):
 
 
 def main():
+  import argparse
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--shuffle', choices=['users', 'blocks'], default='users',
+                  help="sampling mode (blocks: faster step, fixed "
+                       "co-batch groups; see DeviceDataSource)")
+  args = ap.parse_args()
+
   import jax
   # rbg is ~3% faster than threefry for the per-step dropout masks and
   # hardware-friendly on TPU; streams only affect dropout realization
@@ -82,7 +89,7 @@ def main():
 
   common = dict(train_dataset=dataset, batch_size=BATCH_SIZE, lr=1e-3,
                 weight_decay=2e-5, negative_sampling=True,
-                num_data_workers=2)
+                num_data_workers=2, shuffle=args.shuffle)
 
   # warmup epoch: jit compiles for every shape bucket
   log('warmup epoch (compilation)...')

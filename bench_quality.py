@@ -37,9 +37,15 @@ MAX_EPOCHS = 14  # headroom past the reference's 10-epoch budget
 
 # Measured from the torch reference by tools/derive_quality_target.py
 # (see its docstring): the quality "fully trained" means on this data.
-REFERENCE_QUALITY = {'recall_20': None, 'ndcg_100': None}
-# tolerance: same atol the reference's own integration gate uses
-QUALITY_ATOL = 0.01
+# Derived 2026-08-16: {"Recall@20": 0.03657, "NDCG@100": 0.05437,
+# "train_seconds_cpu": 1239.4, "epochs": 10, "seed": 0} -- absolute
+# values are low because the synthetic data has Zipf popularity but no
+# per-user structure; the target is differential (same data, same
+# config, reference implementation).
+REFERENCE_QUALITY = {'recall_20': 0.03657, 'ndcg_100': 0.05437}
+# relative bar: the reference's own atol=0.01 gate would be ~27% slack
+# at these absolute values; 97% of reference is a tighter, fairer bar
+QUALITY_FRACTION = 0.97
 
 
 def log(*a):
@@ -112,14 +118,23 @@ def main():
   common = dict(train_dataset=train_ds, batch_size=BATCH_SIZE, lr=1e-3,
                 weight_decay=2e-5, negative_sampling=True)
 
-  target_r, target_n = (REFERENCE_QUALITY['recall_20'] - QUALITY_ATOL,
-                        REFERENCE_QUALITY['ndcg_100'] - QUALITY_ATOL)
-  log(f'targets (ref - {QUALITY_ATOL}): recall@20 >= {target_r:.4f}, '
-      f'ndcg@100 >= {target_n:.4f}')
+  target_r = REFERENCE_QUALITY['recall_20'] * QUALITY_FRACTION
+  target_n = REFERENCE_QUALITY['ndcg_100'] * QUALITY_FRACTION
+  log(f'targets ({QUALITY_FRACTION:.0%} of reference): recall@20 >= '
+      f'{target_r:.4f}, ndcg@100 >= {target_n:.4f}')
 
-  # compile outside the clock: one throwaway epoch on a copy trainer
-  # would pay the data upload twice; instead run epoch 1, note compile
-  # overhead separately by timing epochs 2+ (steady state) and epoch 1.
+  # compile outside the clock (the reference's torch pays no compile;
+  # the K80 claim times training): warm up one epoch + one eval, then
+  # reset params/optimizer in place -- same shapes, so the timed run
+  # reuses every compiled program. Cold-start cost is logged.
+  t0 = time.time()
+  trainer.train(num_epochs=1, **common)
+  trainer._evaluate(val_ds, num_recommendations=100,
+                    metrics=[recall_20, ndcg_100], batch_size=BATCH_SIZE)
+  log(f'warmup (compilation) took {time.time() - t0:.1f}s; resetting '
+      f'state and starting the clock')
+  trainer.reset_training_state()
+
   train_clock = 0.0
   hit_at = None
   history = []

@@ -52,10 +52,23 @@ class DeviceDataSource:
       'model'. Replication costs nnz * 8 bytes per chip -- the right
       trade until the catalog outgrows HBM, at which point the host
       loader path (which shards users per host) takes over.
+    shuffle (str): 'users' (default) draws every mega-batch as a fresh
+      random user subset (the reference's RandomSampler semantics,
+      data.py:121-126): M-length gathers assemble the scattered CSR
+      rows. 'blocks' keeps users in fixed contiguous mega-batch blocks
+      and shuffles only the block ORDER each epoch: the block's CSR
+      range is contiguous, so two dynamic_slices replace the gathers
+      (the profiled ~8 ns/element scalar-core cost). Trade-off: each
+      user keeps the same co-batch group across epochs, so the
+      negative-sampling mix does not refresh -- measured convergence
+      comparison in docs/benchmarks.md; offered as an opt-in.
   """
 
   def __init__(self, matrix, batch_size, num_sampling_users, num_items,
-               union_width, mega_nnz_budget=None, binary=None, mesh=None):
+               union_width, mega_nnz_budget=None, binary=None, mesh=None,
+               shuffle='users'):
+    assert shuffle in ('users', 'blocks'), shuffle
+    self.shuffle = shuffle
     self.mesh = mesh
     matrix = matrix.tocsr()
     self.num_users_total = matrix.shape[0]
@@ -71,20 +84,30 @@ class DeviceDataSource:
     counts = np.diff(indptr)
 
     if mega_nnz_budget is None:
-      # estimate from random shuffled windows (what training actually
-      # draws); a 25% margin over the sampled max makes overflow --
-      # which truncates that mega-batch's tail -- rare. Budget size is
-      # the dominant per-step cost of the on-device collator, so a
-      # tight estimate matters.
-      rng = np.random.default_rng(4321)
-      n = self.num_users_total
-      window = min(self.mega, n)
-      max_win = 1
-      for _ in range(32):
-        idx = rng.choice(n, size=window, replace=False)
-        max_win = max(max_win, int(counts[idx].sum()))
-      mega_nnz_budget = int(max_win * 1.25) + 256
-      mega_nnz_budget = (mega_nnz_budget + 1023) // 1024 * 1024
+      if shuffle == 'blocks':
+        # blocks are fixed contiguous user ranges: the max block nnz is
+        # exact, no overflow possible
+        n_blocks = math.ceil(self.num_users_total / self.mega)
+        edges = np.minimum(np.arange(n_blocks + 1) * self.mega,
+                           self.num_users_total)
+        block_nnz = indptr[edges[1:]] - indptr[edges[:-1]]
+        mega_nnz_budget = max(int(block_nnz.max()), 1)
+        mega_nnz_budget = (mega_nnz_budget + 1023) // 1024 * 1024
+      else:
+        # estimate from random shuffled windows (what training actually
+        # draws); a 25% margin over the sampled max makes overflow --
+        # which truncates that mega-batch's tail -- rare. Budget size is
+        # the dominant per-step cost of the on-device collator, so a
+        # tight estimate matters.
+        rng = np.random.default_rng(4321)
+        n = self.num_users_total
+        window = min(self.mega, n)
+        max_win = 1
+        for _ in range(32):
+          idx = rng.choice(n, size=window, replace=False)
+          max_win = max(max_win, int(counts[idx].sum()))
+        mega_nnz_budget = int(max_win * 1.25) + 256
+        mega_nnz_budget = (mega_nnz_budget + 1023) // 1024 * 1024
     self.mega_nnz_budget = mega_nnz_budget
 
     if binary is None:
@@ -99,12 +122,24 @@ class DeviceDataSource:
     starts_pad = np.zeros(n_pad, np.int32)
     starts_pad[:self.num_users_total] = indptr[:-1]
 
+    self.n_blocks = n_pad // self.mega
+
+    cols = matrix.indices.astype(np.int32)
+    vals = matrix.data.astype(np.float32)
+    if shuffle == 'blocks':
+      # pad the nnz axis so a budget-wide dynamic_slice starting at any
+      # block start stays in range (dynamic_slice would otherwise clamp
+      # the start and misalign the block)
+      cols = np.concatenate([cols, np.full(self.mega_nnz_budget,
+                                           num_items, np.int32)])
+      vals = np.concatenate([vals, np.zeros(self.mega_nnz_budget,
+                                            np.float32)])
+
     put = self._put
     self.d_counts = put(jnp.asarray(counts_pad))
     self.d_starts = put(jnp.asarray(starts_pad))
-    self.d_cols = put(jnp.asarray(matrix.indices.astype(np.int32)))
-    self.d_vals = (None if binary
-                   else put(jnp.asarray(matrix.data.astype(np.float32))))
+    self.d_cols = put(jnp.asarray(cols))
+    self.d_vals = None if binary else put(jnp.asarray(vals))
     self.n_pad = n_pad
 
   def _put(self, arr):
@@ -114,7 +149,11 @@ class DeviceDataSource:
     return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
   def epoch_permutation(self, key):
-    """Shuffled user ids for one epoch, padded with sentinel users."""
+    """Per-epoch shuffle state: shuffled user ids padded with sentinel
+    users ('users' mode), or shuffled block indices ('blocks' mode)."""
+    if self.shuffle == 'blocks':
+      return self._put(
+          jax.random.permutation(key, self.n_blocks).astype(jnp.int32))
     perm = jax.random.permutation(key, self.num_users_total)
     pad = jnp.arange(self.num_users_total, self.n_pad, dtype=perm.dtype)
     return self._put(jnp.concatenate([perm, pad]).astype(jnp.int32))
@@ -162,28 +201,44 @@ class DeviceDataSource:
     m = step_idx // spm
     s = step_idx % spm
 
-    users = jax.lax.dynamic_slice(perm, (m * S,), (S,))          # [S]
-    counts = self.d_counts[users]                                 # [S]
-    starts = self.d_starts[users]                                 # [S]
+    if self.shuffle == 'blocks':
+      # contiguous user block: the CSR range is contiguous too, so two
+      # dynamic_slices replace the M-length gathers of 'users' mode
+      # (the profiled scalar-core cost of the pipeline)
+      block = perm[m]
+      ustart = block * S
+      counts = jax.lax.dynamic_slice(self.d_counts, (ustart,), (S,))
+      nnz_start = jax.lax.dynamic_slice(self.d_starts, (ustart,), (1,))[0]
+    else:
+      users = jax.lax.dynamic_slice(perm, (m * S,), (S,))        # [S]
+      counts = self.d_counts[users]                               # [S]
+      starts = self.d_starts[users]                               # [S]
     cum = jnp.cumsum(counts)                                      # [S] incl.
     total = cum[-1]
     offsets = cum - counts                                        # excl.
 
-    # flat gather indices for the mega-batch's nnz, budget M.
     # u_of_j (owner user of flat slot j) via segment marks + cumsum:
     # a vectorized-searchsorted here costs ~4 ms at M~50k on TPU, the
-    # scatter+cumsum form ~0.5 ms. The per-slot CSR source index needs
-    # starts[u] - offsets[u]; profiling shows each M-length gather costs
-    # ~0.4 ms, so the two are pre-combined into one adjustment table.
+    # scatter+cumsum form ~0.5 ms.
     j = jnp.arange(M, dtype=jnp.int32)
     marks = jnp.zeros((M,), jnp.int32).at[offsets].add(1, mode='drop')
     u_of_j = jnp.cumsum(marks) - 1
-    u_clip = jnp.minimum(u_of_j, S - 1)
-    adjust = starts - offsets                                     # [S]
-    src = adjust[u_clip] + j
     valid = j < total
-    src = jnp.where(valid, src, 0)
-    cols_m = jnp.where(valid, self.d_cols[src], sentinel)         # [M]
+
+    if self.shuffle == 'blocks':
+      cols_m = jnp.where(valid,
+                         jax.lax.dynamic_slice(self.d_cols, (nnz_start,),
+                                               (M,)), sentinel)   # [M]
+    else:
+      # flat gather indices for the mega-batch's nnz, budget M. The
+      # per-slot CSR source index needs starts[u] - offsets[u];
+      # profiling shows each M-length gather costs ~0.4 ms, so the two
+      # are pre-combined into one adjustment table.
+      u_clip = jnp.minimum(u_of_j, S - 1)
+      adjust = starts - offsets                                   # [S]
+      src = adjust[u_clip] + j
+      src = jnp.where(valid, src, 0)
+      cols_m = jnp.where(valid, self.d_cols[src], sentinel)       # [M]
 
     if negative_sampling:
       items, compressed, width_valid = self._unique_union(cols_m, valid,
@@ -205,10 +260,17 @@ class DeviceDataSource:
     rows_m = jnp.where(in_slice, rows_m, B)      # OOB row -> dropped
     if self.binary:
       vals_m = in_slice.astype(jnp.float32)
+    elif self.shuffle == 'blocks':
+      vals_m = jnp.where(in_slice,
+                         jax.lax.dynamic_slice(self.d_vals, (nnz_start,),
+                                               (M,)), 0.0)
     else:
       vals_m = jnp.where(in_slice, self.d_vals[src], 0.0)
 
-    slice_users = jax.lax.dynamic_slice(perm, (m * S + s * B,), (B,))
+    if self.shuffle == 'blocks':
+      slice_users = ustart + s * B + jnp.arange(B, dtype=jnp.int32)
+    else:
+      slice_users = jax.lax.dynamic_slice(perm, (m * S + s * B,), (B,))
     num_users = jnp.sum(slice_users < self.num_users_total)
     # sentinel (pad) users may exceed the model's padded user axis:
     # clamp to the sentinel row `num_users_total`

@@ -19,13 +19,20 @@ stays on the XLA path.
 All blocks are tile-aligned (union width is padded to multiples of 256
 by the data pipeline), so the kernel lowers cleanly on Mosaic.
 
-Status: correctness-verified against the XLA composition (interpret and
-compiled); measured on v5e at the ML-20M shape (B=512, d=200, U=16640)
-XLA's own fusion of score+loss+grads runs ~1 ms while this kernel's
-forward alone is 1.8-9 ms depending on tile size -- XLA's emitters
-handle the d=200 contraction better than Mosaic here, so the trainer
-keeps the XLA path and this kernel stays available for shapes/backends
-where the balance differs (import and call directly).
+Status: EXPERIMENTAL / UNWIRED. Correctness-verified against the XLA
+composition (tests/test_pallas_loss.py), but measured slower than
+XLA's own fusion on v5e at every swept shape (round 2 sweep,
+value_and_grad wall-clock per step):
+
+  B=512  d=200  W=16640 f32 : XLA 2.07 ms  Pallas 4.93 ms (2.4x)
+  B=512  d=200  W=16640 bf16: XLA 2.11 ms  Pallas 5.12 ms (2.4x)
+  B=1024 d=512  W=8192  f32 : XLA 1.91 ms  Pallas 3.28 ms (1.7x)
+  B=1024 d=512  W=8192  bf16: XLA 1.86 ms  Pallas 5.23 ms (2.8x)
+  B=1024 d=1024 W=8192       : Mosaic compile failure
+
+XLA's emitters handle these contractions better than Mosaic today, so
+no library code path reaches this module; it is kept (with its test)
+as a baseline to re-measure when the Mosaic toolchain changes.
 """
 
 import functools

@@ -504,14 +504,16 @@ class Recoder:
             model_checkpoint_prefix=None, checkpoint_freq=0,
             eval_freq=0, eval_num_recommendations=None,
             eval_num_users=None, metrics=None, eval_batch_size=None,
-            profile_dir=None, profile_steps=(10, 30)):
+            profile_dir=None, profile_steps=(10, 30), shuffle='users'):
     """Train the model (argument semantics mirror the reference
     model.py:256-347; see that docstring for parameter meanings).
 
     TPU additions: ``profile_dir`` captures a jax.profiler trace of
     global steps ``profile_steps=(start, stop)`` viewable in
     TensorBoard/Perfetto; per-epoch wall time and steps/s are always
-    logged."""
+    logged. ``shuffle='blocks'`` selects the block-shuffle sampling
+    mode of the fused pipeline (faster step, fixed co-batch groups --
+    see DeviceDataSource)."""
     backend = jax.default_backend()
     log.info('%s Mode', backend.upper())
     for param, value in self.model.model_params().items():
@@ -561,7 +563,7 @@ class Recoder:
     fused_source = None
     if train_dataset.target_interactions_matrix is None:
       src_key = (id(train_dataset.interactions_matrix), batch_size,
-                 num_sampling_users, self.mesh)
+                 num_sampling_users, self.mesh, shuffle)
       cached = getattr(self, '_fused_source_cache', None)
       if cached is not None and cached[0] == src_key:
         fused_source = cached[1]
@@ -572,7 +574,7 @@ class Recoder:
         fused_source = DeviceDataSource(
             train_dataset.interactions_matrix, batch_size=batch_size,
             num_sampling_users=num_sampling_users, num_items=self.num_items,
-            union_width=union_width, mesh=self.mesh)
+            union_width=union_width, mesh=self.mesh, shuffle=shuffle)
         self._fused_source_cache = (src_key, fused_source)
       num_batches = fused_source.steps_per_epoch
 
@@ -697,6 +699,27 @@ class Recoder:
       jax.profiler.stop_trace()
       self._profiling = False
 
+  def reset_training_state(self):
+    """Re-initialize model params and optimizer state in place.
+
+    Compiled step functions are kept -- shapes are unchanged, so a
+    subsequent ``train`` pays zero recompilation. Used for warm-started
+    benchmarking (bench_quality.py) and hyperparameter restarts."""
+    self.model.init_model(self.num_items, self.num_users, seed=self.seed)
+    if self.mesh is not None:
+      from recoder_tpu.parallel import shard_params
+      self.model.params = shard_params(self.model.params, self.model,
+                                       self.mesh)
+    self._model_initialized = True
+    self.opt_state = None
+    self.sparse_states = {}
+    self._pending_opt_arrays = None
+    self.current_epoch = 1
+    self._global_step = 0
+    self._train_iterator = None
+    self._iters_consumed = 0
+    self._overflow_rebuild = None
+
   def _note_overflow(self, overflow):
     """Record device-pipeline overflow counts fetched at epoch end.
 
@@ -737,9 +760,10 @@ class Recoder:
     fused_source = DeviceDataSource(
         train_dataset.interactions_matrix, batch_size=batch_size,
         num_sampling_users=num_sampling_users, num_items=self.num_items,
-        union_width=new_width, mega_nnz_budget=new_budget, mesh=self.mesh)
+        union_width=new_width, mega_nnz_budget=new_budget, mesh=self.mesh,
+        shuffle=fused_source.shuffle)
     src_key = (id(train_dataset.interactions_matrix), batch_size,
-               num_sampling_users, self.mesh)
+               num_sampling_users, self.mesh, fused_source.shuffle)
     self._fused_source_cache = (src_key, fused_source)
     return fused_source
 

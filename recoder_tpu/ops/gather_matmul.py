@@ -12,9 +12,11 @@ from an HBM-resident f32 table is not expressible on the current
 Mosaic toolchain (arrays are (8, 128)-tiled in HBM, and both DMA slice
 shapes and starts must be 8-row aligned along the sublane dim), so the
 row gather stays with XLA's native lowering, which profiling shows is
-not the step bottleneck at ML-20M scale. Pallas effort goes to the
-block-aligned fused score+loss kernel instead (recoder_tpu.ops.
-pallas_loss).
+not the step bottleneck at ML-20M scale. A block-aligned fused
+score+loss Pallas kernel was also built and swept across shapes/dtypes
+(B up to 2048, d up to 1024, f32/bf16) -- XLA's fusion beat it 1.7-2.8x
+everywhere on v5e, so it lives unwired in
+recoder_tpu/experiments/pallas_loss.py with the measurements.
 
 Indices are guaranteed in-bounds by the data pipeline (padded slots use
 the sentinel row ``num_items`` of a table padded to > num_items rows),

@@ -122,3 +122,56 @@ def test_fused_training_learns(matrix):
   changed = jax.tree_util.tree_map(
       lambda a, b: not np.allclose(a, np.asarray(b)), p1, p2)
   assert any(jax.tree_util.tree_flatten(changed)[0])
+
+
+def test_blocks_mode_reconstructs_exact_batches():
+  """shuffle='blocks': every interaction of the block appears exactly
+  once across the mega-batch's slices, with the exact np.unique union
+  (same contract as 'users' mode, minus the within-epoch user shuffle)."""
+  rng = np.random.default_rng(8)
+  df = pd.DataFrame({'u': rng.integers(0, 40, 1500),
+                     'i': rng.integers(0, 300, 1500),
+                     'v': rng.random(1500).astype(np.float32) + 0.5})
+  df = df.drop_duplicates(['u', 'i'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'u', 'i', 'v')
+
+  src = DeviceDataSource(m, batch_size=10, num_sampling_users=20,
+                         num_items=m.shape[1], union_width=512,
+                         shuffle='blocks')
+  assert src.mega_nnz_budget >= max(
+      m.indptr[20] - m.indptr[0], m.indptr[40] - m.indptr[20])
+
+  perm = src.epoch_permutation(jax.random.PRNGKey(0))
+  blocks = np.asarray(perm)
+  assert sorted(blocks.tolist()) == list(range(src.n_blocks))
+
+  spm = src.slices_per_mega
+  for step in range(src.steps_per_epoch):
+    b = src.build_batch(jnp.asarray(blocks), jnp.int32(step),
+                        negative_sampling=True)
+    block = blocks[step // spm]
+    s = step % spm
+    lo_user = block * 20 + s * 10
+    users = np.asarray(b['users'])
+    np.testing.assert_array_equal(users, np.arange(lo_user, lo_user + 10))
+
+    # union = np.unique over the BLOCK's items
+    block_items = np.unique(
+        m.indices[m.indptr[block * 20]:m.indptr[min((block + 1) * 20,
+                                                    m.shape[0])]])
+    items = np.asarray(b['items'])
+    np.testing.assert_array_equal(items[:len(block_items)], block_items)
+    assert int(b['width_valid']) == len(block_items)
+    np.testing.assert_array_equal(np.asarray(b['overflow']), [0, 0])
+
+    # densify and compare against the real rows
+    rows, cols, vals = (np.asarray(b['rows']), np.asarray(b['cols']),
+                        np.asarray(b['vals']))
+    dense = np.zeros((11, 512), np.float32)
+    keep = rows <= 10
+    np.add.at(dense, (rows[keep], cols[keep]), vals[keep])
+    want = np.zeros((10, len(block_items)), np.float32)
+    sub = m[lo_user:lo_user + 10].toarray()[:, block_items]
+    want[:, :] = sub
+    np.testing.assert_allclose(dense[:10, :len(block_items)], want)
+    assert dense[10].sum() == 0 and dense[:, len(block_items):].sum() == 0

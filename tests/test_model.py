@@ -151,3 +151,32 @@ def test_checkpoint_resume_continues_epochs(tmp_path):
   assert tr2.current_epoch == 5
   # optimizer step counter carried across the resume
   assert int(tr2.opt_state['step']) > int(tr.opt_state['step'])
+
+
+@pytest.mark.slow
+def test_blocks_shuffle_reaches_reference_quality():
+  """shuffle='blocks' (the fast sampling mode: block-order shuffle,
+  fixed co-batch groups) must still converge to the reference-pinned
+  quality. Measured r2: 0.1419/0.2391/0.1687 -- indistinguishable from
+  full user shuffling on this fixture."""
+  train_dataset, val_dataset = _load_datasets()
+  model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
+                             noise_prob=0.5)
+  trainer = Recoder(model=model, optimizer_type='adam', loss='logloss')
+  trainer.train(train_dataset=train_dataset, batch_size=500, lr=1e-3,
+                weight_decay=2e-5, num_epochs=30, negative_sampling=True,
+                shuffle='blocks')
+  recall_20 = Recall(k=20, normalize=True)
+  recall_50 = Recall(k=50, normalize=True)
+  ndcg_100 = NDCG(k=100)
+  results = trainer._evaluate(eval_dataset=val_dataset,
+                              num_recommendations=100,
+                              metrics=[recall_20, recall_50, ndcg_100],
+                              batch_size=500)
+  means = {m: np.mean(v) for m, v in results.items()}
+  assert np.isclose(means[recall_20], REFERENCE_PINNED['recall_20'],
+                    atol=0.01, rtol=0)
+  assert np.isclose(means[recall_50], REFERENCE_PINNED['recall_50'],
+                    atol=0.01, rtol=0)
+  assert np.isclose(means[ndcg_100], REFERENCE_PINNED['ndcg_100'],
+                    atol=0.01, rtol=0)

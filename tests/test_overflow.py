@@ -135,7 +135,7 @@ def test_trainer_detects_overflow_and_rebuilds(matrix, caplog):
   tr._init_training(ds, weight_decay=0.0)
 
   # pre-seed the fused-source cache with a deliberately starved source
-  src_key = (id(ds.interactions_matrix), 30, 30, None)
+  src_key = (id(ds.interactions_matrix), 30, 30, None, 'users')
   starved = DeviceDataSource(ds.interactions_matrix, batch_size=30,
                              num_sampling_users=30,
                              num_items=tr.num_items, union_width=512,

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from recoder_tpu.ops import losses as L
-from recoder_tpu.ops.pallas_loss import TILE_U, fused_decode_loss, supported
+from recoder_tpu.experiments.pallas_loss import TILE_U, fused_decode_loss, supported
 
 
 @pytest.fixture
