@@ -64,9 +64,16 @@ def synthesize_ml20m(seed=0):
 def main():
   import argparse
   ap = argparse.ArgumentParser()
-  ap.add_argument('--shuffle', choices=['users', 'blocks'], default='users',
-                  help="sampling mode (blocks: faster step, fixed "
-                       "co-batch groups; see DeviceDataSource)")
+  # blocks is the default: convergence to reference quality is
+  # gate-tested (tests/test_model.py::test_blocks_shuffle_reaches_
+  # reference_quality) and it removes the flat-CSR gather floor
+  ap.add_argument('--shuffle', choices=['users', 'blocks'],
+                  default='blocks',
+                  help="sampling mode (users: reference semantics, "
+                       "fresh co-batch groups each epoch; blocks: "
+                       "faster step, measured quality-neutral)")
+  ap.add_argument('--dtype', choices=['float32', 'bfloat16'],
+                  default='float32', help='matmul compute dtype')
   args = ap.parse_args()
 
   import jax
@@ -81,7 +88,9 @@ def main():
   dataset = RecommendationDataset(matrix)
 
   model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
-                             noise_prob=0.5)
+                             noise_prob=0.5,
+                             compute_dtype=(None if args.dtype == 'float32'
+                                            else args.dtype))
   trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
                     loss_params={'confidence': 3})
 

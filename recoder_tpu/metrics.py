@@ -202,6 +202,14 @@ class RecommenderEvaluator:
     recommender exposes ``recommend_async`` (the model-based one does),
     device dispatch runs a few batches ahead of result fetching, hiding
     per-batch transfer latency.
+
+    Deviation from the reference (documented in SURVEY.md section 7):
+    users whose relevant-item set is empty are SKIPPED, where the
+    reference emits NaN for them (0/0, reference metrics.py:26,45).
+    Returned per-user lists can therefore be shorter than a reference
+    run's on the same data, and means differ whenever empty-target
+    users exist (NaN would propagate through the reference's
+    ``np.mean`` anyway, so the reference's means are NaN in that case).
     """
     del num_workers
     import collections

@@ -112,6 +112,7 @@ class Recoder:
     self._loss_fns = {}
     self._recommend_fns = {}
     self._train_iterator = None
+    self._train_iterator_key = None
     self._iters_consumed = 0
     self._profiling = False
     self._overflow_rebuild = None
@@ -562,21 +563,34 @@ class Recoder:
     # is replicated and the build runs SPMD (see DeviceDataSource).
     fused_source = None
     if train_dataset.target_interactions_matrix is None:
-      src_key = (id(train_dataset.interactions_matrix), batch_size,
-                 num_sampling_users, self.mesh, shuffle)
+      # cache holds a strong reference to the matrix, so identity
+      # comparison cannot alias a garbage-collected object
+      matrix = train_dataset.interactions_matrix
+      src_cfg = (batch_size, num_sampling_users, self.mesh, shuffle)
       cached = getattr(self, '_fused_source_cache', None)
-      if cached is not None and cached[0] == src_key:
-        fused_source = cached[1]
+      if (cached is not None and cached[0] is matrix
+          and cached[1] == src_cfg):
+        fused_source = cached[2]
       else:
         from recoder_tpu.data.device_pipeline import DeviceDataSource
         union_width = (train_dataloader.batch_collator.fixed_union_width
                        or train_dataloader._estimate_widths()[0])
         fused_source = DeviceDataSource(
-            train_dataset.interactions_matrix, batch_size=batch_size,
+            matrix, batch_size=batch_size,
             num_sampling_users=num_sampling_users, num_items=self.num_items,
             union_width=union_width, mesh=self.mesh, shuffle=shuffle)
-        self._fused_source_cache = (src_key, fused_source)
+        self._fused_source_cache = (matrix, src_cfg, fused_source)
       num_batches = fused_source.steps_per_epoch
+
+    # a partially-consumed iterator only carries over into a train()
+    # call with the same dataset and batching config (resuming the
+    # reference's partial-epoch semantics); anything else restarts it
+    iter_key = (train_dataset, batch_size, num_sampling_users,
+                negative_sampling, shuffle, fused_source is not None)
+    if getattr(self, '_train_iterator_key', None) != iter_key:
+      self._train_iterator = None
+      self._iters_consumed = 0
+      self._train_iterator_key = iter_key
 
     for epoch in range(self.current_epoch, num_epochs + 1):
       self.current_epoch = epoch
@@ -591,7 +605,7 @@ class Recoder:
             fused_source, train_dataset, batch_size, num_sampling_users)
 
       if fused_source is not None:
-        if (not isinstance(self._train_iterator, tuple)
+        if (self._train_iterator is None
             or self._iters_consumed >= num_batches):
           perm_key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 1),
                                         epoch)
@@ -627,7 +641,6 @@ class Recoder:
           epoch_overflows.append(ov_acc)
       else:
         if (self._train_iterator is None
-            or isinstance(self._train_iterator, tuple)
             or self._iters_consumed >= num_batches):
           self._train_iterator = self._device_batch_iter(train_dataloader)
           self._iters_consumed = 0
@@ -717,6 +730,7 @@ class Recoder:
     self.current_epoch = 1
     self._global_step = 0
     self._train_iterator = None
+    self._train_iterator_key = None
     self._iters_consumed = 0
     self._overflow_rebuild = None
 
@@ -762,9 +776,10 @@ class Recoder:
         num_sampling_users=num_sampling_users, num_items=self.num_items,
         union_width=new_width, mega_nnz_budget=new_budget, mesh=self.mesh,
         shuffle=fused_source.shuffle)
-    src_key = (id(train_dataset.interactions_matrix), batch_size,
-               num_sampling_users, self.mesh, fused_source.shuffle)
-    self._fused_source_cache = (src_key, fused_source)
+    self._fused_source_cache = (
+        train_dataset.interactions_matrix,
+        (batch_size, num_sampling_users, self.mesh, fused_source.shuffle),
+        fused_source)
     return fused_source
 
   def _maybe_profile(self, profile_dir, profile_steps):

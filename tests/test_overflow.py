@@ -135,12 +135,12 @@ def test_trainer_detects_overflow_and_rebuilds(matrix, caplog):
   tr._init_training(ds, weight_decay=0.0)
 
   # pre-seed the fused-source cache with a deliberately starved source
-  src_key = (id(ds.interactions_matrix), 30, 30, None, 'users')
   starved = DeviceDataSource(ds.interactions_matrix, batch_size=30,
                              num_sampling_users=30,
                              num_items=tr.num_items, union_width=512,
                              mega_nnz_budget=64)
-  tr._fused_source_cache = (src_key, starved)
+  tr._fused_source_cache = (ds.interactions_matrix,
+                            (30, 30, None, 'users'), starved)
 
   with caplog.at_level(logging.WARNING, logger='recoder_tpu'):
     tr.train(train_dataset=ds, batch_size=30, num_sampling_users=30,
@@ -151,6 +151,6 @@ def test_trainer_detects_overflow_and_rebuilds(matrix, caplog):
   # next train call rebuilds with grown budget and trains clean
   tr.train(train_dataset=ds, batch_size=30, num_sampling_users=30,
            num_epochs=2, negative_sampling=True)
-  rebuilt = tr._fused_source_cache[1]
+  rebuilt = tr._fused_source_cache[2]
   assert rebuilt.mega_nnz_budget > 64
   assert tr._overflow_rebuild is None or rebuilt.mega_nnz_budget >= matrix.nnz
