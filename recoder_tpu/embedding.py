@@ -321,7 +321,9 @@ def build_embeddings_index(recoder, index_class=BruteForceEmbeddingsIndex,
     table = params['en_embedding']
   else:
     table = params['item_embedding']
-  table = np.asarray(table)[:recoder.num_items]
+  d = (getattr(recoder.model, 'embedding_size', None)
+       or recoder.model.hidden_layers[0])
+  table = np.asarray(table)[:recoder.num_items, :d]  # drop pad rows+cols
   index = index_class(embeddings=table, id_map=id_map, **kw)
   index.build()
   return index

@@ -44,6 +44,22 @@ if not log.handlers:
   log.setLevel(logging.INFO)
 
 
+def _adapt_array(ref, new):
+  """Coerce a checkpoint array onto a target param/state leaf.
+
+  Shapes differ only when a checkpoint from a sparse-instantiated model
+  (lane-padded feature axis, models/base.pad_features) is loaded into a
+  dense one or vice versa: pad columns are zeros by construction, so
+  slicing or re-padding the feature axis is exact."""
+  new = jnp.asarray(new, ref.dtype)
+  if new.shape == ref.shape:
+    return new
+  if new.ndim == ref.ndim == 2 and new.shape[0] == ref.shape[0]:
+    k = min(new.shape[1], ref.shape[1])
+    return jnp.zeros(ref.shape, ref.dtype).at[:, :k].set(new[:, :k])
+  return new.reshape(ref.shape)
+
+
 def _multistep_lr(base_lr, milestones, epoch, gamma=0.1):
   """LR for 1-based ``epoch`` under the reference's scheduler stepping."""
   if not milestones:
@@ -180,14 +196,19 @@ class Recoder:
 
     if self._pending_opt_arrays is not None:
       opt, sparse = self._pending_opt_arrays
-      self.opt_state = jax.tree_util.tree_map(
-          lambda ref, new: jnp.asarray(new, ref.dtype).reshape(ref.shape),
-          self.opt_state, opt)
-      for p in sparse_paths:
-        if p in sparse:
-          self.sparse_states[p] = jax.tree_util.tree_map(
-              lambda ref, new: jnp.asarray(new, ref.dtype).reshape(ref.shape),
-              self.sparse_states[p], sparse[p])
+      try:
+        self.opt_state = jax.tree_util.tree_map(_adapt_array,
+                                                self.opt_state, opt)
+        for p in sparse_paths:
+          if p in sparse:
+            self.sparse_states[p] = jax.tree_util.tree_map(
+                _adapt_array, self.sparse_states[p], sparse[p])
+      except ValueError:
+        # checkpoint saved under the other optimizer split (sparse vs
+        # dense model instantiation): weights still load; moments
+        # restart fresh
+        log.warning('checkpoint optimizer state does not match this '
+                    "model's sparse/dense split; optimizer state reset")
       self._pending_opt_arrays = None
 
   def _init_training(self, train_dataset, weight_decay):
@@ -915,10 +936,20 @@ class Recoder:
   # checkpointing
   # ------------------------------------------------------------------
 
-  def save_state(self, model_checkpoint_prefix):
-    """Save a checkpoint to ``{prefix}_epoch_{N}.model``; returns path."""
+  def save_state(self, model_checkpoint_prefix, backend='npz',
+                 async_save=True):
+    """Save a checkpoint; returns its path.
+
+    ``backend='npz'`` (default) writes the single-file
+    ``{prefix}_epoch_{N}.model`` archive (reference model.py:193-224
+    ergonomics). ``backend='orbax'`` writes an async, atomic,
+    tensorstore-sharded ``{prefix}_epoch_{N}.orbax/`` directory -- the
+    pod-scale option: the train loop blocks only for the array
+    snapshot, not the IO (recoder_tpu.checkpoint_orbax).
+    """
+    suffix = '.model' if backend == 'npz' else '.orbax'
     checkpoint_file = (f'{model_checkpoint_prefix}_epoch_'
-                       f'{self.current_epoch}.model')
+                       f'{self.current_epoch}{suffix}')
     log.info('Saving model to %s', checkpoint_file)
     meta = {
         'recoder_version': __version__,
@@ -945,16 +976,29 @@ class Recoder:
     if self.users is not None:
       arrays['users'] = np.asarray(self.users)
 
-    save_checkpoint(checkpoint_file, arrays, meta)
+    if backend == 'orbax':
+      from recoder_tpu.checkpoint_orbax import save_checkpoint_orbax
+      save_checkpoint_orbax(checkpoint_file, arrays, meta,
+                            async_save=async_save)
+    elif backend == 'npz':
+      save_checkpoint(checkpoint_file, arrays, meta)
+    else:
+      raise ValueError(f'unknown checkpoint backend {backend!r}')
     return checkpoint_file
 
   def init_from_model_file(self, model_file):
-    """Restore model/optimizer/training state from a checkpoint."""
+    """Restore model/optimizer/training state from a checkpoint
+    (either backend; the format is auto-detected)."""
     import os
     log.info('Loading model from: %s', model_file)
-    if not os.path.isfile(model_file):
+    from recoder_tpu.checkpoint_orbax import (is_orbax_checkpoint,
+                                              load_checkpoint_orbax)
+    if is_orbax_checkpoint(model_file):
+      arrays, meta = load_checkpoint_orbax(model_file)
+    elif os.path.isfile(model_file):
+      arrays, meta = load_checkpoint(model_file)
+    else:
       raise FileNotFoundError(f'No state file found in {model_file}')
-    arrays, meta = load_checkpoint(model_file)
 
     self.current_epoch = meta['last_epoch']
     self._global_step = meta.get('global_step', 0)
@@ -971,6 +1015,6 @@ class Recoder:
     self.model.load_model_params(meta['model_params'])
     self._init_model()
     # overwrite freshly-initialized params with the checkpoint weights
+    # (_adapt_array bridges sparse<->dense feature-padding differences)
     self.model.params = jax.tree_util.tree_map(
-        lambda ref, new: jnp.asarray(new, ref.dtype),
-        self.model.params, arrays['model'])
+        _adapt_array, self.model.params, arrays['model'])

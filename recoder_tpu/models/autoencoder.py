@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from recoder_tpu.models.base import (FactorizationModel, activation, dropout,
                                      l2_normalize_rows, pad_dim,
-                                     xavier_uniform)
+                                     pad_features, xavier_uniform)
 from recoder_tpu.ops.gather_matmul import (encode_gather_matmul,
                                            decode_gather_matmul)
 
@@ -74,11 +74,21 @@ class DynamicAutoencoder(FactorizationModel):
     key = jax.random.PRNGKey(seed)
     keys = iter(jax.random.split(key, 4 + 4 * len(self.hidden_layers)))
 
+    # lane-align the feature axis ONLY on the sparse path: the per-step
+    # row-scatters it runs hit XLA's transposed-layout copies on
+    # lane-ragged tables (see pad_features). The dense path never
+    # scatters tables, and padding costs ~17% step time at d=200.
+    d0p = pad_features(d0) if self.sparse else d0
+
+    def feature_pad(table):
+      return jnp.pad(table, ((0, 0), (0, d0p - d0)))
+
     params = {}
-    # encoder embedding table [num_items_padded, d0]; logical fans for init
-    params['en_embedding'] = xavier_uniform(
+    # encoder embedding table [num_items_padded, d0 -> d0p]; logical
+    # fans + logical columns for init so trajectories match unpadded
+    params['en_embedding'] = feature_pad(xavier_uniform(
         next(keys), (self.num_items_padded, d0),
-        fan_in=d0, fan_out=self.num_items)
+        fan_in=d0, fan_out=self.num_items))
     params['en_bias'] = jnp.zeros((d0,), jnp.float32)
 
     # hidden encoder linears: sizes hidden_layers[i-1] -> hidden_layers[i]
@@ -99,9 +109,9 @@ class DynamicAutoencoder(FactorizationModel):
       params[f'decode_bias_{i}'] = jnp.zeros((width,), jnp.float32)
 
     if not self.is_constrained:
-      params['de_embedding'] = xavier_uniform(
+      params['de_embedding'] = feature_pad(xavier_uniform(
           next(keys), (self.num_items_padded, d0),
-          fan_in=d0, fan_out=self.num_items)
+          fan_in=d0, fan_out=self.num_items))
     params['de_bias'] = jnp.zeros((self.num_items_padded,), jnp.float32)
 
     self.params = params

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from recoder_tpu.models.base import (FactorizationModel, activation, dropout,
-                                     pad_dim, xavier_uniform)
+                                     pad_dim, pad_features, xavier_uniform)
 from recoder_tpu.ops.gather_matmul import decode_gather_matmul, take_rows
 
 
@@ -50,13 +50,20 @@ class MatrixFactorization(FactorizationModel):
     key = jax.random.PRNGKey(seed)
     k_user, k_item = jax.random.split(key)
     d = self.embedding_size
+    # lane-aligned feature axis on the sparse path only (see
+    # models/base.pad_features and autoencoder.init_model)
+    dp = pad_features(d) if self.sparse else d
+
+    def feature_pad(table):
+      return jnp.pad(table, ((0, 0), (0, dp - d)))
+
     self.params = {
-        'user_embedding': xavier_uniform(
+        'user_embedding': feature_pad(xavier_uniform(
             k_user, (self.num_users_padded, d),
-            fan_in=d, fan_out=self.num_users),
-        'item_embedding': xavier_uniform(
+            fan_in=d, fan_out=self.num_users)),
+        'item_embedding': feature_pad(xavier_uniform(
             k_item, (self.num_items_padded, d),
-            fan_in=d, fan_out=self.num_items),
+            fan_in=d, fan_out=self.num_items)),
         'bias': jnp.zeros((self.num_items_padded,), jnp.float32),
     }
     return self.params
@@ -83,7 +90,11 @@ class MatrixFactorization(FactorizationModel):
 
   def _forward_core(self, params, user_rows, item_operand, item_ids,
                     bias, rng, training, items_sorted_unique=False):
-    u = activation(user_rows, self.activation_type)
+    # drop the zero pad columns BEFORE the nonlinearity (activation(0)
+    # need not be 0, which would leak gradient into the pad columns);
+    # decode_gather_matmul re-pads with zeros after
+    u = user_rows[:, :self.embedding_size]
+    u = activation(u, self.activation_type)
     if training and self.dropout_prob > 0:
       assert rng is not None, 'training with dropout requires rng'
       u = dropout(u, self.dropout_prob, rng)

@@ -46,20 +46,36 @@ def take_rows(table, ids, sorted_unique=False):
 
 def encode_gather_matmul(z, table, ids, bias, compute_dtype=None,
                          sorted_unique=False):
-  """``z[B, U] @ table[ids][U, d] + bias[d]`` (full table if ids None)."""
+  """``z[B, U] @ table[ids][U, d] + bias[d]`` (full table if ids None).
+
+  Tables may carry zero pad columns beyond ``len(bias)`` (lane-aligned
+  feature axis, models/base.pad_features); they are sliced off here --
+  before any nonlinearity -- so they contribute nothing and receive
+  exactly-zero gradients.
+  """
   rows = take_rows(table, ids, sorted_unique)
   if compute_dtype is not None:
     z = z.astype(compute_dtype)
     rows = rows.astype(compute_dtype)
   out = jnp.dot(z, rows, preferred_element_type=jnp.float32)
+  d = bias.shape[0]
+  if out.shape[-1] != d:
+    out = out[:, :d]
   return out + bias
 
 
 def decode_gather_matmul(h, table, ids, bias, compute_dtype=None,
                          sorted_unique=False):
-  """``h[B, d] @ table[ids].T[d, U] + bias[ids]`` (full table if ids None)."""
+  """``h[B, d] @ table[ids].T[d, U] + bias[ids]`` (full table if ids None).
+
+  When the table's feature axis is lane-padded (models/base.pad_features)
+  ``h`` is zero-padded to match: zero activations x pad columns = 0, and
+  the pad columns' gradients are exactly zero.
+  """
   rows = take_rows(table, ids, sorted_unique)
   b = bias if ids is None else take_rows(bias, ids, sorted_unique)
+  if h.shape[-1] != rows.shape[-1]:
+    h = jnp.pad(h, ((0, 0), (0, rows.shape[-1] - h.shape[-1])))
   if compute_dtype is not None:
     h = h.astype(compute_dtype)
     rows = rows.astype(compute_dtype)

@@ -49,3 +49,86 @@ def test_checkpoint_is_pickle_free(tmp_path):
   save_checkpoint(path, {'x': np.ones(3)}, {'k': [1, 2, {'nested': 'ok'}]})
   arrays, meta = load_checkpoint(path)  # would raise if pickled objects
   assert meta['k'][2]['nested'] == 'ok'
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+  """backend='orbax' (async tensorstore directory) restores the same
+  state as the npz default, through the same auto-detecting loader."""
+  import pandas as pd
+
+  from recoder_tpu.checkpoint_orbax import wait_for_pending_saves
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+  from recoder_tpu.utils import dataframe_to_csr_matrix
+
+  rng = np.random.default_rng(0)
+  df = pd.DataFrame({'u': rng.integers(0, 30, 300),
+                     'i': rng.integers(0, 50, 300),
+                     'v': 1.0}).drop_duplicates(['u', 'i'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'u', 'i', 'v')
+  ds = RecommendationDataset(m)
+
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8]),
+               optimizer_type='adam', loss='mse')
+  tr.train(train_dataset=ds, batch_size=10, num_epochs=2,
+           negative_sampling=True)
+
+  npz_path = tr.save_state(str(tmp_path / 'ck'))
+  orbax_path = tr.save_state(str(tmp_path / 'ck'), backend='orbax')
+  wait_for_pending_saves()
+  assert orbax_path.endswith('.orbax')
+
+  restored = {}
+  for path in (npz_path, orbax_path):
+    tr2 = Recoder(model=DynamicAutoencoder(), optimizer_type='adam',
+                  loss='mse')
+    tr2.init_from_model_file(path)
+    restored[path] = tr2
+
+  a, b = restored[npz_path], restored[orbax_path]
+  assert a.current_epoch == b.current_epoch == 2
+  for k in a.model.params:
+    np.testing.assert_array_equal(np.asarray(a.model.params[k]),
+                                  np.asarray(b.model.params[k]))
+  # resumes training like the npz path
+  b.train(train_dataset=ds, batch_size=10, num_epochs=3,
+          negative_sampling=True)
+  assert b.current_epoch == 3
+
+
+def test_sparse_dense_checkpoint_cross_load(tmp_path):
+  """A sparse-instantiated model pads its table feature axis
+  (models/base.pad_features); its checkpoints must load into a dense
+  instantiation and vice versa with identical logical weights."""
+  import pandas as pd
+
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+  from recoder_tpu.utils import dataframe_to_csr_matrix
+
+  rng = np.random.default_rng(3)
+  df = pd.DataFrame({'u': rng.integers(0, 30, 300),
+                     'i': rng.integers(0, 50, 300),
+                     'v': 1.0}).drop_duplicates(['u', 'i'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'u', 'i', 'v')
+  ds = RecommendationDataset(m)
+
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[24], sparse=True),
+               optimizer_type='adam', loss='mse')
+  tr.train(train_dataset=ds, batch_size=10, num_epochs=2,
+           negative_sampling=True)
+  assert tr.model.params['en_embedding'].shape[1] == 128  # padded
+  path = tr.save_state(str(tmp_path / 'ck'))
+
+  dense = Recoder(model=DynamicAutoencoder(sparse=False),
+                  optimizer_type='adam', loss='mse')
+  dense.init_from_model_file(path)
+  assert dense.model.params['en_embedding'].shape[1] == 24
+  np.testing.assert_array_equal(
+      np.asarray(dense.model.params['en_embedding']),
+      np.asarray(tr.model.params['en_embedding'])[:, :24])
+  # and continues training on the dense path
+  dense.train(train_dataset=ds, batch_size=10, num_epochs=3,
+              negative_sampling=True)

@@ -51,7 +51,8 @@ def test_subset_scores_match_full_forward(autoencoder):
   target_items = jnp.array([3, 77, 400, 499])
   sub = autoencoder(input, target_items=target_items)
   np.testing.assert_allclose(np.asarray(sub),
-                             np.asarray(full[:, target_items]), rtol=1e-5)
+                             np.asarray(full[:, target_items]),
+                             rtol=5e-5, atol=1e-7)
 
 
 def test_constrained_ties_weights():
@@ -144,3 +145,29 @@ def test_xavier_init_statistics():
   assert np.abs(w).max() <= limit + 1e-6
   assert np.abs(w).max() > limit * 0.98  # actually fills the range
   assert np.abs(np.asarray(ae.params['de_bias'])).max() == 0
+
+
+def test_sparse_model_pads_feature_axis():
+  """sparse=True lane-pads the table feature axis (zeros beyond the
+  logical width) so per-step row-scatters keep the default layout and
+  donation aliasing; the logical weights are identical to dense init."""
+  dense = DynamicAutoencoder([300, 200])
+  dense.init_model(num_items=500, seed=0)
+  sparse = DynamicAutoencoder([300, 200], sparse=True)
+  sparse.init_model(num_items=500, seed=0)
+  assert sparse.params['en_embedding'].shape[1] == 384  # pad_features(300)
+  np.testing.assert_array_equal(
+      np.asarray(sparse.params['en_embedding'])[:, :300],
+      np.asarray(dense.params['en_embedding']))
+  assert np.all(np.asarray(sparse.params['en_embedding'])[:, 300:] == 0)
+
+  # identical forward outputs (padding is numerically invisible)
+  import jax
+  x = jax.random.uniform(jax.random.PRNGKey(0), (4, 500))
+  items = jnp.arange(500)
+  a = dense.apply(dense.params, jnp.pad(x, ((0, 0), (0, dense.num_items_padded - 500))),
+                  input_items=None, target_items=items)
+  b = sparse.apply(sparse.params, jnp.pad(x, ((0, 0), (0, sparse.num_items_padded - 500))),
+                   input_items=None, target_items=items)
+  np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                             rtol=5e-5, atol=1e-6)

@@ -17,8 +17,11 @@ def torch_dynae_forward(params, x, input_items, target_items,
                         hidden_layers, constrained=False):
   """The reference's forward math, composed from torch primitives."""
   t = {k: torch.tensor(np.asarray(v)) for k, v in params.items()}
+  d0 = hidden_layers[0]
+  # our tables carry zero lane-pad columns (models/base.pad_features);
+  # the torch composition works on the logical view
   z = F.normalize(torch.tensor(x), p=2, dim=1)
-  en = t['en_embedding'][torch.tensor(input_items)]
+  en = t['en_embedding'][torch.tensor(input_items)][:, :d0]
   z = F.linear(z, en.t(), t['en_bias'])
   z = torch.tanh(z)
   n = len(hidden_layers)
@@ -32,7 +35,7 @@ def torch_dynae_forward(params, x, input_items, target_items,
       z = F.linear(z, t[f'decode_w_{i}'].t(), t[f'decode_bias_{i}'])
     z = torch.tanh(z)
   de_table = t['en_embedding'] if constrained else t['de_embedding']
-  de = de_table[torch.tensor(target_items)]
+  de = de_table[torch.tensor(target_items)][:, :d0]
   bias = t['de_bias'][torch.tensor(target_items)]
   return F.linear(z, de, bias).numpy()
 
@@ -71,8 +74,9 @@ def test_mf_forward_matches_torch():
                              target_items=jnp.asarray(items)))
 
   t = {k: torch.tensor(np.asarray(v)) for k, v in mf.params.items()}
-  u = torch.tanh(t['user_embedding'][torch.tensor(users)])
-  v = t['item_embedding'][torch.tensor(items)]
+  d = mf.embedding_size
+  u = torch.tanh(t['user_embedding'][torch.tensor(users)][:, :d])
+  v = t['item_embedding'][torch.tensor(items)][:, :d]
   b = t['bias'][torch.tensor(items)]
   theirs = F.linear(u, v, b).numpy()
   np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=1e-6)

@@ -110,7 +110,7 @@ def test_mesh_uses_fused_pipeline():
   trainer.train(train_dataset=ds, batch_size=16, num_epochs=1,
                 negative_sampling=True)
   assert getattr(trainer, '_fused_source_cache', None) is not None
-  src = trainer._fused_source_cache[1]
+  src = trainer._fused_source_cache[2]
   assert src.mesh is mesh
   # resident CSR is replicated over every device of the mesh
   assert len(src.d_cols.sharding.device_set) == 8
