@@ -156,6 +156,85 @@ def cmd_recommend(cfg, model_file, num_recommendations, batch_size, out):
     print(f'wrote recommendations for {matrix.shape[0]} users to {out}')
 
 
+def make_server(cfg, model_file, host='127.0.0.1', port=8321):
+  """Build (without starting) the scoring HTTP server.
+
+  Endpoints:
+    GET  /healthz             -> {"status": "ok", ...}
+    POST /recommend           -> {"recommendations": [[sid, ...], ...]}
+         body: {"interactions": [[sid, ...] per user], "k": 10}
+
+  Interactions are item ids in the training id space. Scoring runs the
+  same jitted full-catalog top-k path as batch recommend; the device is
+  single-stream so requests serialize on a lock.
+  """
+  import http.server
+  import threading
+
+  from recoder_tpu.data import UsersInteractions
+  from scipy.sparse import csr_matrix
+
+  model = _build_model(cfg.get('model', {}))
+  trainer = _build_trainer(cfg, model)
+  trainer.init_from_model_file(model_file)
+  num_items = trainer.num_items
+  lock = threading.Lock()
+
+  class Handler(http.server.BaseHTTPRequestHandler):
+    def log_message(self, *a):
+      pass
+
+    def _reply(self, code, payload):
+      body = json.dumps(payload).encode()
+      self.send_response(code)
+      self.send_header('Content-Type', 'application/json')
+      self.send_header('Content-Length', str(len(body)))
+      self.end_headers()
+      self.wfile.write(body)
+
+    def do_GET(self):
+      if self.path == '/healthz':
+        self._reply(200, {'status': 'ok', 'num_items': num_items})
+      else:
+        self._reply(404, {'error': 'unknown path'})
+
+    def do_POST(self):
+      if self.path != '/recommend':
+        self._reply(404, {'error': 'unknown path'})
+        return
+      try:
+        length = int(self.headers.get('Content-Length', 0))
+        req = json.loads(self.rfile.read(length))
+        histories = req['interactions']
+        k = int(req.get('k', 10))
+        rows, cols = [], []
+        for u, items in enumerate(histories):
+          for i in items:
+            if not 0 <= int(i) < num_items:
+              raise ValueError(f'item id {i} out of range')
+            rows.append(u)
+            cols.append(int(i))
+        m = csr_matrix((np.ones(len(rows), np.float32), (rows, cols)),
+                       shape=(len(histories), num_items))
+        ui = UsersInteractions(users=np.arange(len(histories)),
+                               interactions_matrix=m)
+        with lock:
+          recs = trainer.recommend(ui, k)
+        self._reply(200, {'recommendations': [[int(i) for i in r]
+                                              for r in recs]})
+      except Exception as e:  # surface the error to the client
+        self._reply(400, {'error': str(e)})
+
+  return http.server.ThreadingHTTPServer((host, port), Handler)
+
+
+def cmd_serve(cfg, model_file, host, port):
+  server = make_server(cfg, model_file, host, port)
+  print(f'serving on http://{host}:{server.server_address[1]} '
+        f'(POST /recommend, GET /healthz)')
+  server.serve_forever()
+
+
 def main():
   p = argparse.ArgumentParser(prog='recoder_tpu', description=__doc__)
   sub = p.add_subparsers(dest='cmd', required=True)
@@ -170,6 +249,11 @@ def main():
                   help="metric specs like recall@20 ndcg@100 map@10 "
                        "(default: config 'evaluate.metrics' or "
                        "recall@20 recall@50 ndcg@100)")
+  ps = sub.add_parser('serve')
+  ps.add_argument('--config', required=True)
+  ps.add_argument('--model-file', required=True)
+  ps.add_argument('--host', default='127.0.0.1')
+  ps.add_argument('--port', type=int, default=8321)
   pr = sub.add_parser('recommend')
   pr.add_argument('--config', required=True)
   pr.add_argument('--model-file', required=True)
@@ -186,6 +270,8 @@ def main():
   elif args.cmd == 'evaluate':
     cmd_evaluate(cfg, args.model_file, args.num_recommendations,
                  args.batch_size, metric_specs=args.metrics)
+  elif args.cmd == 'serve':
+    cmd_serve(cfg, args.model_file, args.host, args.port)
   else:
     cmd_recommend(cfg, args.model_file, args.num_recommendations,
                   args.batch_size, args.out)

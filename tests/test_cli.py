@@ -97,3 +97,48 @@ def test_cli_train_evaluate_recommend(workspace, capsys):
   assert list(recs.columns) == ['uid', 'rank', 'sid']
   assert recs.uid.nunique() == 60
   assert recs.groupby('uid')['rank'].max().eq(5).all()
+
+
+def test_cli_serve_endpoints(workspace):
+  """serve: health check + batch scoring over HTTP."""
+  import json as _json
+  import threading
+  import urllib.request
+
+  tmp_path, cfg_path = workspace
+  _run_cli(['train', '--config', str(cfg_path)])
+  ckpt = str(tmp_path / 'ck_epoch_2.model')
+
+  cfg = _json.loads(cfg_path.read_text())
+  server = cli.make_server(cfg, ckpt, port=0)  # ephemeral port
+  t = threading.Thread(target=server.serve_forever, daemon=True)
+  t.start()
+  try:
+    base = f'http://127.0.0.1:{server.server_address[1]}'
+    with urllib.request.urlopen(f'{base}/healthz', timeout=10) as r:
+      health = _json.loads(r.read())
+    assert health['status'] == 'ok' and health['num_items'] == 80
+
+    body = _json.dumps({'interactions': [[1, 2, 3], [10, 11]],
+                        'k': 5}).encode()
+    req = urllib.request.Request(f'{base}/recommend', data=body,
+                                 headers={'Content-Type':
+                                          'application/json'})
+    with urllib.request.urlopen(req, timeout=30) as r:
+      recs = _json.loads(r.read())['recommendations']
+    assert len(recs) == 2 and all(len(r) == 5 for r in recs)
+    assert not set(recs[0]) & {1, 2, 3}  # seen items masked
+
+    # bad request -> 400 with an error message
+    bad = _json.dumps({'interactions': [[999]], 'k': 5}).encode()
+    req = urllib.request.Request(f'{base}/recommend', data=bad,
+                                 headers={'Content-Type':
+                                          'application/json'})
+    try:
+      urllib.request.urlopen(req, timeout=10)
+      assert False, 'expected HTTP 400'
+    except urllib.error.HTTPError as e:
+      assert e.code == 400
+      assert 'out of range' in _json.loads(e.read())['error']
+  finally:
+    server.shutdown()
