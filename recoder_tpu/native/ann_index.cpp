@@ -9,6 +9,15 @@
 // d = sqrt(2 - 2*cos). Built from scratch for this framework; exposed
 // to Python through a C ABI + ctypes (no pybind11 dependency).
 //
+// Storage design (round 2): after Build the index is serialized into
+// one flat, 8-byte-aligned buffer whose layout equals the on-disk
+// format; Save writes that buffer verbatim, Load mmaps the file and
+// points the search structures into the mapping. Loads are O(1) --
+// pages fault in on demand and multiple processes share the page
+// cache -- matching annoy's mmap-based load (its headline serving
+// feature). Queries are thread-safe (read-only) and batched over a
+// worker pool.
+//
 // Build: g++ -O3 -std=c++17 -shared -fPIC -o libann_index.so ann_index.cpp -pthread
 
 #include <algorithm>
@@ -22,7 +31,14 @@
 #include <thread>
 #include <vector>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 namespace {
+
+constexpr int32_t kMagicV2 = 0x414E4E32;  // "ANN2"
 
 struct Node {
   // leaf: left == -1, items holds ids. internal: plane_off into planes,
@@ -39,19 +55,34 @@ struct Tree {
   int32_t root = 0;
 };
 
+// read-only view of one tree inside the flat buffer
+struct TreeView {
+  int32_t root = 0;
+  const int32_t* left = nullptr;
+  const int32_t* right = nullptr;
+  const int64_t* leaf_off = nullptr;  // into leaf_items (leaves only)
+  const int64_t* leaf_len = nullptr;
+  const int64_t* plane_off = nullptr;
+  const float* planes = nullptr;
+  const int32_t* leaf_items = nullptr;
+};
+
+size_t Pad8(size_t n) { return (n + 7) & ~size_t(7); }
+
 class AnnIndex {
  public:
   explicit AnnIndex(int dim) : dim_(dim) {}
 
+  ~AnnIndex() { UnmapIfMapped(); }
+
   void AddItems(const float* data, int n) {
-    size_t old = items_.size();
-    items_.resize(old + static_cast<size_t>(n) * dim_);
-    std::memcpy(items_.data() + old, data, sizeof(float) * n * dim_);
-    // maintain unit-norm copies for angular math
-    norms_.resize(old + static_cast<size_t>(n) * dim_);
+    size_t old = build_items_.size();
+    build_items_.resize(old + static_cast<size_t>(n) * dim_);
+    std::memcpy(build_items_.data() + old, data, sizeof(float) * n * dim_);
+    build_norms_.resize(old + static_cast<size_t>(n) * dim_);
     for (int i = 0; i < n; ++i) {
       const float* v = data + static_cast<size_t>(i) * dim_;
-      float* o = norms_.data() + old + static_cast<size_t>(i) * dim_;
+      float* o = build_norms_.data() + old + static_cast<size_t>(i) * dim_;
       double s = 0;
       for (int d = 0; d < dim_; ++d) s += double(v[d]) * v[d];
       float inv = s > 0 ? float(1.0 / std::sqrt(s)) : 0.f;
@@ -61,31 +92,32 @@ class AnnIndex {
   }
 
   void Build(int n_trees, uint32_t seed, int leaf_size) {
-    trees_.assign(n_trees, Tree{});
+    std::vector<Tree> trees(n_trees);
     leaf_size_ = leaf_size > 0 ? leaf_size : std::max(8, dim_ / 4);
     unsigned hw = std::max(1u, std::thread::hardware_concurrency());
-    unsigned workers = std::min<unsigned>(hw, n_trees);
+    unsigned workers = std::min<unsigned>(hw, std::max(n_trees, 1));
     std::vector<std::thread> pool;
     std::atomic<int> next{0};
     for (unsigned w = 0; w < workers; ++w) {
-      pool.emplace_back([&, w] {
+      pool.emplace_back([&] {
         for (;;) {
           int t = next.fetch_add(1);
           if (t >= n_trees) return;
           std::mt19937 rng(seed + 0x9e3779b9u * (t + 1));
           std::vector<int32_t> all(n_items_);
           for (int i = 0; i < n_items_; ++i) all[i] = i;
-          BuildTree(trees_[t], all, rng);
+          BuildTree(trees[t], all, rng);
         }
       });
     }
     for (auto& th : pool) th.join();
+    Serialize(trees);
   }
 
   // best-first search across all trees with a shared priority queue
   int GetNnsByVector(const float* query, int n, int search_k,
                      int32_t* out_ids, float* out_dists) const {
-    if (search_k <= 0) search_k = n * std::max<size_t>(trees_.size(), 1);
+    if (search_k <= 0) search_k = n * std::max<size_t>(views_.size(), 1);
     std::vector<float> q(dim_);
     double s = 0;
     for (int d = 0; d < dim_; ++d) s += double(query[d]) * query[d];
@@ -95,9 +127,9 @@ class AnnIndex {
     // (priority = min margin along path, tree, node)
     using Entry = std::tuple<float, int32_t, int32_t>;
     std::priority_queue<Entry> pq;
-    for (size_t t = 0; t < trees_.size(); ++t)
+    for (size_t t = 0; t < views_.size(); ++t)
       pq.emplace(std::numeric_limits<float>::infinity(), int32_t(t),
-                 trees_[t].root);
+                 views_[t].root);
 
     std::vector<int32_t> candidates;
     candidates.reserve(search_k * 2);
@@ -105,19 +137,21 @@ class AnnIndex {
     while (!pq.empty() && visited < search_k) {
       auto [prio, t, ni] = pq.top();
       pq.pop();
-      const Tree& tree = trees_[t];
-      const Node& node = tree.nodes[ni];
-      if (node.left < 0) {
-        candidates.insert(candidates.end(), node.items.begin(),
-                          node.items.end());
-        visited += int(node.items.size());
+      const TreeView& tree = views_[t];
+      if (tree.left[ni] < 0) {
+        const int32_t* leaf = tree.leaf_items + tree.leaf_off[ni];
+        int64_t len = tree.leaf_len[ni];
+        candidates.insert(candidates.end(), leaf, leaf + len);
+        visited += int(len);
       } else {
-        const float* plane = tree.planes.data() + node.plane_off;
+        const float* plane = tree.planes + tree.plane_off[ni];
         double dot = 0;
         for (int d = 0; d < dim_; ++d) dot += double(plane[d]) * q[d];
         float margin = float(dot);
-        pq.emplace(std::min(prio, std::max(margin, 0.f)), t, node.right);
-        pq.emplace(std::min(prio, std::max(-margin, 0.f)), t, node.left);
+        pq.emplace(std::min(prio, std::max(margin, 0.f)), t,
+                   tree.right[ni]);
+        pq.emplace(std::min(prio, std::max(-margin, 0.f)), t,
+                   tree.left[ni]);
       }
     }
 
@@ -129,7 +163,7 @@ class AnnIndex {
     std::vector<std::pair<float, int32_t>> scored;
     scored.reserve(candidates.size());
     for (int32_t id : candidates) {
-      const float* v = norms_.data() + size_t(id) * dim_;
+      const float* v = norms_p_ + size_t(id) * dim_;
       double dot = 0;
       for (int d = 0; d < dim_; ++d) dot += double(v[d]) * q[d];
       float dist = std::sqrt(std::max(0.0, 2.0 - 2.0 * dot));
@@ -146,98 +180,190 @@ class AnnIndex {
 
   int GetNnsByItem(int item, int n, int search_k, int32_t* out_ids,
                    float* out_dists) const {
-    return GetNnsByVector(items_.data() + size_t(item) * dim_, n, search_k,
+    return GetNnsByVector(items_p_ + size_t(item) * dim_, n, search_k,
                           out_ids, out_dists);
   }
 
   float GetDistance(int i, int j) const {
-    const float* a = norms_.data() + size_t(i) * dim_;
-    const float* b = norms_.data() + size_t(j) * dim_;
+    const float* a = norms_p_ + size_t(i) * dim_;
+    const float* b = norms_p_ + size_t(j) * dim_;
     double dot = 0;
     for (int d = 0; d < dim_; ++d) dot += double(a[d]) * b[d];
     return std::sqrt(std::max(0.0, 2.0 - 2.0 * dot));
   }
 
   void GetItem(int i, float* out) const {
-    std::memcpy(out, items_.data() + size_t(i) * dim_, sizeof(float) * dim_);
+    std::memcpy(out, items_p_ + size_t(i) * dim_, sizeof(float) * dim_);
   }
 
   int n_items() const { return n_items_; }
   int dim() const { return dim_; }
 
   bool Save(const char* path) const {
+    const char* src = buffer_.empty()
+        ? static_cast<const char*>(map_) : buffer_.data();
+    size_t size = buffer_.empty() ? map_size_ : buffer_.size();
+    if (!src || !size) return false;
     FILE* f = std::fopen(path, "wb");
     if (!f) return false;
-    auto w32 = [&](int32_t v) { std::fwrite(&v, 4, 1, f); };
-    auto w64 = [&](int64_t v) { std::fwrite(&v, 8, 1, f); };
-    w32(0x414E4E31);  // magic "ANN1"
-    w32(dim_);
-    w32(n_items_);
-    w32(int32_t(trees_.size()));
-    std::fwrite(items_.data(), sizeof(float), items_.size(), f);
-    for (const Tree& t : trees_) {
-      w32(t.root);
-      w64(int64_t(t.planes.size()));
-      std::fwrite(t.planes.data(), sizeof(float), t.planes.size(), f);
-      w64(int64_t(t.nodes.size()));
-      for (const Node& nd : t.nodes) {
-        w32(nd.left);
-        w32(nd.right);
-        w64(nd.plane_off);
-        w64(int64_t(nd.items.size()));
-        std::fwrite(nd.items.data(), 4, nd.items.size(), f);
-      }
-    }
+    bool ok = std::fwrite(src, 1, size, f) == size;
     std::fclose(f);
-    return true;
+    return ok;
   }
 
   bool Load(const char* path) {
-    FILE* f = std::fopen(path, "rb");
-    if (!f) return false;
-    auto r32 = [&]() { int32_t v = 0; if (std::fread(&v, 4, 1, f) != 1) v = -1; return v; };
-    auto r64 = [&]() { int64_t v = 0; if (std::fread(&v, 8, 1, f) != 1) v = -1; return v; };
-    if (r32() != 0x414E4E31) { std::fclose(f); return false; }
-    int dim = r32();
-    if (dim != dim_) { std::fclose(f); return false; }
-    n_items_ = r32();
-    int n_trees = r32();
-    items_.resize(size_t(n_items_) * dim_);
-    if (std::fread(items_.data(), sizeof(float), items_.size(), f)
-        != items_.size()) { std::fclose(f); return false; }
-    // rebuild unit-norm copies
-    norms_.resize(items_.size());
-    for (int i = 0; i < n_items_; ++i) {
-      const float* v = items_.data() + size_t(i) * dim_;
-      float* o = norms_.data() + size_t(i) * dim_;
-      double s = 0;
-      for (int d = 0; d < dim_; ++d) s += double(v[d]) * v[d];
-      float inv = s > 0 ? float(1.0 / std::sqrt(s)) : 0.f;
-      for (int d = 0; d < dim_; ++d) o[d] = v[d] * inv;
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size < 16) {
+      ::close(fd);
+      return false;
     }
-    trees_.assign(n_trees, Tree{});
-    for (Tree& t : trees_) {
-      t.root = r32();
-      t.planes.resize(size_t(r64()));
-      if (!t.planes.empty() &&
-          std::fread(t.planes.data(), sizeof(float), t.planes.size(), f)
-              != t.planes.size()) { std::fclose(f); return false; }
-      t.nodes.resize(size_t(r64()));
-      for (Node& nd : t.nodes) {
-        nd.left = r32();
-        nd.right = r32();
-        nd.plane_off = r64();
-        nd.items.resize(size_t(r64()));
-        if (!nd.items.empty() &&
-            std::fread(nd.items.data(), 4, nd.items.size(), f)
-                != nd.items.size()) { std::fclose(f); return false; }
-      }
+    void* m = mmap(nullptr, size_t(st.st_size), PROT_READ, MAP_SHARED,
+                   fd, 0);
+    ::close(fd);
+    if (m == MAP_FAILED) return false;
+    UnmapIfMapped();
+    buffer_.clear();
+    buffer_.shrink_to_fit();
+    map_ = m;
+    map_size_ = size_t(st.st_size);
+    if (!ParseBuffer(static_cast<const char*>(map_), map_size_)) {
+      UnmapIfMapped();
+      return false;
     }
-    std::fclose(f);
     return true;
   }
 
  private:
+  void UnmapIfMapped() {
+    if (map_) {
+      munmap(map_, map_size_);
+      map_ = nullptr;
+      map_size_ = 0;
+    }
+  }
+
+  // -- flat buffer layout (== on-disk format, all sections 8-aligned):
+  //   i32 magic, i32 dim, i32 n_items, i32 n_trees
+  //   f32 items[n_items*dim]  f32 norms[n_items*dim]
+  //   per tree:
+  //     i32 root, i32 pad, i64 n_nodes, i64 n_planes, i64 n_leaf_items
+  //     i32 left[n], i32 right[n] (each padded to 8)
+  //     i64 plane_off[n], i64 leaf_off[n], i64 leaf_len[n]
+  //     f32 planes[n_planes] (padded), i32 leaf_items[m] (padded)
+
+  void Serialize(const std::vector<Tree>& trees) {
+    size_t items_bytes = sizeof(float) * build_items_.size();
+    size_t total = 16 + 2 * Pad8(items_bytes);
+    for (const Tree& t : trees) {
+      size_t n = t.nodes.size();
+      size_t leaf_items = 0;
+      for (const Node& nd : t.nodes) leaf_items += nd.items.size();
+      total += 8 + 24;                      // root/pad + counters
+      total += 2 * Pad8(4 * n) + 3 * 8 * n; // left/right + 3 i64 arrays
+      total += Pad8(sizeof(float) * t.planes.size());
+      total += Pad8(4 * leaf_items);
+    }
+
+    buffer_.assign(total, 0);
+    char* p = buffer_.data();
+    auto put = [&](const void* src, size_t bytes, bool pad) {
+      std::memcpy(p, src, bytes);
+      p += pad ? Pad8(bytes) : bytes;
+    };
+    int32_t header[4] = {kMagicV2, dim_, n_items_, int32_t(trees.size())};
+    put(header, 16, false);
+    put(build_items_.data(), items_bytes, true);
+    put(build_norms_.data(), items_bytes, true);
+
+    for (const Tree& t : trees) {
+      int64_t n = int64_t(t.nodes.size());
+      int64_t n_planes = int64_t(t.planes.size());
+      std::vector<int32_t> left(n), right(n), leaf_items;
+      std::vector<int64_t> plane_off(n), leaf_off(n), leaf_len(n);
+      for (int64_t i = 0; i < n; ++i) {
+        const Node& nd = t.nodes[i];
+        left[i] = nd.left;
+        right[i] = nd.right;
+        plane_off[i] = std::max<int64_t>(nd.plane_off, 0);
+        leaf_off[i] = int64_t(leaf_items.size());
+        leaf_len[i] = int64_t(nd.items.size());
+        leaf_items.insert(leaf_items.end(), nd.items.begin(),
+                          nd.items.end());
+      }
+      int64_t n_leaf = int64_t(leaf_items.size());
+      int32_t head[2] = {t.root, 0};
+      put(head, 8, false);
+      int64_t counters[3] = {n, n_planes, n_leaf};
+      put(counters, 24, false);
+      put(left.data(), 4 * n, true);
+      put(right.data(), 4 * n, true);
+      put(plane_off.data(), 8 * n, false);
+      put(leaf_off.data(), 8 * n, false);
+      put(leaf_len.data(), 8 * n, false);
+      put(t.planes.data(), sizeof(float) * n_planes, true);
+      put(leaf_items.data(), 4 * n_leaf, true);
+    }
+
+    build_items_.clear();
+    build_items_.shrink_to_fit();
+    build_norms_.clear();
+    build_norms_.shrink_to_fit();
+    UnmapIfMapped();
+    bool ok = ParseBuffer(buffer_.data(), buffer_.size());
+    (void)ok;  // layout written by this function; always parses
+  }
+
+  bool ParseBuffer(const char* base, size_t size) {
+    const char* p = base;
+    const char* end = base + size;
+    auto need = [&](size_t bytes) { return size_t(end - p) >= bytes; };
+    if (!need(16)) return false;
+    int32_t header[4];
+    std::memcpy(header, p, 16);
+    p += 16;
+    if (header[0] != kMagicV2 || header[1] != dim_) return false;
+    n_items_ = header[2];
+    int n_trees = header[3];
+    size_t items_bytes = sizeof(float) * size_t(n_items_) * dim_;
+    if (!need(2 * Pad8(items_bytes))) return false;
+    items_p_ = reinterpret_cast<const float*>(p);
+    p += Pad8(items_bytes);
+    norms_p_ = reinterpret_cast<const float*>(p);
+    p += Pad8(items_bytes);
+
+    views_.assign(n_trees, TreeView{});
+    for (TreeView& v : views_) {
+      if (!need(32)) return false;
+      std::memcpy(&v.root, p, 4);
+      p += 8;
+      int64_t counters[3];
+      std::memcpy(counters, p, 24);
+      p += 24;
+      int64_t n = counters[0], n_planes = counters[1],
+              n_leaf = counters[2];
+      size_t want = 2 * Pad8(4 * n) + 3 * 8 * n
+          + Pad8(sizeof(float) * n_planes) + Pad8(4 * n_leaf);
+      if (n < 0 || n_planes < 0 || n_leaf < 0 || !need(want)) return false;
+      v.left = reinterpret_cast<const int32_t*>(p);
+      p += Pad8(4 * n);
+      v.right = reinterpret_cast<const int32_t*>(p);
+      p += Pad8(4 * n);
+      v.plane_off = reinterpret_cast<const int64_t*>(p);
+      p += 8 * n;
+      v.leaf_off = reinterpret_cast<const int64_t*>(p);
+      p += 8 * n;
+      v.leaf_len = reinterpret_cast<const int64_t*>(p);
+      p += 8 * n;
+      v.planes = reinterpret_cast<const float*>(p);
+      p += Pad8(sizeof(float) * n_planes);
+      v.leaf_items = reinterpret_cast<const int32_t*>(p);
+      p += Pad8(4 * n_leaf);
+    }
+    return true;
+  }
+
   void BuildTree(Tree& tree, std::vector<int32_t>& ids, std::mt19937& rng) {
     tree.root = BuildNode(tree, ids, rng, 0);
   }
@@ -259,8 +385,8 @@ class AnnIndex {
     std::vector<float> plane(dim_);
     bool ok = false;
     for (int attempt = 0; attempt < 5 && !ok; ++attempt) {
-      const float* a0 = norms_.data() + size_t(ids[pick(rng)]) * dim_;
-      const float* b0 = norms_.data() + size_t(ids[pick(rng)]) * dim_;
+      const float* a0 = build_norms_.data() + size_t(ids[pick(rng)]) * dim_;
+      const float* b0 = build_norms_.data() + size_t(ids[pick(rng)]) * dim_;
       std::vector<float> c0(a0, a0 + dim_);
       std::vector<float> c1(b0, b0 + dim_);
 
@@ -272,7 +398,8 @@ class AnnIndex {
         std::fill(n1.begin(), n1.end(), 0.f);
         int cnt0 = 0, cnt1 = 0;
         for (size_t k = 0; k < kSample; ++k) {
-          const float* v = norms_.data() + size_t(ids[pick(rng)]) * dim_;
+          const float* v =
+              build_norms_.data() + size_t(ids[pick(rng)]) * dim_;
           double d0 = 0, d1 = 0;
           for (int d = 0; d < dim_; ++d) {
             double e0 = v[d] - c0[d], e1 = v[d] - c1[d];
@@ -304,7 +431,10 @@ class AnnIndex {
     if (!ok) {  // all duplicates: random gaussian plane
       std::normal_distribution<float> g;
       double s = 0;
-      for (int d = 0; d < dim_; ++d) { plane[d] = g(rng); s += double(plane[d]) * plane[d]; }
+      for (int d = 0; d < dim_; ++d) {
+        plane[d] = g(rng);
+        s += double(plane[d]) * plane[d];
+      }
       float inv = float(1.0 / std::sqrt(std::max(s, 1e-12)));
       for (int d = 0; d < dim_; ++d) plane[d] *= inv;
     }
@@ -313,7 +443,7 @@ class AnnIndex {
     left.reserve(ids.size() / 2);
     right.reserve(ids.size() / 2);
     for (int32_t id : ids) {
-      const float* v = norms_.data() + size_t(id) * dim_;
+      const float* v = build_norms_.data() + size_t(id) * dim_;
       double dot = 0;
       for (int d = 0; d < dim_; ++d) dot += double(plane[d]) * v[d];
       (dot > 0 ? right : left).push_back(id);
@@ -342,9 +472,16 @@ class AnnIndex {
   int dim_;
   int n_items_ = 0;
   int leaf_size_ = 32;
-  std::vector<float> items_;
-  std::vector<float> norms_;
-  std::vector<Tree> trees_;
+  // pre-Build staging; cleared after Serialize moves them into buffer_
+  std::vector<float> build_items_;
+  std::vector<float> build_norms_;
+  // flat storage: owned buffer (built) or mmap (loaded)
+  std::vector<char> buffer_;
+  void* map_ = nullptr;
+  size_t map_size_ = 0;
+  const float* items_p_ = nullptr;
+  const float* norms_p_ = nullptr;
+  std::vector<TreeView> views_;
 };
 
 }  // namespace
@@ -389,6 +526,10 @@ int ann_get_nns_by_vector(void* p, const float* vec, int n, int search_k,
                                                    out_ids, out_dists);
 }
 
+float ann_get_distance(void* p, int i, int j) {
+  return static_cast<AnnIndex*>(p)->GetDistance(i, j);
+}
+
 // Batched multi-query search over a worker pool. out_ids/out_dists are
 // [m, n] row-major; out_counts[i] holds the number of valid entries in
 // row i (trailing slots untouched). Search is read-only, so workers
@@ -426,10 +567,6 @@ void ann_get_items(void* p, const int32_t* ids, int m, float* out) {
   int dim = index->dim();
   for (int i = 0; i < m; ++i)
     index->GetItem(ids[i], out + size_t(i) * dim);
-}
-
-float ann_get_distance(void* p, int i, int j) {
-  return static_cast<AnnIndex*>(p)->GetDistance(i, j);
 }
 
 }  // extern "C"

@@ -130,3 +130,27 @@ def test_ann_batch_queries_match_single():
   embs = index.get_embeddings(ids)
   for row, i in zip(embs, ids):
     np.testing.assert_allclose(row, emb[i], rtol=1e-6)
+
+
+def test_ann_mmap_load_and_resave(tmp_path):
+  """v2 flat format: load is mmap-backed (no parse of tree vectors),
+  queries identical, and a loaded index can be re-saved verbatim."""
+  rng = np.random.default_rng(9)
+  emb = rng.normal(size=(500, 24)).astype(np.float32)
+  idx = AnnEmbeddingsIndex(embeddings=emb, n_trees=6)
+  idx.build(index_file=str(tmp_path / 'a.index'))
+  want = idx.get_nns_by_ids([0, 123, 499], 8)
+
+  loaded = AnnEmbeddingsIndex(n_trees=6)
+  loaded.load(str(tmp_path / 'a.index'))
+  got = loaded.get_nns_by_ids([0, 123, 499], 8)
+  for a, b in zip(want, got):
+    np.testing.assert_array_equal(a, b)
+  np.testing.assert_allclose(loaded.get_embeddings([7]), emb[7:8],
+                             rtol=1e-6)
+
+  # re-save from the mmapped index -> byte-identical file
+  loaded._native.save(str(tmp_path / 'b.embeddings'))
+  a_bytes = (tmp_path / 'a.index.embeddings').read_bytes()
+  b_bytes = (tmp_path / 'b.embeddings').read_bytes()
+  assert a_bytes == b_bytes
