@@ -7,7 +7,6 @@ scheme over an embeddings index), and :class:`InferenceRecommender`
 """
 
 import numpy as np
-import scipy.sparse as sparse
 
 import recoder_tpu.utils as utils
 from recoder_tpu.embedding import EmbeddingsIndex
@@ -37,14 +36,15 @@ class SimilarityRecommender(Recommender):
   candidate is scored ``sum_h ((cos(c, h) + 1) / 2) ** scale`` over the
   user's history ``h``; the top ``num_recommendations`` by score win.
 
-  Implementation is fully batched (a TPU-era redesign of the
-  reference's per-user, per-item loops): one threaded NN query for all
-  distinct history items in the batch, then three matrix products --
-  candidate-eligibility (sparse NN-membership x sparse history),
-  similarity (dense candidate x history-embedding), and per-user score
-  accumulation (similarity x sparse history) -- followed by one
-  vectorized top-k. Cost per batch is O(|candidates| * |distinct
-  history| * d) flops instead of O(users * history) FFI round trips.
+  Implementation batches all native/index work -- one threaded NN
+  query and one bulk embedding fetch for the batch's distinct history
+  items and candidates -- then scores each user with a small dense
+  product over their own pool (|pool| x |history| x d, typically a few
+  hundred rows). Total cost is O(total_history * n * d) flops and TWO
+  FFI calls per batch, vs the reference's O(users * history) FFI round
+  trips. (A fully-matricized [candidates x distinct-history] variant
+  was measured 100x slower at 10k users x 20k items: it does
+  |C| * |U| * d work where the pools only need a fraction of it.)
 
   Args:
     embeddings_index (EmbeddingsIndex): index for NN search + vectors.
@@ -67,8 +67,7 @@ class SimilarityRecommender(Recommender):
     if m.nnz == 0:
       return [empty] * num_users
 
-    # distinct history items across the batch; each queried once
-    hist_lengths = np.diff(m.indptr[:num_users + 1])
+    # batch the index work: distinct history items queried/fetched once
     uniq, hist_uidx = np.unique(m.indices[:m.indptr[num_users]],
                                 return_inverse=True)            # [U]
     nn_lists = self.embeddings_index.get_nns_by_ids(uniq, self.n)
@@ -77,57 +76,53 @@ class SimilarityRecommender(Recommender):
     cand = np.unique(flat_nns)                                   # [C]
     if len(cand) == 0:
       return [empty] * num_users
-    U, C = len(uniq), len(cand)
+    U = len(uniq)
 
-    # membership: M[c, j] = 1 iff candidate c is in NN(uniq[j])
-    nn_counts = np.fromiter((len(l) for l in nn_lists), dtype=np.int64,
-                            count=U)
-    member = sparse.csr_matrix(
-        (np.ones(len(flat_nns), np.int8),
-         (np.searchsorted(cand, flat_nns), np.repeat(np.arange(U),
-                                                     nn_counts))),
-        shape=(C, U))
-
-    # history: A[u, j] = 1 iff uniq[j] is in user u's history
-    hist = sparse.csr_matrix(
-        (np.ones(int(hist_lengths.sum()), np.int8),
-         (np.repeat(np.arange(num_users), hist_lengths), hist_uidx)),
-        shape=(num_users, U))
-
-    # candidate c is eligible for user u iff some history item of u
-    # has c among its NNs; seen candidates are excluded
-    eligible = (member @ hist.T).toarray() > 0                   # [C, B]
-    cand_in_hist = np.searchsorted(uniq, cand)
-    present = (cand_in_hist < U) & (uniq[np.minimum(cand_in_hist,
-                                                    U - 1)] == cand)
-    seen = np.zeros((C, num_users), bool)
-    seen[present] = hist[:, cand_in_hist[present]].toarray().T > 0
-    allowed = eligible & ~seen
-
-    # scores: sum over history of ((cos + 1) / 2) ** scale; float64
-    # accumulation so the batched sum ties out with a per-user sum
+    # one bulk embedding fetch covering candidates and history (most
+    # history items are their own near neighbors, so they reuse the
+    # candidate rows; strays -- possible at small n -- fetched exactly)
     cand_emb = utils.normalize(
         self.embeddings_index.get_embeddings(cand).astype(np.float64),
-        axis=1)
-    hist_emb = utils.normalize(
-        self.embeddings_index.get_embeddings(uniq).astype(np.float64),
-        axis=1)
-    sims = np.power((cand_emb @ hist_emb.T + 1.0) / 2.0, self.scale)
-    scores = sims @ hist.T.astype(np.float64).toarray()          # [C, B]
-    scores[~allowed] = -np.inf
+        axis=1)                                                  # [C, d]
+    pos = np.searchsorted(cand, uniq)
+    ok = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == uniq)
+    hist_emb = cand_emb[np.minimum(pos, len(cand) - 1)].copy()
+    if not np.all(ok):
+      strays = uniq[~ok]
+      hist_emb[~ok] = utils.normalize(
+          self.embeddings_index.get_embeddings(strays).astype(np.float64),
+          axis=1)
+
+    # per-item NN positions in cand (ragged, stored flat + offsets)
+    nn_counts = np.fromiter((len(l) for l in nn_lists), dtype=np.int64,
+                            count=U)
+    nn_pos_flat = np.searchsorted(cand, flat_nns)
+    nn_offsets = np.concatenate([[0], np.cumsum(nn_counts)])
+    seen_pos = np.where(ok, pos, -1)  # history item's own cand position
 
     k = self.num_recommendations
     out = []
     for u in range(num_users):
-      col = scores[:, u]
-      n_allowed = int(allowed[:, u].sum())
-      kk = min(k, n_allowed)
-      if kk == 0:
+      jpos = hist_uidx[m.indptr[u]:m.indptr[u + 1]]              # [h]
+      if len(jpos) == 0:
         out.append(empty)
         continue
-      top = np.argpartition(-col, kk - 1)[:kk]
-      top = top[np.argsort(-col[top])]
-      out.append(cand[top])
+      # pool = union of this user's items' NNs, minus the history
+      parts = [nn_pos_flat[nn_offsets[j]:nn_offsets[j + 1]] for j in jpos]
+      pool = np.unique(np.concatenate(parts))
+      mine = seen_pos[jpos]
+      pool = pool[~np.isin(pool, mine[mine >= 0], assume_unique=False)]
+      if len(pool) == 0:
+        out.append(empty)
+        continue
+      # tiny dense product: [pool, d] @ [d, h] -> sum of scaled sims
+      sims = (cand_emb[pool] @ hist_emb[jpos].T + 1.0) / 2.0
+      scores = np.power(sims, self.scale).sum(axis=1)
+      kk = min(k, len(scores))
+      top = (np.argpartition(-scores, kk - 1)[:kk]
+             if len(scores) > kk else np.arange(len(scores)))
+      top = top[np.argsort(-scores[top])]
+      out.append(cand[pool[top]])
     return out
 
 
