@@ -19,7 +19,7 @@ Public API parity map (reference file -> here):
   recoder/utils.py                    -> recoder_tpu.utils
 """
 
-__version__ = '0.1.0'
+__version__ = '0.2.0'
 
 
 def _enable_compilation_cache():

@@ -2,7 +2,6 @@
 dtype preservation, torch-free single-file format."""
 
 import numpy as np
-import pytest
 
 from recoder_tpu.checkpoint import (flatten_tree, load_checkpoint,
                                     save_checkpoint, unflatten_tree)

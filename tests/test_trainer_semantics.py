@@ -4,7 +4,6 @@ iterator), eval_num_users, and continued-training behavior."""
 import jax
 import numpy as np
 import pandas as pd
-import pytest
 
 from recoder_tpu.data import RecommendationDataset
 from recoder_tpu.metrics import Recall
