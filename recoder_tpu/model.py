@@ -454,32 +454,33 @@ class Recoder:
           'in_valid_width': b['width_valid'],
       }, b['overflow']
 
-    def roll(ov_acc, overflow):
-      # [sum_nnz, sum_union, max_nnz, max_union] carried through the
-      # step (donated) -- one epoch-end fetch, no per-step host work
-      return jnp.concatenate([ov_acc[:2] + overflow,
-                              jnp.maximum(ov_acc[2:], overflow)])
+    def roll(carry, overflow):
+      # donated int32[6] step carry: [step_in_epoch, global_step,
+      # sum_nnz, sum_union, max_nnz, max_union] -- counters advance on
+      # device (no per-step scalar uploads; each upload costs a
+      # tunnel round trip), overflow aggregates for one epoch-end fetch
+      return jnp.concatenate([carry[:2] + 1,
+                              carry[2:4] + overflow,
+                              jnp.maximum(carry[4:6], overflow)])
 
     if not sparse:
-      def step(params, opt_state, ov_acc, perm, lr, step_in_epoch,
-               rng_idx):
-        rng = jax.random.fold_in(self._base_rng, rng_idx)
-        batch, overflow = build(perm, step_in_epoch)
+      def step(params, opt_state, carry, perm, lr):
+        rng = jax.random.fold_in(self._base_rng, carry[1])
+        batch, overflow = build(perm, carry[0])
         new_params, new_opt_state, loss = self._dense_step_math(
             params, opt_state, batch, lr, rng)
-        return new_params, new_opt_state, loss, roll(ov_acc, overflow)
+        return new_params, new_opt_state, loss, roll(carry, overflow)
 
       fn = jax.jit(step, donate_argnums=(0, 1, 2))
     else:
-      def step(params, opt_state, sparse_states, ov_acc, perm, lr,
-               step_in_epoch, rng_idx):
-        rng = jax.random.fold_in(self._base_rng, rng_idx)
-        batch, overflow = build(perm, step_in_epoch)
+      def step(params, opt_state, sparse_states, carry, perm, lr):
+        rng = jax.random.fold_in(self._base_rng, carry[1])
+        batch, overflow = build(perm, carry[0])
         new_params, new_opt_state, new_sparse, loss = (
             self._sparse_step_math(params, opt_state, sparse_states,
                                    batch, lr, rng))
         return (new_params, new_opt_state, new_sparse, loss,
-                roll(ov_acc, overflow))
+                roll(carry, overflow))
 
       fn = jax.jit(step, donate_argnums=(0, 1, 2, 3))
 
@@ -639,27 +640,28 @@ class Recoder:
                                num_batches - self._iters_consumed)
         step_fn = self._get_fused_step_fn(fused_source, negative_sampling,
                                           sparse)
-        ov_acc = fused_source._put(jnp.zeros((4,), jnp.int32))
+        # device-side step carry (counters + overflow); one upload per
+        # epoch, one fetch at epoch end
+        carry = fused_source._put(jnp.asarray(
+            [self._iters_consumed, self._global_step, 0, 0, 0, 0],
+            jnp.int32))
         for _ in range(iters_to_process):
           self._maybe_profile(profile_dir, profile_steps)
-          step_in_epoch = np.int32(self._iters_consumed)
-          rng_idx = np.int32(self._global_step)
           self._iters_consumed += 1
           self._global_step += 1
           if not sparse:
             dense_params, _ = self._split_params()
-            new_params, self.opt_state, loss, ov_acc = step_fn(
-                dense_params, self.opt_state, ov_acc, perm, lr_arr,
-                step_in_epoch, rng_idx)
+            new_params, self.opt_state, loss, carry = step_fn(
+                dense_params, self.opt_state, carry, perm, lr_arr)
             self.model.params = new_params
           else:
             (self.model.params, self.opt_state, self.sparse_states,
-             loss, ov_acc) = step_fn(self.model.params, self.opt_state,
-                                     self.sparse_states, ov_acc, perm,
-                                     lr_arr, step_in_epoch, rng_idx)
+             loss, carry) = step_fn(self.model.params, self.opt_state,
+                                    self.sparse_states, carry, perm,
+                                    lr_arr)
           epoch_losses.append(loss)
         if iters_to_process:
-          epoch_overflows.append(ov_acc)
+          epoch_overflows.append(carry[2:])
       else:
         if (self._train_iterator is None
             or self._iters_consumed >= num_batches):
