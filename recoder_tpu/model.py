@@ -50,14 +50,22 @@ def _adapt_array(ref, new):
   Shapes differ only when a checkpoint from a sparse-instantiated model
   (lane-padded feature axis, models/base.pad_features) is loaded into a
   dense one or vice versa: pad columns are zeros by construction, so
-  slicing or re-padding the feature axis is exact."""
+  slicing or re-padding the feature axis is exact.
+
+  Checkpoint arrays destined for mesh-sharded leaves are placed onto
+  the target leaf's sharding, so a reload under a mesh keeps tables
+  row-sharded instead of silently collapsing them onto one device.
+  Single-device leaves stay uncommitted (free to join any placement)."""
   new = jnp.asarray(new, ref.dtype)
-  if new.shape == ref.shape:
-    return new
-  if new.ndim == ref.ndim == 2 and new.shape[0] == ref.shape[0]:
-    k = min(new.shape[1], ref.shape[1])
-    return jnp.zeros(ref.shape, ref.dtype).at[:, :k].set(new[:, :k])
-  return new.reshape(ref.shape)
+  if new.shape != ref.shape:
+    if new.ndim == ref.ndim == 2 and new.shape[0] == ref.shape[0]:
+      k = min(new.shape[1], ref.shape[1])
+      new = jnp.zeros(ref.shape, ref.dtype).at[:, :k].set(new[:, :k])
+    else:
+      new = new.reshape(ref.shape)
+  if len(ref.sharding.device_set) > 1:
+    return jax.device_put(new, ref.sharding)
+  return new
 
 
 def _multistep_lr(base_lr, milestones, epoch, gamma=0.1):

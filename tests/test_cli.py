@@ -142,3 +142,19 @@ def test_cli_serve_endpoints(workspace):
       assert 'out of range' in _json.loads(e.read())['error']
   finally:
     server.shutdown()
+
+
+def test_cli_train_with_mesh(workspace):
+  """trainer.mesh_model in the config builds a ('data','model') mesh
+  over the visible (virtual) devices and trains SPMD."""
+  import jax
+  if len(jax.devices()) < 8:
+    pytest.skip('needs 8 virtual devices')
+  tmp_path, cfg_path = workspace
+  cfg = json.loads(cfg_path.read_text())
+  cfg['trainer']['mesh_model'] = 2
+  cfg['train']['model_checkpoint_prefix'] = str(tmp_path / 'mesh_ck')
+  mesh_cfg = tmp_path / 'mesh.json'
+  mesh_cfg.write_text(json.dumps(cfg))
+  _run_cli(['train', '--config', str(mesh_cfg)])
+  assert os.path.exists(str(tmp_path / 'mesh_ck_epoch_2.model'))

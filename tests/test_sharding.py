@@ -139,3 +139,32 @@ def test_sharded_sparse_training_matches_single_device(sparse):
   for (ka, a), (kb, b) in zip(sorted(ref.items()), sorted(got.items())):
     assert ka == kb
     np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5, err_msg=ka)
+
+
+def test_checkpoint_reload_preserves_mesh_sharding(tmp_path):
+  """Reloading a checkpoint into a mesh trainer must keep tables
+  row-sharded (a reload that collapses params onto one device would
+  silently serialize later steps)."""
+  ds = _dataset(seed=11)
+  mesh = make_mesh(MeshConfig(data=4, model=2))
+
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[32]),
+               optimizer_type='adam', loss='mse', seed=2, mesh=mesh)
+  tr.train(train_dataset=ds, batch_size=16, num_epochs=2,
+           negative_sampling=True)
+  path = tr.save_state(str(tmp_path / 'ck'))
+
+  tr2 = Recoder(model=DynamicAutoencoder(), optimizer_type='adam',
+                loss='mse', seed=2, mesh=mesh)
+  tr2.init_from_model_file(path)
+  table = tr2.model.params['en_embedding']
+  assert len(table.sharding.device_set) == 8
+  shard_shapes = {s.data.shape for s in table.addressable_shards}
+  assert shard_shapes == {(table.shape[0] // 2, table.shape[1])}
+
+  # params identical to the saved ones, and training resumes under mesh
+  np.testing.assert_allclose(np.asarray(table),
+                             np.asarray(tr.model.params['en_embedding']))
+  tr2.train(train_dataset=ds, batch_size=16, num_epochs=3,
+            negative_sampling=True)
+  assert tr2.current_epoch == 3
