@@ -35,14 +35,18 @@ TRAIN_SEED = 0
 NUM_EPOCHS = 10
 MAX_EPOCHS = 14  # headroom past the reference's 10-epoch budget
 
-# Measured from the torch reference by tools/derive_quality_target.py
-# (see its docstring): the quality "fully trained" means on this data.
-# Derived 2026-08-16: {"Recall@20": 0.03657, "NDCG@100": 0.05437,
-# "train_seconds_cpu": 1239.4, "epochs": 10, "seed": 0} -- absolute
-# values are low because the synthetic data has Zipf popularity but no
-# per-user structure; the target is differential (same data, same
-# config, reference implementation).
-REFERENCE_QUALITY = {'recall_20': 0.03657, 'ndcg_100': 0.05437}
+# Measured from the torch reference by tools/derive_quality_target.py:
+# its PEAK quality across the full 10-epoch (<60 s K80) budget, from
+# the per-epoch curve (derived 2026-08-16, seed 0):
+#   epoch  1: Recall@20 0.04718  NDCG@100 0.06588   <- peak
+#   epoch  2: 0.03932 / 0.05753 ... epoch 10: 0.03668 / 0.05410
+# (the reference peaks after one epoch on this data and then declines;
+# this implementation's epoch-1 values, 0.0474/0.0659, match the
+# reference's epoch-1 almost exactly -- trajectory-level parity).
+# Absolute values are low because the synthetic data has Zipf
+# popularity but no per-user structure; the target is differential
+# (same data, same config, reference implementation, its best epoch).
+REFERENCE_QUALITY = {'recall_20': 0.04718, 'ndcg_100': 0.06588}
 # relative bar: the reference's own atol=0.01 gate would be ~27% slack
 # at these absolute values; 97% of reference is a tighter, fairer bar
 QUALITY_FRACTION = 0.97

@@ -61,6 +61,11 @@ def main():
   out['seed'] = TRAIN_SEED
   out['heldout_users'] = HELDOUT_USERS
   print(json.dumps(out))
+  # NOTE: bench_quality pins the reference's PEAK quality across the
+  # budget, not this endpoint -- on the synthetic data the reference
+  # peaks at epoch 1 and declines; re-derive the per-epoch curve
+  # (train num_epochs=e incrementally, evaluating each e) when the
+  # synthesizer changes.
 
 
 if __name__ == '__main__':
