@@ -14,7 +14,8 @@ Config schema (JSON):
   "model": {"type": "autoencoder" | "mf", ...constructor kwargs...},
   "trainer": {"optimizer_type": "adam", "loss": "logistic",
               "loss_params": {}, "seed": 42,
-              "mesh_model": 0},
+              "mesh_model": 0,
+              "eval_item_chunk": 0, "eval_compute_dtype": null},
   "train": { ...Recoder.train kwargs... }
 }
 """

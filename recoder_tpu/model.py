@@ -99,16 +99,35 @@ class Recoder:
       :func:`recoder_tpu.parallel.make_mesh`. When given, embedding
       tables are row-sharded over 'model', the batch users axis over
       'data', and training steps run SPMD over the mesh.
+    eval_item_chunk (int, optional): score the catalog in contiguous
+      slices of this many items during recommend/evaluate instead of
+      one ``[B, num_items]`` matmul, carrying a running top-k. Caps
+      inference HBM at ``O(B x chunk)`` so multi-million-item catalogs
+      evaluate without the dense slab. Auto-enabled (chunk 2**18) when
+      the padded catalog exceeds ``AUTO_CHUNK_ITEMS``; pass 0 to force
+      the monolithic path.
+    eval_compute_dtype (str, optional): matmul dtype for inference
+      forwards only (e.g. 'bfloat16' for MXU-rate eval of a model
+      trained in float32). Training numerics are unaffected.
   """
+
+  #: padded catalog size beyond which recommend() defaults to chunked
+  #: scoring (the [B, num_items] slab at B=1000 f32 crosses ~8 GB HBM
+  #: around 2M padded items together with tables + workspace)
+  AUTO_CHUNK_ITEMS = 2 ** 21
+  AUTO_CHUNK_WIDTH = 2 ** 18
 
   def __init__(self, model: FactorizationModel,
                num_items=None, num_users=None,
                optimizer_type='sgd', loss='mse',
                loss_params=None, use_cuda=False,
                user_based=True, item_based=True,
-               seed=42, mesh=None):
+               seed=42, mesh=None,
+               eval_item_chunk=None, eval_compute_dtype=None):
     del use_cuda
     self.mesh = mesh
+    self.eval_item_chunk = eval_item_chunk
+    self.eval_compute_dtype = eval_compute_dtype
     self.model = model
     self.num_items = num_items
     self.num_users = num_users
@@ -502,26 +521,92 @@ class Recoder:
       self._loss_fns['val'] = jax.jit(val_loss)
     return self._loss_fns['val']
 
+  def _resolve_eval_chunk(self):
+    """Effective item-chunk width for inference (None = monolithic)."""
+    chunk = self.eval_item_chunk
+    W = self.model.num_items_padded
+    if chunk is None and W is not None and W > self.AUTO_CHUNK_ITEMS:
+      chunk = self.AUTO_CHUNK_WIDTH
+    if not chunk:  # None or 0
+      return None
+    return min(int(chunk), W)
+
   def _get_recommend_fn(self, k):
-    """Full-catalog score -> mask seen -> top-k, on device."""
-    if k in self._recommend_fns:
-      return self._recommend_fns[k]
+    """Full-catalog score -> mask seen -> top-k, on device.
+
+    Two lowering strategies behind one cache key:
+      * monolithic -- one ``[B, W]`` score matrix + one top-k (fastest
+        when the slab fits HBM);
+      * chunked (``eval_item_chunk``) -- encode once from COO, then
+        ``lax.fori_loop`` over catalog slices carrying a running
+        top-k merge; peak memory O(B x chunk) instead of O(B x W).
+    Both honor ``eval_compute_dtype`` (inference-only matmul dtype).
+    """
+    chunk = self._resolve_eval_chunk()
+    cd = self.eval_compute_dtype
+    key = (k, chunk, cd)
+    if key in self._recommend_fns:
+      return self._recommend_fns[key]
     model = self.model
 
-    def recommend(params, rows, cols, vals, users):
-      B = users.shape[0]
-      W = model.num_items_padded
-      input_dense = self._densify(rows, cols, vals, B, W)
-      out = model.apply(params, input_dense, input_users=users,
-                        training=False)
-      out = jnp.where(input_dense > 0, -jnp.inf, out)
-      col_ids = jnp.arange(W)[None, :]
-      out = jnp.where(col_ids < model.num_items, out, -jnp.inf)
-      top_vals, top_idx = jax.lax.top_k(out, k)
-      return top_idx, top_vals
+    if chunk is None:
+      def recommend(params, rows, cols, vals, users):
+        B = users.shape[0]
+        W = model.num_items_padded
+        input_dense = self._densify(rows, cols, vals, B, W)
+        out = model.apply(params, input_dense, input_users=users,
+                          training=False, compute_dtype=cd)
+        out = jnp.where(input_dense > 0, -jnp.inf, out)
+        col_ids = jnp.arange(W)[None, :]
+        out = jnp.where(col_ids < model.num_items, out, -jnp.inf)
+        top_vals, top_idx = jax.lax.top_k(out, k)
+        return top_idx, top_vals
+    else:
+      if chunk < k:
+        raise ValueError(f'eval_item_chunk ({chunk}) must be >= '
+                         f'num_recommendations ({k})')
+
+      def recommend(params, rows, cols, vals, users):
+        B = users.shape[0]
+        W = model.num_items_padded
+        C = chunk
+        n_chunks = -(-W // C)  # ceil; the last chunk is clamped + de-duped
+        h = model.encode_coo(params, rows, cols, vals, B,
+                             input_users=users, compute_dtype=cd)
+
+        def body(i, carry):
+          best_vals, best_idx = carry
+          start = jnp.minimum(i * C, W - C)
+          s = model.decode_slice(params, h, start, C, compute_dtype=cd)
+          # seen-item mask from COO: scatter vals into the chunk frame;
+          # out-of-chunk/pad entries are routed to the sentinel row B
+          c = cols - start
+          ok = (c >= 0) & (c < C) & (rows < B)
+          seen = jnp.zeros((B + 1, C), jnp.float32)
+          seen = seen.at[jnp.where(ok, rows, B),
+                         jnp.where(ok, c, 0)].add(
+              jnp.where(ok, vals.astype(jnp.float32), 0.0))[:B]
+          s = jnp.where(seen > 0, -jnp.inf, s)
+          # valid columns: inside the logical catalog AND not already
+          # covered by an earlier chunk (clamped last-chunk overlap)
+          col_ids = start + jnp.arange(C)[None, :]
+          valid = (col_ids < model.num_items) & (col_ids >= i * C)
+          s = jnp.where(valid, s, -jnp.inf)
+          c_vals, c_idx = jax.lax.top_k(s.astype(jnp.float32), k)
+          c_idx = c_idx + start
+          merged_v = jnp.concatenate([best_vals, c_vals], axis=1)
+          merged_i = jnp.concatenate([best_idx, c_idx], axis=1)
+          best_vals, sel = jax.lax.top_k(merged_v, k)
+          best_idx = jnp.take_along_axis(merged_i, sel, axis=1)
+          return best_vals, best_idx
+
+        init = (jnp.full((B, k), -jnp.inf, jnp.float32),
+                jnp.zeros((B, k), jnp.int32))
+        top_vals, top_idx = jax.lax.fori_loop(0, n_chunks, body, init)
+        return top_idx, top_vals
 
     fn = jax.jit(recommend)
-    self._recommend_fns[k] = fn
+    self._recommend_fns[key] = fn
     return fn
 
   # ------------------------------------------------------------------
@@ -881,8 +966,9 @@ class Recoder:
     dense = self._densify(jnp.asarray(batch.rows), jnp.asarray(batch.cols),
                           jnp.asarray(batch.vals), B, W)
     out = model.apply(model.params, dense,
-                      input_users=jnp.asarray(batch.users), training=False)
-    out = np.asarray(out)[:, :self.num_items]
+                      input_users=jnp.asarray(batch.users), training=False,
+                      compute_dtype=self.eval_compute_dtype)
+    out = np.asarray(out.astype(jnp.float32))[:, :self.num_items]
     input_dense = np.asarray(dense)[:, :self.num_items]
     return out, input_dense
 

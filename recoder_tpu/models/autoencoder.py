@@ -25,7 +25,7 @@ from recoder_tpu.models.base import (FactorizationModel, activation, dropout,
                                      l2_normalize_rows, pad_dim,
                                      pad_features, xavier_uniform)
 from recoder_tpu.ops.gather_matmul import (encode_gather_matmul,
-                                           decode_gather_matmul)
+                                           decode_gather_matmul, take_rows)
 
 
 class DynamicAutoencoder(FactorizationModel):
@@ -156,25 +156,11 @@ class DynamicAutoencoder(FactorizationModel):
 
   # -- forward -----------------------------------------------------------
 
-  def _forward_core(self, params, input, en_operand, en_ids,
-                    de_operand, de_ids, de_bias, rng, training,
-                    items_sorted_unique=False):
-    """Shared forward; operands may be full tables (+ids) or
-    pre-gathered row matrices (ids=None)."""
-    if training and (self.noise_prob > 0 or self.dropout_prob > 0):
-      assert rng is not None, 'training with dropout requires rng'
-      noise_rng, drop_rng = jax.random.split(rng)
-
-    z = l2_normalize_rows(input)
-    if training and self.noise_prob > 0:
-      z = dropout(z, self.noise_prob, noise_rng)
-
-    cd = self.compute_dtype
-
-    # encode: z[B, U] @ E_en[items][U, d0] + b_en
-    z = encode_gather_matmul(z, en_operand, en_ids, params['en_bias'],
-                             compute_dtype=cd,
-                             sorted_unique=items_sorted_unique)
+  def _hidden_stack(self, params, z, cd, training=False, drop_rng=None):
+    """Post-encode activation through the hidden encoder/decoder
+    Linears, returning the bottleneck output ``h [B, d0]`` that feeds
+    the final decode. ``z`` is the encode-gather output (pre-activation
+    + bias already applied)."""
     z = activation(z, self.activation_type)
 
     for i in range(1, len(self.hidden_layers)):
@@ -202,6 +188,30 @@ class DynamicAutoencoder(FactorizationModel):
       else:
         z = z @ w + params[f'decode_bias_{i}']
       z = activation(z, self.activation_type)
+    return z
+
+  def _forward_core(self, params, input, en_operand, en_ids,
+                    de_operand, de_ids, de_bias, rng, training,
+                    items_sorted_unique=False, compute_dtype=None):
+    """Shared forward; operands may be full tables (+ids) or
+    pre-gathered row matrices (ids=None)."""
+    noise_rng = drop_rng = None
+    if training and (self.noise_prob > 0 or self.dropout_prob > 0):
+      assert rng is not None, 'training with dropout requires rng'
+      noise_rng, drop_rng = jax.random.split(rng)
+
+    z = l2_normalize_rows(input)
+    if training and self.noise_prob > 0:
+      z = dropout(z, self.noise_prob, noise_rng)
+
+    cd = self.compute_dtype if compute_dtype is None else compute_dtype
+
+    # encode: z[B, U] @ E_en[items][U, d0] + b_en
+    z = encode_gather_matmul(z, en_operand, en_ids, params['en_bias'],
+                             compute_dtype=cd,
+                             sorted_unique=items_sorted_unique)
+    z = self._hidden_stack(params, z, cd, training=training,
+                           drop_rng=drop_rng)
 
     # decode: h[B, d0] @ E_de[items].T + b_de[items]
     z = decode_gather_matmul(z, de_operand, de_ids, de_bias,
@@ -214,7 +224,7 @@ class DynamicAutoencoder(FactorizationModel):
 
   def apply(self, params, input, input_users=None, input_items=None,
             target_users=None, target_items=None, rng=None, training=False,
-            items_sorted_unique=False):
+            items_sorted_unique=False, compute_dtype=None):
     del input_users, target_users  # item-based model
     if input_items is None and input.shape[1] < self.num_items_padded:
       # full-catalog input given at logical width: pad to the table
@@ -228,7 +238,53 @@ class DynamicAutoencoder(FactorizationModel):
                               de_operand=de_table, de_ids=target_items,
                               de_bias=params['de_bias'],
                               rng=rng, training=training,
-                              items_sorted_unique=items_sorted_unique)
+                              items_sorted_unique=items_sorted_unique,
+                              compute_dtype=compute_dtype)
+
+  # -- chunked full-catalog inference --------------------------------------
+
+  def encode_coo(self, params, rows, cols, vals, num_rows, input_users=None,
+                 compute_dtype=None):
+    """Inference bottleneck ``h [num_rows, d0]`` straight from COO
+    interactions, never materializing the ``[B, num_items]`` dense slab
+    (the memory wall for multi-million-item catalogs; the reference
+    densifies the full catalog per eval batch, model.py:508-510).
+
+    Equivalent to ``l2-normalize -> encode -> hidden stack`` of the
+    dense path: the row L2 norm is a segment-sum of squares over the
+    COO values, and the encode matmul becomes
+    ``segment_sum(vals_norm * E_en[cols])`` -- the zero columns a dense
+    row would contribute are exactly zero in both.
+
+    Padded COO slots carry row index ``num_rows`` (the batch sentinel)
+    and are dropped by the segment sums.
+    """
+    del input_users  # item-based model
+    cd = self.compute_dtype if compute_dtype is None else compute_dtype
+    vals = vals.astype(jnp.float32)
+    sq = jax.ops.segment_sum(vals * vals, rows, num_segments=num_rows + 1)
+    norm = jnp.maximum(jnp.sqrt(sq), 1e-12)  # matches l2_normalize_rows
+    zv = vals / norm[rows]
+    en_rows = take_rows(params['en_embedding'], cols)
+    if cd is not None:
+      en_rows = en_rows.astype(cd)
+      zv = zv.astype(cd)
+    contrib = en_rows * zv[:, None]
+    z = jax.ops.segment_sum(contrib.astype(jnp.float32), rows,
+                            num_segments=num_rows + 1)[:num_rows]
+    d0 = params['en_bias'].shape[0]
+    z = z[:, :d0] + params['en_bias']
+    return self._hidden_stack(params, z, cd)
+
+  def decode_slice(self, params, h, start, width, compute_dtype=None):
+    """Scores ``h @ E_de[start:start+width].T + b_de[start:...]`` for a
+    contiguous catalog slice (chunked full-catalog top-k)."""
+    cd = self.compute_dtype if compute_dtype is None else compute_dtype
+    table = (params['en_embedding'] if self.is_constrained
+             else params['de_embedding'])
+    rows = jax.lax.dynamic_slice_in_dim(table, start, width, 0)
+    bias = jax.lax.dynamic_slice_in_dim(params['de_bias'], start, width, 0)
+    return decode_gather_matmul(h, rows, None, bias, compute_dtype=cd)
 
   # -- sparse (row-gathered) path -----------------------------------------
 

@@ -131,5 +131,20 @@ class FactorizationModel:
     ``sparse=True`` (reference nn.py:87-89, model.py:109-138)."""
     return ()
 
+  def encode_coo(self, params, rows, cols, vals, num_rows, input_users=None,
+                 compute_dtype=None):
+    """Optional: inference hidden state from COO interactions without
+    densifying the full catalog. Required for chunked full-catalog
+    top-k (``Recoder(eval_item_chunk=...)``), which scales evaluation
+    to catalogs whose ``[B, num_items]`` slab exceeds HBM."""
+    raise NotImplementedError(
+        f'{type(self).__name__} does not support chunked inference')
+
+  def decode_slice(self, params, h, start, width, compute_dtype=None):
+    """Optional: scores for the contiguous catalog slice
+    ``[start, start+width)`` given ``encode_coo``'s hidden state."""
+    raise NotImplementedError(
+        f'{type(self).__name__} does not support chunked inference')
+
   def __call__(self, input, **kw):
     return self.apply(self.params, input, **kw)

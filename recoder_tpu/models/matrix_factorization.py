@@ -89,7 +89,9 @@ class MatrixFactorization(FactorizationModel):
     return ('user_embedding', 'item_embedding') if self.sparse else ()
 
   def _forward_core(self, params, user_rows, item_operand, item_ids,
-                    bias, rng, training, items_sorted_unique=False):
+                    bias, rng, training, items_sorted_unique=False,
+                    compute_dtype=None):
+    cd = self.compute_dtype if compute_dtype is None else compute_dtype
     # drop the zero pad columns BEFORE the nonlinearity (activation(0)
     # need not be 0, which would leak gradient into the pad columns);
     # decode_gather_matmul re-pads with zeros after
@@ -99,22 +101,45 @@ class MatrixFactorization(FactorizationModel):
       assert rng is not None, 'training with dropout requires rng'
       u = dropout(u, self.dropout_prob, rng)
     out = decode_gather_matmul(u, item_operand, item_ids, bias,
-                               compute_dtype=self.compute_dtype,
+                               compute_dtype=cd,
                                sorted_unique=items_sorted_unique)
-    if self.compute_dtype is not None:
-      out = out.astype(self.compute_dtype)
+    if cd is not None:
+      out = out.astype(cd)
     return out
 
   def apply(self, params, input, input_users=None, input_items=None,
             target_users=None, target_items=None, rng=None, training=False,
-            items_sorted_unique=False):
+            items_sorted_unique=False, compute_dtype=None):
     del input, input_items, target_users  # interactions enter via users/items
     u = take_rows(params['user_embedding'], input_users)
     return self._forward_core(params, u, params['item_embedding'],
                               target_items, params['bias'], rng, training,
-                              items_sorted_unique=items_sorted_unique)
+                              items_sorted_unique=items_sorted_unique,
+                              compute_dtype=compute_dtype)
 
   # compute dtype is applied inside decode_gather_matmul
+
+  # -- chunked full-catalog inference --------------------------------------
+
+  def encode_coo(self, params, rows, cols, vals, num_rows, input_users=None,
+                 compute_dtype=None):
+    """Inference user factors ``h [num_rows, d]`` for chunked scoring.
+
+    MF scores depend on user ids only, so the COO interactions are
+    unused here (they still drive seen-item masking in the caller)."""
+    del rows, cols, vals, num_rows, compute_dtype
+    u = take_rows(params['user_embedding'], input_users)
+    u = u[:, :self.embedding_size]
+    return activation(u, self.activation_type)
+
+  def decode_slice(self, params, h, start, width, compute_dtype=None):
+    """Scores ``h @ V[start:start+width].T + b[start:...]`` for a
+    contiguous catalog slice (chunked full-catalog top-k)."""
+    cd = self.compute_dtype if compute_dtype is None else compute_dtype
+    rows = jax.lax.dynamic_slice_in_dim(params['item_embedding'],
+                                        start, width, 0)
+    bias = jax.lax.dynamic_slice_in_dim(params['bias'], start, width, 0)
+    return decode_gather_matmul(h, rows, None, bias, compute_dtype=cd)
 
   # -- sparse (row-gathered) path -----------------------------------------
 

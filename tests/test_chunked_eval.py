@@ -1,0 +1,143 @@
+"""Chunked full-catalog scoring (eval_item_chunk) and inference-only
+compute-dtype override (eval_compute_dtype).
+
+The chunked path exists for catalogs whose ``[B, num_items]`` score slab
+exceeds HBM (ROADMAP: >4M-item catalogs; the reference densifies the
+full catalog per eval batch, reference model.py:508-510). These tests
+pin its exactness against the monolithic path on both model families,
+including the clamped-overlap handling of the last chunk and the
+chunk-frame seen-item masking.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from recoder_tpu.data import RecommendationDataset
+from recoder_tpu.data.dataset import UsersInteractions
+from recoder_tpu.model import Recoder
+from recoder_tpu.models import DynamicAutoencoder, MatrixFactorization
+
+
+NUM_USERS, NUM_ITEMS = 60, 700
+
+
+def _random_matrix(seed=7, num_users=NUM_USERS, num_items=NUM_ITEMS):
+  rng = np.random.RandomState(seed)
+  rows, cols = [], []
+  for u in range(num_users):
+    items = rng.choice(num_items, size=rng.randint(5, 40), replace=False)
+    rows.extend([u] * len(items))
+    cols.extend(items)
+  vals = np.ones(len(rows), np.float32)
+  return sp.csr_matrix((vals, (rows, cols)),
+                       shape=(num_users, num_items))
+
+
+def _interactions(matrix, users):
+  return UsersInteractions(users=np.asarray(users),
+                           interactions_matrix=matrix[users])
+
+
+def _make_trainer(model_kind, train_dataset, **kw):
+  if model_kind == 'ae':
+    model = DynamicAutoencoder(hidden_layers=[32], activation_type='tanh')
+  else:
+    model = MatrixFactorization(embedding_size=32, activation_type='tanh')
+  trainer = Recoder(model, optimizer_type='adam', loss='mse', **kw)
+  trainer.train(train_dataset, batch_size=20, num_epochs=2, lr=0.01)
+  return trainer
+
+
+@pytest.mark.parametrize('model_kind', ['ae', 'mf'])
+@pytest.mark.parametrize('chunk', [256, 192, 50])
+def test_chunked_matches_monolithic(model_kind, chunk):
+  """Chunked top-k == monolithic top-k, including when the chunk does
+  not divide the padded catalog (clamped last chunk must not duplicate
+  or skip columns)."""
+  matrix = _random_matrix()
+  ds = RecommendationDataset(matrix)
+  trainer = _make_trainer(model_kind, ds)
+  users = np.arange(0, NUM_USERS, 3)
+  batch = _interactions(matrix, users)
+
+  k = 20
+  mono = trainer.recommend(batch, k)
+
+  trainer.eval_item_chunk = chunk  # same params, chunked lowering
+  chunked = trainer.recommend(batch, k)
+
+  for u, (a, b) in enumerate(zip(mono, chunked)):
+    assert len(b) == k
+    assert len(set(b)) == k, f'user {u}: duplicate recommendations {b}'
+    # identical float sums can legally swap rank order between the two
+    # reduction shapes; require the recommended SETS to agree
+    assert set(a) == set(b), f'user {u}: {sorted(a)} != {sorted(b)}'
+
+
+def test_chunked_excludes_seen_and_pad():
+  """No seen item and no out-of-catalog (padded) id may appear."""
+  matrix = _random_matrix(seed=11)
+  ds = RecommendationDataset(matrix)
+  trainer = _make_trainer('ae', ds, eval_item_chunk=128)
+  users = np.arange(NUM_USERS)
+  recs = trainer.recommend(_interactions(matrix, users), 30)
+  for u, rec in zip(users, recs):
+    seen = set(matrix[u].nonzero()[1])
+    assert not (set(rec) & seen), f'user {u} got seen items'
+    assert max(rec) < NUM_ITEMS
+
+
+def test_chunk_smaller_than_k_rejected():
+  matrix = _random_matrix(seed=3)
+  ds = RecommendationDataset(matrix)
+  trainer = _make_trainer('mf', ds, eval_item_chunk=8)
+  with pytest.raises(ValueError, match='eval_item_chunk'):
+    trainer.recommend(_interactions(matrix, [0, 1]), 16)
+
+
+def test_auto_chunk_threshold():
+  """Catalogs past AUTO_CHUNK_ITEMS auto-enable chunking; 0 disables."""
+  model = DynamicAutoencoder(hidden_layers=[8])
+  trainer = Recoder(model, num_items=NUM_ITEMS)
+  trainer._init_model()
+  assert trainer._resolve_eval_chunk() is None  # small catalog: monolithic
+
+  trainer.eval_item_chunk = 64
+  assert trainer._resolve_eval_chunk() == 64
+
+  # simulate a huge padded catalog without allocating its tables
+  model.num_items_padded = Recoder.AUTO_CHUNK_ITEMS * 2
+  trainer.eval_item_chunk = None
+  assert trainer._resolve_eval_chunk() == Recoder.AUTO_CHUNK_WIDTH
+  trainer.eval_item_chunk = 0
+  assert trainer._resolve_eval_chunk() is None
+
+
+def test_bf16_eval_dtype():
+  """eval_compute_dtype='bfloat16' runs both recommend paths and
+  preserves a decisively-separated ranking (scores dominated by the
+  decoder bias, spaced far beyond bf16 resolution)."""
+  matrix = _random_matrix(seed=5)
+  ds = RecommendationDataset(matrix)
+  trainer = _make_trainer('ae', ds, eval_compute_dtype='bfloat16')
+  import jax.numpy as jnp
+  # rig de_bias so item i scores ~ -i: top-k = lowest unseen ids
+  params = dict(trainer.model.params)
+  params['de_bias'] = -10.0 * jnp.arange(
+      trainer.model.num_items_padded, dtype=jnp.float32)
+  trainer.model.params = params
+
+  users = [0, 1, 2]
+  batch = _interactions(matrix, users)
+  k = 10
+  recs = trainer.recommend(batch, k)
+
+  trainer.eval_item_chunk = 128
+  recs_chunked = trainer.recommend(batch, k)
+
+  for u, rec, rec_c in zip(users, recs, recs_chunked):
+    seen = set(matrix[u].nonzero()[1])
+    expected = [i for i in range(NUM_ITEMS) if i not in seen][:k]
+    assert list(rec) == expected
+    assert list(rec_c) == expected
