@@ -112,9 +112,11 @@ class Recoder:
   """
 
   #: padded catalog size beyond which recommend() defaults to chunked
-  #: scoring (the [B, num_items] slab at B=1000 f32 crosses ~8 GB HBM
-  #: around 2M padded items together with tables + workspace)
-  AUTO_CHUNK_ITEMS = 2 ** 21
+  #: scoring. Measured on v5e (docs/benchmarks.md): chunked is ~15%
+  #: faster than monolithic already at 1M items x B=500 (no [B, W]
+  #: slab to densify/mask/top-k), and monolithic stops compiling around
+  #: 8M items; so the auto threshold sits at 1M.
+  AUTO_CHUNK_ITEMS = 2 ** 20
   AUTO_CHUNK_WIDTH = 2 ** 18
 
   def __init__(self, model: FactorizationModel,
@@ -302,6 +304,16 @@ class Recoder:
     return {k: (jax.device_put(v) if v is not None else None)
             for k, v in staged.items()}
 
+  def _cpu_mesh_serialize(self):
+    """True when executions must be kept one-in-flight: a multi-device
+    mesh on the XLA:CPU backend. CPU cross-module collectives deadlock
+    when several executions (or an overlapped host transfer) contend
+    for the host's thread pool on small machines -- observed as a
+    rendezvous termination timeout on a 1-core host. Real mesh runs
+    are on TPU, where async dispatch is unaffected."""
+    return (self.mesh is not None and self.mesh.devices.size > 1
+            and jax.default_backend() == 'cpu')
+
   def _device_batch_iter(self, dataloader, depth=6):
     """Stage + transfer batches to device on a background thread.
 
@@ -309,7 +321,15 @@ class Recoder:
     (~10 ms per batch observed on the axon TPU client); overlapping
     them with the compute dispatch loop is worth ~5x throughput.
     Yields (device_batch_dict, has_target).
+
+    Under a CPU mesh (tests, dryruns) staging is synchronous -- see
+    _cpu_mesh_serialize.
     """
+    if self._cpu_mesh_serialize():
+      for input_batch, target_batch in dataloader:
+        staged, _ = self._stage_batch(input_batch, target_batch)
+        yield self._to_device(staged), target_batch is not None
+      return
     import queue as _queue
     import threading as _threading
     q = _queue.Queue(maxsize=depth)
@@ -733,6 +753,7 @@ class Recoder:
                                num_batches - self._iters_consumed)
         step_fn = self._get_fused_step_fn(fused_source, negative_sampling,
                                           sparse)
+        serialize = self._cpu_mesh_serialize()
         # device-side step carry (counters + overflow); one upload per
         # epoch, one fetch at epoch end
         carry = fused_source._put(jnp.asarray(
@@ -752,6 +773,8 @@ class Recoder:
              loss, carry) = step_fn(self.model.params, self.opt_state,
                                     self.sparse_states, carry, perm,
                                     lr_arr)
+          if serialize:
+            jax.block_until_ready(loss)
           epoch_losses.append(loss)
         if iters_to_process:
           epoch_overflows.append(carry[2:])
@@ -772,6 +795,8 @@ class Recoder:
             break
           self._iters_consumed += 1
           loss = self._train_step(device_batch, has_target, lr_arr, sparse)
+          if self._cpu_mesh_serialize():
+            jax.block_until_ready(loss)
           epoch_losses.append(loss)
 
       # mean loss reduced on device; the host fetch happens on a logger
@@ -931,9 +956,13 @@ class Recoder:
 
   def _validate(self, val_dataloader):
     val_loss_fn = self._get_val_loss_fn()
+    serialize = self._cpu_mesh_serialize()
     losses = []
     for batch, _ in self._device_batch_iter(val_dataloader):
-      losses.append(val_loss_fn(self.model.params, batch))
+      loss = val_loss_fn(self.model.params, batch)
+      if serialize:
+        jax.block_until_ready(loss)
+      losses.append(loss)
     if not losses:
       return float('nan')
     # single host sync at the end, not one per batch

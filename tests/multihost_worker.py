@@ -48,6 +48,10 @@ def main():
 
   # every process sees the same global data; the mesh splits the work
   mesh = make_mesh(MeshConfig(data=2 * nproc // 2, model=2))
+  # DCN-aware layout: each 'model' group (the per-step union all-gather)
+  # must live within one process; only 'data' crosses processes
+  for row in mesh.devices:
+    assert len({d.process_index for d in row}) == 1, mesh.devices
   model = DynamicAutoencoder(hidden_layers=[32])
   trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
                     seed=5, mesh=mesh)
