@@ -109,14 +109,18 @@ class Recoder:
     eval_compute_dtype (str, optional): matmul dtype for inference
       forwards only (e.g. 'bfloat16' for MXU-rate eval of a model
       trained in float32). Training numerics are unaffected.
+    eval_topk (str): top-k strategy for recommend/evaluate --
+      'exact' (default; threshold-certified fast top-k,
+      recoder_tpu.ops.topk), 'sort' (plain lax.top_k), or 'approx'
+      (raw approx_max_k at ~0.95 recall; serving-only).
   """
 
   #: padded catalog size beyond which recommend() defaults to chunked
-  #: scoring. Measured on v5e (docs/benchmarks.md): chunked is ~15%
-  #: faster than monolithic already at 1M items x B=500 (no [B, W]
-  #: slab to densify/mask/top-k), and monolithic stops compiling around
-  #: 8M items; so the auto threshold sits at 1M.
-  AUTO_CHUNK_ITEMS = 2 ** 20
+  #: scoring. Measured on v5e (docs/benchmarks.md): with the certified
+  #: fast top-k the monolithic path wins up to ~1M items (189.5 vs
+  #: 204.5 ms at 1M x B=500) but stops compiling around 8M, where
+  #: chunked runs in O(B x chunk) memory; the auto threshold sits at 2M.
+  AUTO_CHUNK_ITEMS = 2 ** 21
   AUTO_CHUNK_WIDTH = 2 ** 18
 
   def __init__(self, model: FactorizationModel,
@@ -125,11 +129,13 @@ class Recoder:
                loss_params=None, use_cuda=False,
                user_based=True, item_based=True,
                seed=42, mesh=None,
-               eval_item_chunk=None, eval_compute_dtype=None):
+               eval_item_chunk=None, eval_compute_dtype=None,
+               eval_topk='exact'):
     del use_cuda
     self.mesh = mesh
     self.eval_item_chunk = eval_item_chunk
     self.eval_compute_dtype = eval_compute_dtype
+    self.eval_topk = eval_topk
     self.model = model
     self.num_items = num_items
     self.num_users = num_users
@@ -266,6 +272,15 @@ class Recoder:
           'If your model is not user based, set user_based=False.'
 
     self._init_model()
+    bad = [p for p, v in self.model.params.items()
+           if jnp.issubdtype(v.dtype, jnp.floating)
+           and v.dtype != jnp.float32]
+    if bad:
+      raise ValueError(
+          f'training requires float32 params; {bad[:3]} are '
+          f'{self.model.params[bad[0]].dtype} (params_dtype is an '
+          f'inference-only option -- use compute_dtype for bf16 matmuls '
+          f'during training)')
     self._init_optimizer(weight_decay=weight_decay)
     self._init_loss_module()
 
@@ -564,10 +579,12 @@ class Recoder:
     """
     chunk = self._resolve_eval_chunk()
     cd = self.eval_compute_dtype
-    key = (k, chunk, cd)
+    topk_mode = self.eval_topk
+    key = (k, chunk, cd, topk_mode)
     if key in self._recommend_fns:
       return self._recommend_fns[key]
     model = self.model
+    from recoder_tpu.ops.topk import top_k as fast_top_k
 
     if chunk is None:
       def recommend(params, rows, cols, vals, users):
@@ -579,7 +596,7 @@ class Recoder:
         out = jnp.where(input_dense > 0, -jnp.inf, out)
         col_ids = jnp.arange(W)[None, :]
         out = jnp.where(col_ids < model.num_items, out, -jnp.inf)
-        top_vals, top_idx = jax.lax.top_k(out, k)
+        top_vals, top_idx = fast_top_k(out, k, mode=topk_mode)
         return top_idx, top_vals
     else:
       if chunk < k:
@@ -590,7 +607,10 @@ class Recoder:
         B = users.shape[0]
         W = model.num_items_padded
         C = chunk
-        n_chunks = -(-W // C)  # ceil; the last chunk is clamped + de-duped
+        # cover the LOGICAL catalog only: chunks entirely inside the
+        # pad region are all -inf and would defeat the certified
+        # top-k's fast path (t = -inf fails every row)
+        n_chunks = -(-model.num_items // C)  # ceil; last chunk clamped
         h = model.encode_coo(params, rows, cols, vals, B,
                              input_users=users, compute_dtype=cd)
 
@@ -612,7 +632,8 @@ class Recoder:
           col_ids = start + jnp.arange(C)[None, :]
           valid = (col_ids < model.num_items) & (col_ids >= i * C)
           s = jnp.where(valid, s, -jnp.inf)
-          c_vals, c_idx = jax.lax.top_k(s.astype(jnp.float32), k)
+          c_vals, c_idx = fast_top_k(s.astype(jnp.float32), k,
+                                     mode=topk_mode)
           c_idx = c_idx + start
           merged_v = jnp.concatenate([best_vals, c_vals], axis=1)
           merged_i = jnp.concatenate([best_idx, c_idx], axis=1)

@@ -45,17 +45,29 @@ class DynamicAutoencoder(FactorizationModel):
     compute_dtype (str, optional): matmul compute dtype ('bfloat16' for
       MXU speed; params stay float32, accumulation is float32). None
       keeps float32 compute end to end.
+    params_dtype (str, optional): storage dtype for the parameters
+      ('bfloat16' halves the table HBM bytes that bound large-catalog
+      inference). INFERENCE-ONLY: construct with it, load a float32
+      checkpoint via ``init_from_model_file`` (arrays are cast on
+      load), and recommend/evaluate; ``train`` refuses non-f32 params.
+      Defaults ``compute_dtype`` to the same dtype so gathers/matmuls
+      don't upcast the tables back to f32.
   """
 
   def __init__(self, hidden_layers=None, activation_type='tanh',
                is_constrained=False, dropout_prob=0.0,
-               noise_prob=0.0, sparse=False, compute_dtype=None):
+               noise_prob=0.0, sparse=False, compute_dtype=None,
+               params_dtype=None):
     self.hidden_layers = hidden_layers
     self.activation_type = activation_type
     self.is_constrained = is_constrained
     self.dropout_prob = dropout_prob
     self.noise_prob = noise_prob
     self.sparse = sparse
+    self.params_dtype = (jnp.dtype(params_dtype)
+                         if params_dtype is not None else jnp.float32)
+    if compute_dtype is None and params_dtype is not None:
+      compute_dtype = params_dtype
     self.compute_dtype = (jnp.dtype(compute_dtype)
                           if compute_dtype is not None else None)
 
@@ -83,20 +95,21 @@ class DynamicAutoencoder(FactorizationModel):
     def feature_pad(table):
       return jnp.pad(table, ((0, 0), (0, d0p - d0)))
 
+    pd = self.params_dtype
     params = {}
     # encoder embedding table [num_items_padded, d0 -> d0p]; logical
     # fans + logical columns for init so trajectories match unpadded
     params['en_embedding'] = feature_pad(xavier_uniform(
         next(keys), (self.num_items_padded, d0),
-        fan_in=d0, fan_out=self.num_items))
-    params['en_bias'] = jnp.zeros((d0,), jnp.float32)
+        fan_in=d0, fan_out=self.num_items, dtype=pd))
+    params['en_bias'] = jnp.zeros((d0,), pd)
 
     # hidden encoder linears: sizes hidden_layers[i-1] -> hidden_layers[i]
     for i, width in enumerate(self.hidden_layers[1:], 1):
       prev = self.hidden_layers[i - 1]
       params[f'encode_w_{i}'] = xavier_uniform(
-          next(keys), (prev, width), fan_in=prev, fan_out=width)
-      params[f'encode_bias_{i}'] = jnp.zeros((width,), jnp.float32)
+          next(keys), (prev, width), fan_in=prev, fan_out=width, dtype=pd)
+      params[f'encode_bias_{i}'] = jnp.zeros((width,), pd)
 
     # hidden decoder linears mirror the encoder (reversed sizes); when
     # constrained only biases are parameters (weights = encoder.T)
@@ -105,14 +118,14 @@ class DynamicAutoencoder(FactorizationModel):
       prev = rev[i - 1]
       if not self.is_constrained:
         params[f'decode_w_{i}'] = xavier_uniform(
-            next(keys), (prev, width), fan_in=prev, fan_out=width)
-      params[f'decode_bias_{i}'] = jnp.zeros((width,), jnp.float32)
+            next(keys), (prev, width), fan_in=prev, fan_out=width, dtype=pd)
+      params[f'decode_bias_{i}'] = jnp.zeros((width,), pd)
 
     if not self.is_constrained:
       params['de_embedding'] = feature_pad(xavier_uniform(
           next(keys), (self.num_items_padded, d0),
-          fan_in=d0, fan_out=self.num_items))
-    params['de_bias'] = jnp.zeros((self.num_items_padded,), jnp.float32)
+          fan_in=d0, fan_out=self.num_items, dtype=pd))
+    params['de_bias'] = jnp.zeros((self.num_items_padded,), pd)
 
     self.params = params
     return params

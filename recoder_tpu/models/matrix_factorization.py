@@ -24,14 +24,23 @@ class MatrixFactorization(FactorizationModel):
     dropout_prob (float): dropout on user embeddings.
     sparse (bool): request sparse row-wise optimizer updates for the
       embedding tables.
+    compute_dtype (str, optional): matmul compute dtype.
+    params_dtype (str, optional): parameter storage dtype
+      ('bfloat16' halves table HBM bytes). Inference-only; see
+      DynamicAutoencoder.
   """
 
   def __init__(self, embedding_size, activation_type='none',
-               dropout_prob=0, sparse=False, compute_dtype=None):
+               dropout_prob=0, sparse=False, compute_dtype=None,
+               params_dtype=None):
     self.embedding_size = embedding_size
     self.activation_type = activation_type
     self.dropout_prob = dropout_prob
     self.sparse = sparse
+    self.params_dtype = (jnp.dtype(params_dtype)
+                         if params_dtype is not None else jnp.float32)
+    if compute_dtype is None and params_dtype is not None:
+      compute_dtype = params_dtype
     self.compute_dtype = (jnp.dtype(compute_dtype)
                           if compute_dtype is not None else None)
 
@@ -57,14 +66,15 @@ class MatrixFactorization(FactorizationModel):
     def feature_pad(table):
       return jnp.pad(table, ((0, 0), (0, dp - d)))
 
+    pd = self.params_dtype
     self.params = {
         'user_embedding': feature_pad(xavier_uniform(
             k_user, (self.num_users_padded, d),
-            fan_in=d, fan_out=self.num_users)),
+            fan_in=d, fan_out=self.num_users, dtype=pd)),
         'item_embedding': feature_pad(xavier_uniform(
             k_item, (self.num_items_padded, d),
-            fan_in=d, fan_out=self.num_items)),
-        'bias': jnp.zeros((self.num_items_padded,), jnp.float32),
+            fan_in=d, fan_out=self.num_items, dtype=pd)),
+        'bias': jnp.zeros((self.num_items_padded,), pd),
     }
     return self.params
 
