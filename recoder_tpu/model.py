@@ -614,36 +614,138 @@ class Recoder:
         h = model.encode_coo(params, rows, cols, vals, B,
                              input_users=users, compute_dtype=cd)
 
-        def body(i, carry):
-          best_vals, best_idx = carry
+        def chunk_scores(h_rows, i, row_map, n_rows):
+          """Masked scores for chunk ``i`` over ``h_rows``'s users.
+
+          ``row_map`` remaps global COO row ids into [0, n_rows) (or
+          ``n_rows`` to drop) so the seen-item scatter works for row
+          subsets (the salvage pass) as well as the full batch."""
           start = jnp.minimum(i * C, W - C)
-          s = model.decode_slice(params, h, start, C, compute_dtype=cd)
-          # seen-item mask from COO: scatter vals into the chunk frame;
-          # out-of-chunk/pad entries are routed to the sentinel row B
+          s = model.decode_slice(params, h_rows, start, C,
+                                 compute_dtype=cd)
           c = cols - start
           ok = (c >= 0) & (c < C) & (rows < B)
-          seen = jnp.zeros((B + 1, C), jnp.float32)
-          seen = seen.at[jnp.where(ok, rows, B),
-                         jnp.where(ok, c, 0)].add(
-              jnp.where(ok, vals.astype(jnp.float32), 0.0))[:B]
+          r2 = row_map.at[jnp.where(ok, rows, B)].get(
+              mode='promise_in_bounds')
+          r2 = jnp.where(ok, r2, n_rows)
+          seen = jnp.zeros((n_rows + 1, C), jnp.float32)
+          seen = seen.at[r2, jnp.where(ok, c, 0)].add(
+              jnp.where(ok, vals.astype(jnp.float32), 0.0))[:n_rows]
           s = jnp.where(seen > 0, -jnp.inf, s)
           # valid columns: inside the logical catalog AND not already
           # covered by an earlier chunk (clamped last-chunk overlap)
           col_ids = start + jnp.arange(C)[None, :]
           valid = (col_ids < model.num_items) & (col_ids >= i * C)
-          s = jnp.where(valid, s, -jnp.inf)
-          c_vals, c_idx = fast_top_k(s.astype(jnp.float32), k,
-                                     mode=topk_mode)
-          c_idx = c_idx + start
-          merged_v = jnp.concatenate([best_vals, c_vals], axis=1)
-          merged_i = jnp.concatenate([best_idx, c_idx], axis=1)
-          best_vals, sel = jax.lax.top_k(merged_v, k)
-          best_idx = jnp.take_along_axis(merged_i, sel, axis=1)
-          return best_vals, best_idx
+          return jnp.where(valid, s, -jnp.inf).astype(jnp.float32), start
 
-        init = (jnp.full((B, k), -jnp.inf, jnp.float32),
-                jnp.zeros((B, k), jnp.int32))
-        top_vals, top_idx = jax.lax.fori_loop(0, n_chunks, body, init)
+        id_map = jnp.arange(B + 1, dtype=jnp.int32)
+
+        def merge_loop(h_rows, row_map, n_rows):
+          """Exact per-chunk sort + running top-k merge (the certain
+          but top-k-bound strategy; used for 'sort' mode, the salvage
+          rows, and the full fallback)."""
+          def body(i, carry):
+            best_vals, best_idx = carry
+            s, start = chunk_scores(h_rows, i, row_map, n_rows)
+            c_vals, c_idx = jax.lax.top_k(s, k)
+            merged_v = jnp.concatenate([best_vals, c_vals], axis=1)
+            merged_i = jnp.concatenate(
+                [best_idx, c_idx.astype(jnp.int32) + start], axis=1)
+            best_vals, sel = jax.lax.top_k(merged_v, k)
+            return best_vals, jnp.take_along_axis(merged_i, sel, axis=1)
+
+          init = (jnp.full((n_rows, k), -jnp.inf, jnp.float32),
+                  jnp.zeros((n_rows, k), jnp.int32))
+          return jax.lax.fori_loop(0, n_chunks, body, init)
+
+        if topk_mode != 'exact':
+          if topk_mode == 'sort':
+            top_vals, top_idx = merge_loop(h, id_map, B)
+            return top_idx, top_vals
+
+          def approx_body(i, carry):
+            best_vals, best_idx = carry
+            s, start = chunk_scores(h, i, id_map, B)
+            c_vals, c_idx = fast_top_k(s, k, mode=topk_mode)
+            merged_v = jnp.concatenate([best_vals, c_vals], axis=1)
+            merged_i = jnp.concatenate(
+                [best_idx, c_idx.astype(jnp.int32) + start], axis=1)
+            best_vals, sel = jax.lax.top_k(merged_v, k)
+            return best_vals, jnp.take_along_axis(merged_i, sel, axis=1)
+
+          init = (jnp.full((B, k), -jnp.inf, jnp.float32),
+                  jnp.zeros((B, k), jnp.int32))
+          top_vals, top_idx = jax.lax.fori_loop(0, n_chunks, approx_body,
+                                                init)
+          return top_idx, top_vals
+
+        # -- 'exact': globally-certified approx candidates ------------
+        # Per-chunk certification fails too often at chunk widths (the
+        # approx bin count shrinks with width), so certify GLOBALLY:
+        # collect approx candidates across all chunks, take t from the
+        # merged top-k, then one counting pass over re-computed chunk
+        # scores proves (per row) that every element >= t is a
+        # candidate. Failed rows are re-ranked by the exact merge loop
+        # over just those rows; > salvage-buffer failures fall back to
+        # the full exact merge loop. Always exact.
+        k2 = min(4 * k, C)
+        F = min(64, B)
+
+        def collect_body(i, carry):
+          cv, ci = carry
+          s, start = chunk_scores(h, i, id_map, B)
+          av, ai = jax.lax.approx_max_k(s, k2, recall_target=0.99)
+          cv = jax.lax.dynamic_update_slice(cv, av, (0, i * k2))
+          ci = jax.lax.dynamic_update_slice(
+              ci, ai.astype(jnp.int32) + start, (0, i * k2))
+          return cv, ci
+
+        cv, ci = jax.lax.fori_loop(
+            0, n_chunks, collect_body,
+            (jnp.full((B, n_chunks * k2), -jnp.inf, jnp.float32),
+             jnp.zeros((B, n_chunks * k2), jnp.int32)))
+        top_vals, sel = jax.lax.top_k(cv, k)
+        top_idx = jnp.take_along_axis(ci, sel, axis=1)
+        t = top_vals[:, -1:]
+        cnt_cand = jnp.sum((cv >= t).astype(jnp.int32), axis=1)
+
+        def count_body(i, cnt):
+          s, _ = chunk_scores(h, i, id_map, B)
+          return cnt + jnp.sum((s >= t).astype(jnp.int32), axis=1)
+
+        cnt_all = jax.lax.fori_loop(0, n_chunks, count_body,
+                                    jnp.zeros((B,), jnp.int32))
+        failed = cnt_all != cnt_cand
+        nfail = jnp.sum(failed.astype(jnp.int32))
+
+        def no_salvage(_):
+          return top_vals, top_idx
+
+        def salvage(_):
+          # fill slots use row id B: dropped from the seen scatter by
+          # the rows < B guard, clipped on the h gather, and dropped
+          # again on the merge-back scatter
+          fail_idx = jnp.nonzero(failed, size=F, fill_value=B)[0]
+          fail_idx = fail_idx.astype(jnp.int32)
+          h_f = h.at[fail_idx].get(mode='clip')
+          inv = jnp.full((B + 1,), F, jnp.int32).at[fail_idx].set(
+              jnp.arange(F, dtype=jnp.int32), mode='drop')
+          sv, si = merge_loop(h_f, inv, F)
+          slot_ok = (jnp.arange(F) < nfail)[:, None]
+          old_v = top_vals.at[fail_idx].get(mode='clip')
+          old_i = top_idx.at[fail_idx].get(mode='clip')
+          upd_v = jnp.where(slot_ok, sv, old_v)
+          upd_i = jnp.where(slot_ok, si, old_i)
+          return (top_vals.at[fail_idx].set(upd_v, mode='drop'),
+                  top_idx.at[fail_idx].set(upd_i, mode='drop'))
+
+        def full(_):
+          return merge_loop(h, id_map, B)
+
+        top_vals, top_idx = jax.lax.cond(
+            nfail == 0, no_salvage,
+            lambda op: jax.lax.cond(nfail <= F, salvage, full, op),
+            operand=None)
         return top_idx, top_vals
 
     fn = jax.jit(recommend)

@@ -88,6 +88,27 @@ def test_chunked_excludes_seen_and_pad():
     assert max(rec) < NUM_ITEMS
 
 
+def test_chunked_exact_tie_fallback():
+  """All-tied scores defeat the global certification, forcing the
+  salvage/full-fallback branches -- results must stay exact (ties break
+  to the lowest item id, matching lax.top_k order)."""
+  import jax.numpy as jnp
+  matrix = _random_matrix(seed=13)
+  ds = RecommendationDataset(matrix)
+  trainer = _make_trainer('ae', ds, eval_item_chunk=128)
+  p = dict(trainer.model.params)
+  p['de_embedding'] = jnp.zeros_like(p['de_embedding'])
+  p['de_bias'] = jnp.zeros_like(p['de_bias'])
+  trainer.model.params = p
+
+  users = [0, 5, 9]
+  recs = trainer.recommend(_interactions(matrix, users), 12)
+  for u, rec in zip(users, recs):
+    seen = set(matrix[u].nonzero()[1])
+    expected = [i for i in range(NUM_ITEMS) if i not in seen][:12]
+    assert list(rec) == expected
+
+
 def test_chunk_smaller_than_k_rejected():
   matrix = _random_matrix(seed=3)
   ds = RecommendationDataset(matrix)
