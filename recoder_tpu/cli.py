@@ -15,7 +15,7 @@ Config schema (JSON):
   "trainer": {"optimizer_type": "adam", "loss": "logistic",
               "loss_params": {}, "seed": 42,
               "mesh_model": 0,
-              "eval_item_chunk": 0, "eval_compute_dtype": null,
+              "eval_item_chunk": null, "eval_compute_dtype": null,
               "eval_topk": "exact"},
   "train": { ...Recoder.train kwargs... }
 }

@@ -587,12 +587,16 @@ class Recoder:
     from recoder_tpu.ops.topk import top_k as fast_top_k
 
     if chunk is None:
+      # pass compute_dtype only when set: custom models written to the
+      # documented FactorizationModel.apply signature need not accept it
+      cd_kw = {} if cd is None else {'compute_dtype': cd}
+
       def recommend(params, rows, cols, vals, users):
         B = users.shape[0]
         W = model.num_items_padded
         input_dense = self._densify(rows, cols, vals, B, W)
         out = model.apply(params, input_dense, input_users=users,
-                          training=False, compute_dtype=cd)
+                          training=False, **cd_kw)
         out = jnp.where(input_dense > 0, -jnp.inf, out)
         col_ids = jnp.arange(W)[None, :]
         out = jnp.where(col_ids < model.num_items, out, -jnp.inf)
@@ -640,43 +644,39 @@ class Recoder:
 
         id_map = jnp.arange(B + 1, dtype=jnp.int32)
 
-        def merge_loop(h_rows, row_map, n_rows):
-          """Exact per-chunk sort + running top-k merge (the certain
-          but top-k-bound strategy; used for 'sort' mode, the salvage
-          rows, and the full fallback)."""
+        def merge_loop(h_rows, row_map, n_rows,
+                       chunk_topk=jax.lax.top_k):
+          """Per-chunk top-k + running merge, used by 'sort' mode, the
+          'approx' mode (chunk_topk=approx), the salvage rows, and the
+          full fallback. The merge breaks value ties by LOWEST global
+          item id ((value desc, index asc) lexicographic sort), which
+          is exactly lax.top_k's tie order on the monolithic path --
+          and therefore also guarantees k DISTINCT real item ids even
+          when a user has fewer than k finite-scored items (the init
+          sentinels carry index W and lose every tie to real entries;
+          chunk 0 alone contributes k distinct real positions)."""
           def body(i, carry):
             best_vals, best_idx = carry
             s, start = chunk_scores(h_rows, i, row_map, n_rows)
-            c_vals, c_idx = jax.lax.top_k(s, k)
+            c_vals, c_idx = chunk_topk(s, k)
             merged_v = jnp.concatenate([best_vals, c_vals], axis=1)
             merged_i = jnp.concatenate(
                 [best_idx, c_idx.astype(jnp.int32) + start], axis=1)
-            best_vals, sel = jax.lax.top_k(merged_v, k)
-            return best_vals, jnp.take_along_axis(merged_i, sel, axis=1)
+            neg_v, idx, = jax.lax.sort((-merged_v, merged_i), num_keys=2,
+                                       dimension=1)
+            return -neg_v[:, :k], idx[:, :k]
 
           init = (jnp.full((n_rows, k), -jnp.inf, jnp.float32),
-                  jnp.zeros((n_rows, k), jnp.int32))
+                  jnp.full((n_rows, k), W, jnp.int32))
           return jax.lax.fori_loop(0, n_chunks, body, init)
 
         if topk_mode != 'exact':
           if topk_mode == 'sort':
             top_vals, top_idx = merge_loop(h, id_map, B)
-            return top_idx, top_vals
-
-          def approx_body(i, carry):
-            best_vals, best_idx = carry
-            s, start = chunk_scores(h, i, id_map, B)
-            c_vals, c_idx = fast_top_k(s, k, mode=topk_mode)
-            merged_v = jnp.concatenate([best_vals, c_vals], axis=1)
-            merged_i = jnp.concatenate(
-                [best_idx, c_idx.astype(jnp.int32) + start], axis=1)
-            best_vals, sel = jax.lax.top_k(merged_v, k)
-            return best_vals, jnp.take_along_axis(merged_i, sel, axis=1)
-
-          init = (jnp.full((B, k), -jnp.inf, jnp.float32),
-                  jnp.zeros((B, k), jnp.int32))
-          top_vals, top_idx = jax.lax.fori_loop(0, n_chunks, approx_body,
-                                                init)
+          else:
+            top_vals, top_idx = merge_loop(
+                h, id_map, B,
+                chunk_topk=lambda s, kk: fast_top_k(s, kk, mode=topk_mode))
           return top_idx, top_vals
 
         # -- 'exact': globally-certified approx candidates ------------
@@ -722,22 +722,19 @@ class Recoder:
           return top_vals, top_idx
 
         def salvage(_):
-          # fill slots use row id B: dropped from the seen scatter by
-          # the rows < B guard, clipped on the h gather, and dropped
-          # again on the merge-back scatter
-          fail_idx = jnp.nonzero(failed, size=F, fill_value=B)[0]
+          # fill slots use the out-of-range row id B+1: truly dropped
+          # by every scatter below (B itself is in bounds for the
+          # (B+1,)-sized inv and would clobber its sentinel slot),
+          # clipped on the h/top gather (garbage rows whose writes are
+          # dropped on merge-back)
+          fail_idx = jnp.nonzero(failed, size=F, fill_value=B + 1)[0]
           fail_idx = fail_idx.astype(jnp.int32)
           h_f = h.at[fail_idx].get(mode='clip')
           inv = jnp.full((B + 1,), F, jnp.int32).at[fail_idx].set(
               jnp.arange(F, dtype=jnp.int32), mode='drop')
           sv, si = merge_loop(h_f, inv, F)
-          slot_ok = (jnp.arange(F) < nfail)[:, None]
-          old_v = top_vals.at[fail_idx].get(mode='clip')
-          old_i = top_idx.at[fail_idx].get(mode='clip')
-          upd_v = jnp.where(slot_ok, sv, old_v)
-          upd_i = jnp.where(slot_ok, si, old_i)
-          return (top_vals.at[fail_idx].set(upd_v, mode='drop'),
-                  top_idx.at[fail_idx].set(upd_i, mode='drop'))
+          return (top_vals.at[fail_idx].set(sv, mode='drop'),
+                  top_idx.at[fail_idx].set(si, mode='drop'))
 
         def full(_):
           return merge_loop(h, id_map, B)
@@ -1117,9 +1114,11 @@ class Recoder:
     B = len(batch.users)
     dense = self._densify(jnp.asarray(batch.rows), jnp.asarray(batch.cols),
                           jnp.asarray(batch.vals), B, W)
+    cd_kw = ({} if self.eval_compute_dtype is None
+             else {'compute_dtype': self.eval_compute_dtype})
     out = model.apply(model.params, dense,
                       input_users=jnp.asarray(batch.users), training=False,
-                      compute_dtype=self.eval_compute_dtype)
+                      **cd_kw)
     out = np.asarray(out.astype(jnp.float32))[:, :self.num_items]
     input_dense = np.asarray(dense)[:, :self.num_items]
     return out, input_dense

@@ -115,6 +115,11 @@ class FactorizationModel:
         vectors selecting embedding rows, or None for the full table.
       rng: PRNG key for dropout noise (training only).
       training (bool): static flag enabling dropout.
+
+    The built-in models additionally accept an optional
+    ``compute_dtype`` keyword (inference dtype override); the trainer
+    only passes it when ``eval_compute_dtype`` is set, so custom
+    models implementing exactly this signature keep working.
     """
     raise NotImplementedError
 

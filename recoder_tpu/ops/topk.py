@@ -83,16 +83,14 @@ def exact_top_k(s, k, oversample=4, recall_target=0.99, salvage_rows=64):
     return top_v, top_i
 
   def salvage(_):
-    fail_idx = jnp.nonzero(failed, size=F, fill_value=0)[0]
-    sub = s2.at[fail_idx].get(mode='promise_in_bounds')  # [F, width]
+    # fill slots use the out-of-range row id B so the merge-back
+    # scatter DROPS them -- an in-range fill (e.g. row 0) would let a
+    # duplicate fill-slot write clobber that row's corrected result
+    fail_idx = jnp.nonzero(failed, size=F, fill_value=B)[0]
+    sub = s2.at[fail_idx].get(mode='clip')  # [F, width]
     sv, si = lax.top_k(sub, k)
-    slot_ok = (jnp.arange(F) < nfail)[:, None]
-    # fill slots (fail_idx=0) write row 0's original result back, which
-    # is a no-op even when duplicated
-    upd_v = jnp.where(slot_ok, sv, top_v[fail_idx])
-    upd_i = jnp.where(slot_ok, si.astype(jnp.int32), top_i[fail_idx])
-    return (top_v.at[fail_idx].set(upd_v, mode='promise_in_bounds'),
-            top_i.at[fail_idx].set(upd_i, mode='promise_in_bounds'))
+    return (top_v.at[fail_idx].set(sv, mode='drop'),
+            top_i.at[fail_idx].set(si.astype(jnp.int32), mode='drop'))
 
   def full(_):
     v, i = lax.top_k(s2, k)

@@ -88,6 +88,27 @@ def test_chunked_excludes_seen_and_pad():
     assert max(rec) < NUM_ITEMS
 
 
+def test_chunked_few_unseen_items():
+  """A user with fewer than k unseen items must still get k DISTINCT
+  item ids, identical to the monolithic path (regression: the merge
+  init used duplicated id-0 filler)."""
+  import scipy.sparse as sp
+  n_items = 300
+  seen = np.setdiff1d(np.arange(n_items), [3, 50, 142, 260, 299])
+  m = sp.csr_matrix((np.ones(len(seen), np.float32),
+                     (np.zeros(len(seen), np.int64), seen)),
+                    shape=(4, n_items))
+  ds = RecommendationDataset(m)
+  trainer = _make_trainer('ae', ds)
+  ui = _interactions(m, [0])
+  k = 10
+  mono = trainer.recommend(ui, k)[0]
+  trainer.eval_item_chunk = 64
+  chunked = trainer.recommend(ui, k)[0]
+  assert len(set(chunked)) == k
+  assert list(chunked) == list(mono)
+
+
 def test_chunked_exact_tie_fallback():
   """All-tied scores defeat the global certification, forcing the
   salvage/full-fallback branches -- results must stay exact (ties break

@@ -47,6 +47,9 @@ def test_mixed_salvage_rows():
   # a few degenerate (all-tied) rows among clean ones exercises the
   # per-row salvage branch and its merge-back scatter specifically
   s = np.array(jax.random.normal(jax.random.PRNGKey(7), (16, 16384)))
+  # row 0 failing is the regression case: an in-range nonzero fill
+  # value would let duplicate fill-slot writes clobber its correction
+  s[0] = 0.5
   s[3] = 1.0
   s[11] = -2.0
   _assert_same(jnp.asarray(s), 25)
@@ -55,8 +58,7 @@ def test_mixed_salvage_rows():
 def test_salvage_overflow_falls_back():
   # more failing rows than the salvage buffer -> batch-wide exact sort
   s = jnp.ones((8, 16384))
-  v, i = topk.exact_top_k(s, 10, salvage_rows=4)
-  _assert_same(s, 10)
+  _assert_same(s, 10, salvage_rows=4)
 
 
 def test_rows_with_mostly_neg_inf():
