@@ -66,10 +66,11 @@ class DeviceDataSource:
 
   def __init__(self, matrix, batch_size, num_sampling_users, num_items,
                union_width, mega_nnz_budget=None, binary=None, mesh=None,
-               shuffle='users'):
+               shuffle='users', num_random_negatives=0, seed=0):
     assert shuffle in ('users', 'blocks'), shuffle
     self.shuffle = shuffle
     self.mesh = mesh
+    self.num_random_negatives = int(num_random_negatives)
     matrix = matrix.tocsr()
     self.num_users_total = matrix.shape[0]
     self.num_items = num_items
@@ -141,6 +142,8 @@ class DeviceDataSource:
     self.d_cols = put(jnp.asarray(cols))
     self.d_vals = None if binary else put(jnp.asarray(vals))
     self.n_pad = n_pad
+    if self.num_random_negatives:
+      self._d_negkey = put(jax.random.PRNGKey(seed + 7))
 
   def _put(self, arr):
     if self.mesh is None:
@@ -185,12 +188,17 @@ class DeviceDataSource:
     width_valid = jnp.sum(jnp.logical_and(first, sorted_cols != sentinel))
     return items, compressed, width_valid
 
-  def build_batch(self, perm, step_idx, negative_sampling=True):
+  def build_batch(self, perm, step_idx, negative_sampling=True,
+                  neg_step=None):
     """Build one compute batch's dense inputs on device.
 
     Returns a dict: input_dense [B, W], items [W] (or None), masks and
     valid counts -- the same payload the host collator produces, built
     without leaving the device.
+
+    ``neg_step`` seeds the random-negative draw (defaults to
+    ``step_idx``; the trainer passes the GLOBAL step so the extra
+    negatives refresh across epochs).
     """
     B = self.batch_size
     S = self.mega
@@ -241,8 +249,26 @@ class DeviceDataSource:
       cols_m = jnp.where(valid, self.d_cols[src], sentinel)       # [M]
 
     if negative_sampling:
-      items, compressed, width_valid = self._unique_union(cols_m, valid,
-                                                          sentinel, M)
+      R = self.num_random_negatives
+      if R:
+        # extra uniform-random negative items widen the union beyond
+        # the mega-batch's own interactions -- coverage for catalogs
+        # where in-batch unions touch a tiny item fraction (the CBNS
+        # motivation, arXiv:2110.15154, re-cast for the union trick:
+        # negatives here are decode columns, not cached embeddings).
+        # The ids join the UNION ONLY (values scatter from the [:M]
+        # slots), so their input/target columns are exactly zero.
+        key = jax.random.fold_in(
+            self._d_negkey, step_idx if neg_step is None else neg_step)
+        rand_ids = jax.random.randint(key, (R,), 0, self.num_items,
+                                      jnp.int32)
+        union_in = jnp.concatenate([cols_m, rand_ids])
+        items, compressed_ext, width_valid = self._unique_union(
+            union_in, valid, sentinel, M + R)
+        compressed = compressed_ext[:M]
+      else:
+        items, compressed, width_valid = self._unique_union(cols_m, valid,
+                                                            sentinel, M)
       W = self.union_width
     else:
       compressed = cols_m

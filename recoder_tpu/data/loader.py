@@ -77,10 +77,13 @@ class BatchCollator:
   def __init__(self, batch_size, negative_sampling=False, num_items=None,
                item_ladder=None, nnz_ladder=None,
                pad_users_to_batch_size=True,
-               fixed_union_width=None, fixed_nnz_width=None):
+               fixed_union_width=None, fixed_nnz_width=None,
+               num_random_negatives=0, seed=0):
     self.batch_size = batch_size
     self.negative_sampling = negative_sampling
     self.num_items = num_items
+    self.num_random_negatives = int(num_random_negatives)
+    self._neg_rng = np.random.default_rng(seed + 7)
     self.item_ladder = item_ladder or BucketLadder(min_size=256, growth=1.25)
     self.nnz_ladder = nnz_ladder or BucketLadder(min_size=1024, growth=1.25)
     self.pad_users_to_batch_size = pad_users_to_batch_size
@@ -117,6 +120,15 @@ class BatchCollator:
     if self.negative_sampling:
       # item union of the mega-batch -> compressed column space
       batch_items, compressed_cols = np.unique(all_cols, return_inverse=True)
+      if self.num_random_negatives:
+        # extra uniform-random negatives widen the union (zero-valued
+        # decode columns); see DeviceDataSource.build_batch
+        rand = self._neg_rng.integers(0, num_items,
+                                      self.num_random_negatives)
+        merged = np.union1d(batch_items, rand).astype(batch_items.dtype)
+        compressed_cols = np.searchsorted(
+            merged, batch_items)[compressed_cols]
+        batch_items = merged
       union = len(batch_items)
       union_pad = self._fit_union(union)
       items_padded = np.full(union_pad, num_items, dtype=np.int32)
@@ -189,13 +201,14 @@ class RecommendationDataLoader:
   def __init__(self, dataset, batch_size, negative_sampling=False,
                num_sampling_users=0, num_workers=0, collate_fn=None,
                shuffle=True, seed=0, item_ladder=None, nnz_ladder=None,
-               stable_shapes=True):
+               stable_shapes=True, num_random_negatives=0):
     self.dataset = dataset
     self.batch_size = batch_size
     self.negative_sampling = negative_sampling
     self.num_sampling_users = num_sampling_users or batch_size
     self.num_workers = num_workers
     self.shuffle = shuffle
+    self.num_random_negatives = int(num_random_negatives)
     self._rng = np.random.default_rng(seed)
 
     assert self.num_sampling_users >= batch_size, \
@@ -209,7 +222,8 @@ class RecommendationDataLoader:
         batch_size=batch_size, negative_sampling=negative_sampling,
         num_items=dataset.interactions_matrix.shape[1],
         item_ladder=item_ladder, nnz_ladder=nnz_ladder,
-        fixed_union_width=fixed_union, fixed_nnz_width=fixed_nnz)
+        fixed_union_width=fixed_union, fixed_nnz_width=fixed_nnz,
+        num_random_negatives=num_random_negatives, seed=seed)
 
     if collate_fn is None:
       self._collate_fn = self.batch_collator.collate
@@ -251,7 +265,7 @@ class RecommendationDataLoader:
       v = int(v * margin)
       return ((v + align - 1) // align) * align
 
-    return snap(max_union), snap(max_nnz)
+    return snap(max_union + self.num_random_negatives), snap(max_nnz)
 
   def _mega_batches(self):
     n = len(self.dataset)

@@ -506,9 +506,10 @@ class Recoder:
     if cached is not None and cached[0] is source:
       return cached[1]
 
-    def build(perm, step_idx):
+    def build(perm, step_idx, global_step):
       b = source.build_batch(perm, step_idx,
-                             negative_sampling=negative_sampling)
+                             negative_sampling=negative_sampling,
+                             neg_step=global_step)
       return {
           'in_rows': b['rows'], 'in_cols': b['cols'], 'in_vals': b['vals'],
           'in_users': b['users'], 'in_items': b['items'],
@@ -528,7 +529,7 @@ class Recoder:
     if not sparse:
       def step(params, opt_state, carry, perm, lr):
         rng = jax.random.fold_in(self._base_rng, carry[1])
-        batch, overflow = build(perm, carry[0])
+        batch, overflow = build(perm, carry[0], carry[1])
         new_params, new_opt_state, loss = self._dense_step_math(
             params, opt_state, batch, lr, rng)
         return new_params, new_opt_state, loss, roll(carry, overflow)
@@ -537,7 +538,7 @@ class Recoder:
     else:
       def step(params, opt_state, sparse_states, carry, perm, lr):
         rng = jax.random.fold_in(self._base_rng, carry[1])
-        batch, overflow = build(perm, carry[0])
+        batch, overflow = build(perm, carry[0], carry[1])
         new_params, new_opt_state, new_sparse, loss = (
             self._sparse_step_math(params, opt_state, sparse_states,
                                    batch, lr, rng))
@@ -760,7 +761,8 @@ class Recoder:
             model_checkpoint_prefix=None, checkpoint_freq=0,
             eval_freq=0, eval_num_recommendations=None,
             eval_num_users=None, metrics=None, eval_batch_size=None,
-            profile_dir=None, profile_steps=(10, 30), shuffle='users'):
+            profile_dir=None, profile_steps=(10, 30), shuffle='users',
+            num_random_negatives=0):
     """Train the model (argument semantics mirror the reference
     model.py:256-347; see that docstring for parameter meanings).
 
@@ -769,7 +771,11 @@ class Recoder:
     TensorBoard/Perfetto; per-epoch wall time and steps/s are always
     logged. ``shuffle='blocks'`` selects the block-shuffle sampling
     mode of the fused pipeline (faster step, fixed co-batch groups --
-    see DeviceDataSource)."""
+    see DeviceDataSource). ``num_random_negatives`` appends that many
+    uniform-random item ids to each step's item union as extra
+    zero-target negatives (coverage for catalogs where in-batch unions
+    touch a tiny item fraction; decode cost grows with the union
+    width). Requires ``negative_sampling=True``."""
     backend = jax.default_backend()
     log.info('%s Mode', backend.upper())
     for param, value in self.model.model_params().items():
@@ -789,6 +795,8 @@ class Recoder:
     assert num_sampling_users >= batch_size \
         and num_sampling_users % batch_size == 0, \
         'number of sampling users should be a multiple of the batch size'
+    if num_random_negatives and not negative_sampling:
+      raise ValueError('num_random_negatives requires negative_sampling')
 
     self._init_training(train_dataset, weight_decay=weight_decay)
 
@@ -796,13 +804,15 @@ class Recoder:
         train_dataset, batch_size=batch_size,
         negative_sampling=negative_sampling,
         num_sampling_users=num_sampling_users,
-        num_workers=num_data_workers, seed=self.seed)
+        num_workers=num_data_workers, seed=self.seed,
+        num_random_negatives=num_random_negatives)
     if val_dataset is not None:
       val_dataloader = RecommendationDataLoader(
           val_dataset, batch_size=batch_size,
           negative_sampling=negative_sampling,
           num_sampling_users=num_sampling_users,
-          num_workers=num_data_workers, seed=self.seed + 1)
+          num_workers=num_data_workers, seed=self.seed + 1,
+          num_random_negatives=num_random_negatives)
     else:
       val_dataloader = None
 
@@ -821,7 +831,8 @@ class Recoder:
       # cache holds a strong reference to the matrix, so identity
       # comparison cannot alias a garbage-collected object
       matrix = train_dataset.interactions_matrix
-      src_cfg = (batch_size, num_sampling_users, self.mesh, shuffle)
+      src_cfg = (batch_size, num_sampling_users, self.mesh, shuffle,
+                 num_random_negatives)
       cached = getattr(self, '_fused_source_cache', None)
       if (cached is not None and cached[0] is matrix
           and cached[1] == src_cfg):
@@ -833,7 +844,8 @@ class Recoder:
         fused_source = DeviceDataSource(
             matrix, batch_size=batch_size,
             num_sampling_users=num_sampling_users, num_items=self.num_items,
-            union_width=union_width, mesh=self.mesh, shuffle=shuffle)
+            union_width=union_width, mesh=self.mesh, shuffle=shuffle,
+            num_random_negatives=num_random_negatives, seed=self.seed)
         self._fused_source_cache = (matrix, src_cfg, fused_source)
       num_batches = fused_source.steps_per_epoch
 
@@ -841,7 +853,8 @@ class Recoder:
     # call with the same dataset and batching config (resuming the
     # reference's partial-epoch semantics); anything else restarts it
     iter_key = (train_dataset, batch_size, num_sampling_users,
-                negative_sampling, shuffle, fused_source is not None)
+                negative_sampling, shuffle, num_random_negatives,
+                fused_source is not None)
     if getattr(self, '_train_iterator_key', None) != iter_key:
       self._train_iterator = None
       self._iters_consumed = 0
@@ -1036,10 +1049,13 @@ class Recoder:
         train_dataset.interactions_matrix, batch_size=batch_size,
         num_sampling_users=num_sampling_users, num_items=self.num_items,
         union_width=new_width, mega_nnz_budget=new_budget, mesh=self.mesh,
-        shuffle=fused_source.shuffle)
+        shuffle=fused_source.shuffle,
+        num_random_negatives=fused_source.num_random_negatives,
+        seed=self.seed)
     self._fused_source_cache = (
         train_dataset.interactions_matrix,
-        (batch_size, num_sampling_users, self.mesh, fused_source.shuffle),
+        (batch_size, num_sampling_users, self.mesh, fused_source.shuffle,
+         fused_source.num_random_negatives),
         fused_source)
     return fused_source
 
