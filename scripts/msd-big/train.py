@@ -40,6 +40,10 @@ def main():
                  help='item-axis model-parallel ways (0 = single chip); '
                       'remaining devices become the data axis')
   p.add_argument('--compute-dtype', default='bfloat16')
+  p.add_argument('--random-negatives', type=int, default=0,
+                 help='extra uniform-random negative items per step '
+                      '(union-coverage knob for this catalog scale; '
+                      'see docs/tutorial.md section 3)')
   p.add_argument('--resume', default=None)
   args = p.parse_args()
 
@@ -80,6 +84,7 @@ def main():
                   batch_size=args.batch_size, lr=args.lr,
                   weight_decay=args.weight_decay, num_epochs=args.epochs,
                   negative_sampling=True, lr_milestones=[60, 70],
+                  num_random_negatives=args.random_negatives,
                   model_checkpoint_prefix=prefix, checkpoint_freq=10,
                   eval_num_recommendations=100, metrics=metrics,
                   eval_freq=10)
