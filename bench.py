@@ -96,18 +96,25 @@ def main():
 
   num_batches = int(np.ceil(NUM_USERS / BATCH_SIZE))
 
+  # the fused on-device pipeline serves this workload: host loader
+  # workers are never consumed, and their processes contend with the
+  # dispatch thread on small hosts -- keep them off
   common = dict(train_dataset=dataset, batch_size=BATCH_SIZE, lr=1e-3,
                 weight_decay=2e-5, negative_sampling=True,
-                num_data_workers=2, shuffle=args.shuffle)
+                num_data_workers=0, shuffle=args.shuffle)
 
   # warmup epoch: jit compiles for every shape bucket
   log('warmup epoch (compilation)...')
   trainer.train(num_epochs=1, **common)
 
-  timed_epochs = 3
+  # train(num_epochs=N) resumes from current_epoch INCLUSIVE (reference
+  # model.py:360 semantics: the last completed epoch re-runs), so count
+  # the epochs the timed call actually executes
+  target_epochs = 4
+  timed_epochs = target_epochs - trainer.current_epoch + 1
   log(f'timing {timed_epochs} epochs...')
   t0 = time.time()
-  trainer.train(num_epochs=1 + timed_epochs, **common)
+  trainer.train(num_epochs=target_epochs, **common)
   dt = time.time() - t0
 
   batches_per_sec = timed_epochs * num_batches / dt

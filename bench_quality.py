@@ -95,6 +95,15 @@ def split_heldout(matrix, seed=1234, heldout=HELDOUT_USERS,
 
 
 def main():
+  import argparse
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--shuffle', choices=['users', 'blocks'],
+                  default='blocks',
+                  help="sampling mode (blocks: faster step, fixed "
+                       "co-batch groups, quality gate-tested; users: "
+                       "reference semantics)")
+  args = ap.parse_args()
+
   if REFERENCE_QUALITY['recall_20'] is None:
     log('REFERENCE_QUALITY not derived yet -- run '
         'tools/derive_quality_target.py and paste its numbers.')
@@ -120,7 +129,8 @@ def main():
   ndcg_100 = NDCG(k=100)
 
   common = dict(train_dataset=train_ds, batch_size=BATCH_SIZE, lr=1e-3,
-                weight_decay=2e-5, negative_sampling=True)
+                weight_decay=2e-5, negative_sampling=True,
+                shuffle=args.shuffle)
 
   target_r = REFERENCE_QUALITY['recall_20'] * QUALITY_FRACTION
   target_n = REFERENCE_QUALITY['ndcg_100'] * QUALITY_FRACTION

@@ -496,12 +496,21 @@ class Recoder:
     self._step_fns[cache_key] = fn
     return fn
 
-  def _get_fused_step_fn(self, source, negative_sampling, sparse):
+  def _get_fused_step_fn(self, source, negative_sampling, sparse,
+                         steps=1):
     """A step that builds its batch on device from a resident CSR
-    (recoder_tpu.data.device_pipeline) -- no per-step host transfer."""
+    (recoder_tpu.data.device_pipeline) -- no per-step host transfer.
+
+    ``steps > 1`` compiles a ``lax.scan`` of that many consecutive
+    steps per dispatch (losses come back as a ``[steps]`` vector).
+    Identical math to the single-step path -- the scan body folds the
+    rng from the same device-side global-step counter -- it only
+    amortizes per-call host/tunnel dispatch cost, which dominates on
+    small hosts (measured: 438 -> 457 batches/s on a 1-core host;
+    within noise on many-core hosts, docs/benchmarks.md)."""
     # keyed by the source object too: the compiled fn closes over the
     # source's device arrays, so a new source needs a fresh trace
-    cache_key = ('fused', negative_sampling, sparse)
+    cache_key = ('fused', negative_sampling, sparse, steps)
     cached = self._step_fns.get(cache_key)
     if cached is not None and cached[0] is source:
       return cached[1]
@@ -527,16 +536,28 @@ class Recoder:
                               jnp.maximum(carry[4:6], overflow)])
 
     if not sparse:
-      def step(params, opt_state, carry, perm, lr):
+      def one_step(params, opt_state, carry, perm, lr):
         rng = jax.random.fold_in(self._base_rng, carry[1])
         batch, overflow = build(perm, carry[0], carry[1])
         new_params, new_opt_state, loss = self._dense_step_math(
             params, opt_state, batch, lr, rng)
         return new_params, new_opt_state, loss, roll(carry, overflow)
 
-      fn = jax.jit(step, donate_argnums=(0, 1, 2))
+      if steps == 1:
+        fn = jax.jit(one_step, donate_argnums=(0, 1, 2))
+      else:
+        def multi_step(params, opt_state, carry, perm, lr):
+          def body(c, _):
+            p, o, cr = c
+            p, o, loss, cr = one_step(p, o, cr, perm, lr)
+            return (p, o, cr), loss
+          (params, opt_state, carry), losses = jax.lax.scan(
+              body, (params, opt_state, carry), None, length=steps)
+          return params, opt_state, losses, carry
+
+        fn = jax.jit(multi_step, donate_argnums=(0, 1, 2))
     else:
-      def step(params, opt_state, sparse_states, carry, perm, lr):
+      def one_step(params, opt_state, sparse_states, carry, perm, lr):
         rng = jax.random.fold_in(self._base_rng, carry[1])
         batch, overflow = build(perm, carry[0], carry[1])
         new_params, new_opt_state, new_sparse, loss = (
@@ -545,7 +566,21 @@ class Recoder:
         return (new_params, new_opt_state, new_sparse, loss,
                 roll(carry, overflow))
 
-      fn = jax.jit(step, donate_argnums=(0, 1, 2, 3))
+      if steps == 1:
+        fn = jax.jit(one_step, donate_argnums=(0, 1, 2, 3))
+      else:
+        def multi_step(params, opt_state, sparse_states, carry, perm, lr):
+          def body(c, _):
+            p, o, s, cr = c
+            p, o, s, loss, cr = one_step(p, o, s, cr, perm, lr)
+            return (p, o, s, cr), loss
+          ((params, opt_state, sparse_states, carry), losses) = (
+              jax.lax.scan(body,
+                           (params, opt_state, sparse_states, carry),
+                           None, length=steps))
+          return params, opt_state, sparse_states, losses, carry
+
+        fn = jax.jit(multi_step, donate_argnums=(0, 1, 2, 3))
 
     self._step_fns[cache_key] = (source, fn)
     return fn
@@ -762,7 +797,7 @@ class Recoder:
             eval_freq=0, eval_num_recommendations=None,
             eval_num_users=None, metrics=None, eval_batch_size=None,
             profile_dir=None, profile_steps=(10, 30), shuffle='users',
-            num_random_negatives=0):
+            num_random_negatives=0, fused_steps_per_call=16):
     """Train the model (argument semantics mirror the reference
     model.py:256-347; see that docstring for parameter meanings).
 
@@ -775,7 +810,12 @@ class Recoder:
     uniform-random item ids to each step's item union as extra
     zero-target negatives (coverage for catalogs where in-batch unions
     touch a tiny item fraction; decode cost grows with the union
-    width). Requires ``negative_sampling=True``."""
+    width). Requires ``negative_sampling=True``.
+    ``fused_steps_per_call`` scan-batches that many consecutive fused
+    steps into one dispatch (identical math; losses logged per step).
+    Amortizes per-call host/tunnel overhead -- worth ~4% on dispatch-
+    bound hosts, within noise elsewhere; set 1 to dispatch per step.
+    Profiling runs always dispatch per step."""
     backend = jax.default_backend()
     log.info('%s Mode', backend.upper())
     for param, value in self.model.model_params().items():
@@ -884,18 +924,27 @@ class Recoder:
 
         iters_to_process = min(iters_per_epoch,
                                num_batches - self._iters_consumed)
-        step_fn = self._get_fused_step_fn(fused_source, negative_sampling,
-                                          sparse)
         serialize = self._cpu_mesh_serialize()
+        # scan-batched dispatch amortizes per-call host/tunnel cost;
+        # profiling forces single-step calls so the trace window's
+        # step boundaries stay host-visible
+        spc = 1 if profile_dir is not None else max(
+            1, int(fused_steps_per_call))
         # device-side step carry (counters + overflow); one upload per
         # epoch, one fetch at epoch end
         carry = fused_source._put(jnp.asarray(
             [self._iters_consumed, self._global_step, 0, 0, 0, 0],
             jnp.int32))
-        for _ in range(iters_to_process):
+        remaining = iters_to_process
+        while remaining > 0:
+          block = spc if remaining >= spc else 1
+          step_fn = self._get_fused_step_fn(fused_source,
+                                            negative_sampling, sparse,
+                                            steps=block)
           self._maybe_profile(profile_dir, profile_steps)
-          self._iters_consumed += 1
-          self._global_step += 1
+          self._iters_consumed += block
+          self._global_step += block
+          remaining -= block
           if not sparse:
             dense_params, _ = self._split_params()
             new_params, self.opt_state, loss, carry = step_fn(
@@ -908,7 +957,7 @@ class Recoder:
                                     lr_arr)
           if serialize:
             jax.block_until_ready(loss)
-          epoch_losses.append(loss)
+          epoch_losses.append(loss)  # scalar (block 1) or [block] vector
         if iters_to_process:
           epoch_overflows.append(carry[2:])
       else:
@@ -935,7 +984,8 @@ class Recoder:
       # mean loss reduced on device; the host fetch happens on a logger
       # thread so the next epoch's dispatch isn't blocked by the
       # round trip (the fetch would otherwise drain the whole pipeline)
-      mean_loss_arr = (jnp.mean(jnp.stack(epoch_losses))
+      mean_loss_arr = (jnp.mean(jnp.concatenate(
+          [jnp.atleast_1d(l) for l in epoch_losses]))
                        if epoch_losses else None)
       # [sum_nnz, sum_union, max_nnz, max_union] -- already accumulated
       # on device inside the fused step (donated carry)

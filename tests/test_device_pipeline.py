@@ -124,6 +124,31 @@ def test_fused_training_learns(matrix):
   assert any(jax.tree_util.tree_flatten(changed)[0])
 
 
+def test_fused_steps_per_call_equivalence(matrix):
+  """Scan-batched dispatch (fused_steps_per_call>1) is the same math
+  as the single-step loop: identical params after an epoch whose step
+  count does not divide the scan length (exercises the remainder
+  singles), for both dense and sparse models."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(matrix)  # 37 users -> 5 batches of 8
+
+  def run(spc, sparse):
+    model = DynamicAutoencoder(hidden_layers=[16], sparse=sparse)
+    tr = Recoder(model=model, optimizer_type='adam', loss='mse', seed=3)
+    tr.train(train_dataset=ds, batch_size=8, num_epochs=2,
+             negative_sampling=True, fused_steps_per_call=spc)
+    return jax.tree_util.tree_map(np.asarray, tr.model.params)
+
+  for sparse in (False, True):
+    p1 = run(1, sparse)
+    p4 = run(4, sparse)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-6,
+                                                atol=2e-7), p1, p4)
+
+
 def test_blocks_mode_reconstructs_exact_batches():
   """shuffle='blocks': every interaction of the block appears exactly
   once across the mega-batch's slices, with the exact np.unique union
