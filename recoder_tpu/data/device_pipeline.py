@@ -58,10 +58,15 @@ class DeviceDataSource:
       rows. 'blocks' keeps users in fixed contiguous mega-batch blocks
       and shuffles only the block ORDER each epoch: the block's CSR
       range is contiguous, so two dynamic_slices replace the gathers
-      (the profiled ~8 ns/element scalar-core cost). Trade-off: each
-      user keeps the same co-batch group across epochs, so the
-      negative-sampling mix does not refresh -- measured convergence
-      comparison in docs/benchmarks.md; offered as an opt-in.
+      (the profiled ~8 ns/element scalar-core cost), and -- because the
+      co-batch groups are fixed -- each block's item union, inverse
+      column map, and row-owner vector are precomputed on host at init
+      and served per step as contiguous row fetches (no on-device
+      sort/unique at all; ``union_width`` is right-sized to the exact
+      max block union). Trade-off: each user keeps the same co-batch
+      group across epochs, so the negative-sampling mix does not
+      refresh -- measured convergence comparison in docs/benchmarks.md;
+      offered as an opt-in.
   """
 
   def __init__(self, matrix, batch_size, num_sampling_users, num_items,
@@ -145,6 +150,68 @@ class DeviceDataSource:
     if self.num_random_negatives:
       self._d_negkey = put(jax.random.PRNGKey(seed + 7))
 
+    # blocks mode with no random negatives: co-batch groups are FIXED,
+    # so each block's item union, inverse column map, and row-owner
+    # vector are epoch-invariant -- precompute them on host once and
+    # serve each step with three contiguous row fetches instead of an
+    # on-device sort/unique/scatter chain (see build_batch)
+    self._precomputed = None
+    if shuffle == 'blocks' and not self.num_random_negatives:
+      self._precompute_blocks(matrix.indices.astype(np.int32),
+                              indptr, counts_pad)
+
+  #: precomputed block tables are skipped past this many bytes
+  #: (u_rel + inverse + union tables, before mesh replication)
+  PRECOMPUTE_BYTE_BUDGET = 2 << 30
+
+  def _precompute_blocks(self, cols, indptr, counts_pad):
+    """Host-side per-block union precompute ('blocks' mode).
+
+    For every fixed user block: ``np.unique(block_cols,
+    return_inverse=True)`` (the reference's negative-sampling union,
+    data.py:220) and the flat-slot -> user-row map. Also right-sizes
+    ``union_width`` to the exact maximum block union (aligned up to
+    128 lanes): the width estimate it replaces carries a safety margin
+    that exists only for unions the device cannot see ahead of time."""
+    nb, S, M = self.n_blocks, self.mega, self.mega_nnz_budget
+    sentinel = self.num_items
+    n_users = self.num_users_total
+
+    uniques, inverses = [], []
+    for b in range(nb):
+      lo, hi = b * S, min((b + 1) * S, n_users)
+      c = cols[indptr[lo]:indptr[hi]]
+      u, inv = np.unique(c, return_inverse=True)
+      uniques.append(u)
+      inverses.append(inv.astype(np.int32))
+
+    w_exact = max((len(u) for u in uniques), default=1)
+    W = (w_exact + 127) // 128 * 128
+    if nb * (2 * M + W) * 4 > self.PRECOMPUTE_BYTE_BUDGET:
+      return
+    self.union_width = W
+
+    u_rel = np.full((nb, M), S, np.int32)
+    cmp = np.zeros((nb, M), np.int32)
+    unions = np.full((nb, W), sentinel, np.int32)
+    widths = np.zeros((nb,), np.int32)
+    for b in range(nb):
+      u, inv = uniques[b], inverses[b]
+      n = len(inv)
+      cmp[b, :n] = inv
+      unions[b, :len(u)] = u
+      widths[b] = len(u)
+      u_rel[b, :n] = np.repeat(
+          np.arange(S, dtype=np.int32), counts_pad[b * S:(b + 1) * S])
+
+    put = self._put
+    self._precomputed = {
+        'u_rel': put(jnp.asarray(u_rel)),
+        'cmp': put(jnp.asarray(cmp)),
+        'unions': put(jnp.asarray(unions)),
+        'widths': put(jnp.asarray(widths)),
+    }
+
   def _put(self, arr):
     if self.mesh is None:
       return jax.device_put(arr)
@@ -225,56 +292,72 @@ class DeviceDataSource:
     total = cum[-1]
     offsets = cum - counts                                        # excl.
 
-    # u_of_j (owner user of flat slot j) via segment marks + cumsum:
-    # a vectorized-searchsorted here costs ~4 ms at M~50k on TPU, the
-    # scatter+cumsum form ~0.5 ms.
     j = jnp.arange(M, dtype=jnp.int32)
-    marks = jnp.zeros((M,), jnp.int32).at[offsets].add(1, mode='drop')
-    u_of_j = jnp.cumsum(marks) - 1
     valid = j < total
 
-    if self.shuffle == 'blocks':
-      cols_m = jnp.where(valid,
-                         jax.lax.dynamic_slice(self.d_cols, (nnz_start,),
-                                               (M,)), sentinel)   # [M]
-    else:
-      # flat gather indices for the mega-batch's nnz, budget M. The
-      # per-slot CSR source index needs starts[u] - offsets[u];
-      # profiling shows each M-length gather costs ~0.4 ms, so the two
-      # are pre-combined into one adjustment table.
-      u_clip = jnp.minimum(u_of_j, S - 1)
-      adjust = starts - offsets                                   # [S]
-      src = adjust[u_clip] + j
-      src = jnp.where(valid, src, 0)
-      cols_m = jnp.where(valid, self.d_cols[src], sentinel)       # [M]
-
-    if negative_sampling:
-      R = self.num_random_negatives
-      if R:
-        # extra uniform-random negative items widen the union beyond
-        # the mega-batch's own interactions -- coverage for catalogs
-        # where in-batch unions touch a tiny item fraction (the CBNS
-        # motivation, arXiv:2110.15154, re-cast for the union trick:
-        # negatives here are decode columns, not cached embeddings).
-        # The ids join the UNION ONLY (values scatter from the [:M]
-        # slots), so their input/target columns are exactly zero.
-        key = jax.random.fold_in(
-            self._d_negkey, step_idx if neg_step is None else neg_step)
-        rand_ids = jax.random.randint(key, (R,), 0, self.num_items,
-                                      jnp.int32)
-        union_in = jnp.concatenate([cols_m, rand_ids])
-        items, compressed_ext, width_valid = self._unique_union(
-            union_in, valid, sentinel, M + R)
-        compressed = compressed_ext[:M]
-      else:
-        items, compressed, width_valid = self._unique_union(cols_m, valid,
-                                                            sentinel, M)
+    pre = self._precomputed if negative_sampling else None
+    if pre is not None:
+      # epoch-invariant block tables (host-precomputed at init): three
+      # contiguous row fetches replace the sort/unique/scatter union
+      # build and the marks+cumsum owner map of the general path
+      u_of_j = jax.lax.dynamic_slice(pre['u_rel'], (block, 0),
+                                     (1, M))[0]
+      compressed = jax.lax.dynamic_slice(pre['cmp'], (block, 0),
+                                         (1, M))[0]
+      items = jax.lax.dynamic_slice(pre['unions'], (block, 0),
+                                    (1, self.union_width))[0]
+      width_valid = pre['widths'][block]
       W = self.union_width
     else:
-      compressed = cols_m
-      items = None
-      width_valid = jnp.int32(self.num_items)
-      W = None  # caller decides padded catalog width
+      # u_of_j (owner user of flat slot j) via segment marks + cumsum:
+      # a vectorized-searchsorted here costs ~4 ms at M~50k on TPU, the
+      # scatter+cumsum form ~0.5 ms.
+      marks = jnp.zeros((M,), jnp.int32).at[offsets].add(1, mode='drop')
+      u_of_j = jnp.cumsum(marks) - 1
+
+      if self.shuffle == 'blocks':
+        cols_m = jnp.where(valid,
+                           jax.lax.dynamic_slice(self.d_cols,
+                                                 (nnz_start,),
+                                                 (M,)), sentinel)   # [M]
+      else:
+        # flat gather indices for the mega-batch's nnz, budget M. The
+        # per-slot CSR source index needs starts[u] - offsets[u];
+        # profiling shows each M-length gather costs ~0.4 ms, so the
+        # two are pre-combined into one adjustment table.
+        u_clip = jnp.minimum(u_of_j, S - 1)
+        adjust = starts - offsets                                   # [S]
+        src = adjust[u_clip] + j
+        src = jnp.where(valid, src, 0)
+        cols_m = jnp.where(valid, self.d_cols[src], sentinel)       # [M]
+
+      if negative_sampling:
+        R = self.num_random_negatives
+        if R:
+          # extra uniform-random negative items widen the union beyond
+          # the mega-batch's own interactions -- coverage for catalogs
+          # where in-batch unions touch a tiny item fraction (the CBNS
+          # motivation, arXiv:2110.15154, re-cast for the union trick:
+          # negatives here are decode columns, not cached embeddings).
+          # The ids join the UNION ONLY (values scatter from the [:M]
+          # slots), so their input/target columns are exactly zero.
+          key = jax.random.fold_in(
+              self._d_negkey, step_idx if neg_step is None else neg_step)
+          rand_ids = jax.random.randint(key, (R,), 0, self.num_items,
+                                        jnp.int32)
+          union_in = jnp.concatenate([cols_m, rand_ids])
+          items, compressed_ext, width_valid = self._unique_union(
+              union_in, valid, sentinel, M + R)
+          compressed = compressed_ext[:M]
+        else:
+          items, compressed, width_valid = self._unique_union(
+              cols_m, valid, sentinel, M)
+        W = self.union_width
+      else:
+        compressed = cols_m
+        items = None
+        width_valid = jnp.int32(self.num_items)
+        W = None  # caller decides padded catalog width
 
     # slice s of the mega-batch
     lo_u, hi_u = s * B, s * B + B

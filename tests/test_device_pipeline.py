@@ -149,10 +149,14 @@ def test_fused_steps_per_call_equivalence(matrix):
                                                 atol=2e-7), p1, p4)
 
 
-def test_blocks_mode_reconstructs_exact_batches():
+@pytest.mark.parametrize('precomputed', [True, False])
+def test_blocks_mode_reconstructs_exact_batches(precomputed):
   """shuffle='blocks': every interaction of the block appears exactly
   once across the mega-batch's slices, with the exact np.unique union
-  (same contract as 'users' mode, minus the within-epoch user shuffle)."""
+  (same contract as 'users' mode, minus the within-epoch user shuffle).
+  Covers both the host-precomputed block tables and the on-device
+  sort/unique fallback (used when random negatives refresh the union
+  per step or the tables exceed the byte budget)."""
   rng = np.random.default_rng(8)
   df = pd.DataFrame({'u': rng.integers(0, 40, 1500),
                      'i': rng.integers(0, 300, 1500),
@@ -163,6 +167,12 @@ def test_blocks_mode_reconstructs_exact_batches():
   src = DeviceDataSource(m, batch_size=10, num_sampling_users=20,
                          num_items=m.shape[1], union_width=512,
                          shuffle='blocks')
+  if precomputed:
+    assert src._precomputed is not None
+    assert src.union_width % 128 == 0
+  else:
+    src._precomputed = None
+    src.union_width = 512
   assert src.mega_nnz_budget >= max(
       m.indptr[20] - m.indptr[0], m.indptr[40] - m.indptr[20])
 
