@@ -52,11 +52,17 @@ def test_shard_params_places_on_mesh():
   assert shard_shapes == {(table.shape[0] // 2, table.shape[1])}
 
 
-@pytest.mark.parametrize('model_cls,kw', [
-    (DynamicAutoencoder, dict(hidden_layers=[64], activation_type='tanh')),
-    (MatrixFactorization, dict(embedding_size=32, activation_type='tanh')),
+@pytest.mark.parametrize('model_cls,kw,shuffle', [
+    (DynamicAutoencoder, dict(hidden_layers=[64], activation_type='tanh'),
+     'users'),
+    (MatrixFactorization, dict(embedding_size=32, activation_type='tanh'),
+     'users'),
+    # blocks mode exercises the host-precomputed block-union tables
+    # (replicated over the mesh) inside the SPMD step
+    (DynamicAutoencoder, dict(hidden_layers=[64], activation_type='tanh'),
+     'blocks'),
 ])
-def test_sharded_training_matches_single_device(model_cls, kw):
+def test_sharded_training_matches_single_device(model_cls, kw, shuffle):
   ds = _dataset()
 
   def run(mesh):
@@ -65,7 +71,9 @@ def test_sharded_training_matches_single_device(model_cls, kw):
                       seed=7, mesh=mesh)
     trainer.train(train_dataset=ds, batch_size=16, lr=1e-3,
                   num_epochs=3, negative_sampling=True,
-                  num_sampling_users=32)
+                  num_sampling_users=32, shuffle=shuffle)
+    if shuffle == 'blocks':
+      assert trainer._fused_source_cache[2]._precomputed is not None
     return jax.tree_util.tree_map(np.asarray, trainer.model.params)
 
   # mesh size 1 vs mesh size 8: same jitted step, same host batches
