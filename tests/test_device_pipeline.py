@@ -134,19 +134,23 @@ def test_fused_steps_per_call_equivalence(matrix):
 
   ds = RecommendationDataset(matrix)  # 37 users -> 5 batches of 8
 
-  def run(spc, sparse):
+  def run(spc, sparse, shuffle):
     model = DynamicAutoencoder(hidden_layers=[16], sparse=sparse)
     tr = Recoder(model=model, optimizer_type='adam', loss='mse', seed=3)
     tr.train(train_dataset=ds, batch_size=8, num_epochs=2,
-             negative_sampling=True, fused_steps_per_call=spc)
+             negative_sampling=True, fused_steps_per_call=spc,
+             shuffle=shuffle)
+    if shuffle == 'blocks':
+      assert tr._fused_source_cache[2]._precomputed is not None
     return jax.tree_util.tree_map(np.asarray, tr.model.params)
 
   for sparse in (False, True):
-    p1 = run(1, sparse)
-    p4 = run(4, sparse)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-6,
-                                                atol=2e-7), p1, p4)
+    for shuffle in ('users', 'blocks'):  # blocks: precomputed unions
+      p1 = run(1, sparse, shuffle)
+      p4 = run(4, sparse, shuffle)
+      jax.tree_util.tree_map(
+          lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-6,
+                                                  atol=2e-7), p1, p4)
 
 
 @pytest.mark.parametrize('precomputed', [True, False])
