@@ -71,8 +71,17 @@ class DeviceDataSource:
 
   def __init__(self, matrix, batch_size, num_sampling_users, num_items,
                union_width, mega_nnz_budget=None, binary=None, mesh=None,
-               shuffle='users', num_random_negatives=0, seed=0):
+               shuffle='users', num_random_negatives=0, seed=0,
+               target_matrix=None):
     assert shuffle in ('users', 'blocks'), shuffle
+    if target_matrix is not None and (shuffle != 'blocks'
+                                      or num_random_negatives):
+      # the dual-CSR path is served entirely from precomputed block
+      # tables (both sides need exact unions); other configurations
+      # keep the host loader (reference data.py:146-158 collates input
+      # and target independently -- that is what the tables replicate)
+      raise ValueError('target_matrix requires shuffle="blocks" '
+                       'without random negatives')
     self.shuffle = shuffle
     self.mesh = mesh
     self.num_random_negatives = int(num_random_negatives)
@@ -157,23 +166,72 @@ class DeviceDataSource:
     # on-device sort/unique/scatter chain (see build_batch)
     self._precomputed = None
     if shuffle == 'blocks' and not self.num_random_negatives:
-      self._precompute_blocks(matrix.indices.astype(np.int32),
-                              indptr, counts_pad)
+      tables, W = self._block_tables(matrix.indices.astype(np.int32),
+                                     indptr, counts_pad,
+                                     self.mega_nnz_budget)
+      if tables is not None:
+        self._precomputed = tables
+        self.union_width = W
+
+    # optional second CSR: per-user TARGET interactions (reference
+    # data.py:146-158 -- input and target windows are collated
+    # INDEPENDENTLY, each with its own np.unique union). Served from
+    # precomputed block tables only (constructor guard above).
+    self._tg = None
+    if target_matrix is not None:
+      if self._precomputed is None:
+        raise ValueError('target_matrix needs the precomputed block '
+                         'tables (input side exceeded the byte budget)')
+      self._init_target_side(target_matrix, n_pad)
+
+  def _init_target_side(self, target_matrix, n_pad):
+    target_matrix = target_matrix.tocsr()
+    assert target_matrix.shape[0] == self.num_users_total, \
+        'target matrix must cover the same users'
+    t_indptr = target_matrix.indptr.astype(np.int32)
+    t_counts = np.diff(t_indptr)
+    edges = np.minimum(np.arange(self.n_blocks + 1) * self.mega,
+                       self.num_users_total)
+    block_nnz = t_indptr[edges[1:]] - t_indptr[edges[:-1]]
+    M_tg = max(int(block_nnz.max()), 1)
+    M_tg = (M_tg + 1023) // 1024 * 1024
+
+    counts_pad = np.zeros(n_pad, np.int32)
+    counts_pad[:self.num_users_total] = t_counts
+    starts_pad = np.zeros(n_pad, np.int32)
+    starts_pad[:self.num_users_total] = t_indptr[:-1]
+
+    tables, W_tg = self._block_tables(
+        target_matrix.indices.astype(np.int32), t_indptr, counts_pad,
+        M_tg)
+    if tables is None:
+      raise ValueError('target-side block tables exceed the byte budget')
+
+    binary = bool(np.all(target_matrix.data == 1.0))
+    vals = np.concatenate([target_matrix.data.astype(np.float32),
+                           np.zeros(M_tg, np.float32)])
+    put = self._put
+    self._tg = {
+        'M': M_tg, 'W': W_tg, 'binary': binary, 'pre': tables,
+        'd_counts': put(jnp.asarray(counts_pad)),
+        'd_starts': put(jnp.asarray(starts_pad)),
+        'd_vals': None if binary else put(jnp.asarray(vals)),
+    }
 
   #: precomputed block tables are skipped past this many bytes
   #: (u_rel + inverse + union tables, before mesh replication)
   PRECOMPUTE_BYTE_BUDGET = 2 << 30
 
-  def _precompute_blocks(self, cols, indptr, counts_pad):
+  def _block_tables(self, cols, indptr, counts_pad, M):
     """Host-side per-block union precompute ('blocks' mode).
 
-    For every fixed user block: ``np.unique(block_cols,
+    For every fixed user block of one CSR: ``np.unique(block_cols,
     return_inverse=True)`` (the reference's negative-sampling union,
-    data.py:220) and the flat-slot -> user-row map. Also right-sizes
-    ``union_width`` to the exact maximum block union (aligned up to
-    128 lanes): the width estimate it replaces carries a safety margin
-    that exists only for unions the device cannot see ahead of time."""
-    nb, S, M = self.n_blocks, self.mega, self.mega_nnz_budget
+    data.py:220) and the flat-slot -> user-row map. Returns
+    ``(tables, W)`` with ``W`` the exact maximum block union aligned
+    up to 128 lanes (replacing a sampled width estimate's safety
+    margin), or ``(None, None)`` past the byte budget."""
+    nb, S = self.n_blocks, self.mega
     sentinel = self.num_items
     n_users = self.num_users_total
 
@@ -188,8 +246,7 @@ class DeviceDataSource:
     w_exact = max((len(u) for u in uniques), default=1)
     W = (w_exact + 127) // 128 * 128
     if nb * (2 * M + W) * 4 > self.PRECOMPUTE_BYTE_BUDGET:
-      return
-    self.union_width = W
+      return None, None
 
     u_rel = np.full((nb, M), S, np.int32)
     cmp = np.zeros((nb, M), np.int32)
@@ -205,12 +262,12 @@ class DeviceDataSource:
           np.arange(S, dtype=np.int32), counts_pad[b * S:(b + 1) * S])
 
     put = self._put
-    self._precomputed = {
+    return {
         'u_rel': put(jnp.asarray(u_rel)),
         'cmp': put(jnp.asarray(cmp)),
         'unions': put(jnp.asarray(unions)),
         'widths': put(jnp.asarray(widths)),
-    }
+    }, W
 
   def _put(self, arr):
     if self.mesh is None:
@@ -398,7 +455,7 @@ class DeviceDataSource:
       union_dropped = jnp.int32(0)
     overflow = jnp.stack([nnz_dropped, union_dropped])
 
-    return {
+    out = {
         'rows': rows_m, 'cols': compressed, 'vals': vals_m,
         'items': items, 'users': slice_users,
         'num_users': jnp.maximum(num_users, 1).astype(jnp.float32),
@@ -406,3 +463,47 @@ class DeviceDataSource:
         'union_width': W,
         'overflow': overflow,
     }
+
+    if self._tg is not None:
+      if not negative_sampling:
+        raise ValueError('dual-CSR fused batches require '
+                         'negative_sampling=True (full-catalog target '
+                         'runs use the host loader)')
+      out.update(self._build_target_side(block, ustart, lo_u, hi_u))
+    return out
+
+  def _build_target_side(self, block, ustart, lo_u, hi_u):
+    """Target-side slab triplets for the same user block, from the
+    target CSR's own precomputed block tables (independent union,
+    reference data.py:146-158 semantics)."""
+    tgt = self._tg
+    S, B = self.mega, self.batch_size
+    Mt, Wt, pre = tgt['M'], tgt['W'], tgt['pre']
+    counts = jax.lax.dynamic_slice(tgt['d_counts'], (ustart,), (S,))
+    nnz_start = jax.lax.dynamic_slice(tgt['d_starts'], (ustart,), (1,))[0]
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    offsets = cum - counts
+    j = jnp.arange(Mt, dtype=jnp.int32)
+    valid = j < total
+
+    u_of_j = jax.lax.dynamic_slice(pre['u_rel'], (block, 0), (1, Mt))[0]
+    compressed = jax.lax.dynamic_slice(pre['cmp'], (block, 0),
+                                       (1, Mt))[0]
+    items = jax.lax.dynamic_slice(pre['unions'], (block, 0), (1, Wt))[0]
+    width_valid = pre['widths'][block]
+
+    start_s = offsets[lo_u]
+    end_s = jnp.where(hi_u - 1 < S, cum[hi_u - 1], total)
+    rows = u_of_j - lo_u
+    in_slice = jnp.logical_and(jnp.logical_and(j >= start_s, j < end_s),
+                               valid)
+    rows = jnp.where(in_slice, rows, B)
+    if tgt['binary']:
+      vals = in_slice.astype(jnp.float32)
+    else:
+      vals = jnp.where(in_slice,
+                       jax.lax.dynamic_slice(tgt['d_vals'],
+                                             (nnz_start,), (Mt,)), 0.0)
+    return {'tg_rows': rows, 'tg_cols': compressed, 'tg_vals': vals,
+            'tg_items': items, 'tg_width_valid': width_valid}

@@ -519,12 +519,17 @@ class Recoder:
       b = source.build_batch(perm, step_idx,
                              negative_sampling=negative_sampling,
                              neg_step=global_step)
-      return {
+      d = {
           'in_rows': b['rows'], 'in_cols': b['cols'], 'in_vals': b['vals'],
           'in_users': b['users'], 'in_items': b['items'],
           'in_valid_users': b['num_users'],
           'in_valid_width': b['width_valid'],
-      }, b['overflow']
+      }
+      if 'tg_rows' in b:  # dual-CSR (target-dataset) source
+        d.update({'tg_rows': b['tg_rows'], 'tg_cols': b['tg_cols'],
+                  'tg_vals': b['tg_vals'], 'tg_items': b['tg_items'],
+                  'tg_valid_width': b['tg_width_valid']})
+      return d, b['overflow']
 
     def roll(carry, overflow):
       # donated int32[6] step carry: [step_in_epoch, global_step,
@@ -864,15 +869,21 @@ class Recoder:
 
     # Fused on-device pipeline: resident CSR + batch construction inside
     # the jitted step; used whenever the training data is a plain
-    # interactions matrix (the hot configuration). Under a mesh the CSR
-    # is replicated and the build runs SPMD (see DeviceDataSource).
+    # interactions matrix (the hot configuration), and for TARGET
+    # datasets (two CSRs) in blocks mode, where both sides' unions are
+    # served from precomputed block tables. Under a mesh the CSR is
+    # replicated and the build runs SPMD (see DeviceDataSource).
     fused_source = None
-    if train_dataset.target_interactions_matrix is None:
+    target_matrix = train_dataset.target_interactions_matrix
+    fused_ok = (target_matrix is None
+                or (shuffle == 'blocks' and negative_sampling
+                    and not num_random_negatives))
+    if fused_ok:
       # cache holds a strong reference to the matrix, so identity
       # comparison cannot alias a garbage-collected object
       matrix = train_dataset.interactions_matrix
       src_cfg = (batch_size, num_sampling_users, self.mesh, shuffle,
-                 num_random_negatives)
+                 num_random_negatives, target_matrix is not None)
       cached = getattr(self, '_fused_source_cache', None)
       if (cached is not None and cached[0] is matrix
           and cached[1] == src_cfg):
@@ -881,12 +892,22 @@ class Recoder:
         from recoder_tpu.data.device_pipeline import DeviceDataSource
         union_width = (train_dataloader.batch_collator.fixed_union_width
                        or train_dataloader._estimate_widths()[0])
-        fused_source = DeviceDataSource(
-            matrix, batch_size=batch_size,
-            num_sampling_users=num_sampling_users, num_items=self.num_items,
-            union_width=union_width, mesh=self.mesh, shuffle=shuffle,
-            num_random_negatives=num_random_negatives, seed=self.seed)
-        self._fused_source_cache = (matrix, src_cfg, fused_source)
+        try:
+          fused_source = DeviceDataSource(
+              matrix, batch_size=batch_size,
+              num_sampling_users=num_sampling_users,
+              num_items=self.num_items,
+              union_width=union_width, mesh=self.mesh, shuffle=shuffle,
+              num_random_negatives=num_random_negatives, seed=self.seed,
+              target_matrix=target_matrix)
+          self._fused_source_cache = (matrix, src_cfg, fused_source)
+        except ValueError as e:
+          # e.g. block tables past the byte budget with a target
+          # matrix -- fall back to the host loader
+          log.info('fused pipeline unavailable (%s); using host loader',
+                   e)
+          fused_source = None
+    if fused_source is not None:
       num_batches = fused_source.steps_per_epoch
 
     # a partially-consumed iterator only carries over into a train()

@@ -124,6 +124,114 @@ def test_fused_training_learns(matrix):
   assert any(jax.tree_util.tree_flatten(changed)[0])
 
 
+def test_dual_csr_target_matches_host_collator(matrix):
+  """Target-dataset (dual-CSR) fused batches: input and target sides
+  each reproduce the host collator's independent np.unique unions and
+  slabs (reference data.py:146-158), and the staged loss matches the
+  host-loader staging bit-for-bit at the same user window."""
+  rng = np.random.default_rng(11)
+  n_users, n_items = matrix.shape
+  tgt = matrix.copy().tolil()
+  # target = a perturbed interaction set over the same users
+  for u in range(0, n_users, 3):
+    tgt[u, int(rng.integers(0, n_items))] = 2.0
+  tgt = tgt.tocsr()
+
+  mega, bs = 10, 10
+  src = DeviceDataSource(matrix, batch_size=bs, num_sampling_users=mega,
+                         num_items=n_items, union_width=128,
+                         shuffle='blocks', target_matrix=tgt)
+  assert src._tg is not None
+  dataset = RecommendationDataset(matrix, tgt)
+  collator = BatchCollator(batch_size=bs, negative_sampling=True,
+                           num_items=n_items)
+
+  perm = jnp.arange(src.n_blocks, dtype=jnp.int32)
+  for step in range(src.steps_per_epoch):
+    db = src.build_batch(perm, jnp.int32(step), negative_sampling=True)
+    lo = step * bs
+    window = np.arange(lo - lo % mega, min(lo - lo % mega + mega,
+                                           n_users))
+    in_inter, tg_inter = dataset[window]
+    hb_in = collator.collate(in_inter)[(lo % mega) // bs]
+    hb_tg = collator.collate(tg_inter)[(lo % mega) // bs]
+
+    for side, hb, B, W in (('', hb_in, bs, src.union_width),
+                           ('tg_', hb_tg, bs, src._tg['W'])):
+      wv_key = (side + 'width_valid') if side else 'width_valid'
+      items = np.asarray(db[side + 'items'])
+      wv = int(db[wv_key])
+      assert wv == hb.num_items_in_batch
+      np.testing.assert_array_equal(items[:wv], hb.items[:wv])
+      dense = np.zeros((B + 1, W), np.float32)
+      rows = np.asarray(db[side + 'rows'])
+      cols = np.asarray(db[side + 'cols'])
+      vals = np.asarray(db[side + 'vals'])
+      keep = rows <= B
+      np.add.at(dense, (rows[keep], cols[keep]), vals[keep])
+      host = np.zeros((hb.num_users, wv), np.float32)
+      for r, c, v in zip(hb.rows, hb.cols, hb.vals):
+        if r < hb.num_users:
+          host[r, c] += v
+      np.testing.assert_allclose(dense[:hb.num_users, :wv], host,
+                                 rtol=1e-6)
+      assert dense[hb.num_users:].sum() == 0
+
+
+def test_dual_csr_fused_training(matrix):
+  """End-to-end: a target dataset trains through the fused pipeline in
+  blocks mode (no host-loader fallback), loss matches the host-staged
+  loss at the same window, and other configs fall back cleanly."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  rng = np.random.default_rng(12)
+  tgt = matrix.copy()
+  tgt.data[:] = (rng.random(tgt.nnz) + 0.5).astype(np.float32)
+  ds = RecommendationDataset(matrix, tgt)
+
+  model = DynamicAutoencoder(hidden_layers=[16])
+  tr = Recoder(model=model, optimizer_type='adam', loss='mse', seed=5)
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=2,
+           negative_sampling=True, shuffle='blocks')
+  src = getattr(tr, '_fused_source_cache', (None, None, None))[2]
+  assert src is not None and src._tg is not None
+
+  # loss parity: device-built batch vs host-staged batch, same window
+  perm = jnp.arange(src.n_blocks, dtype=jnp.int32)
+  b = src.build_batch(perm, jnp.int32(0), negative_sampling=True)
+  dev_batch = {
+      'in_rows': b['rows'], 'in_cols': b['cols'], 'in_vals': b['vals'],
+      'in_users': b['users'], 'in_items': b['items'],
+      'in_valid_users': b['num_users'],
+      'in_valid_width': b['width_valid'],
+      'tg_rows': b['tg_rows'], 'tg_cols': b['tg_cols'],
+      'tg_vals': b['tg_vals'], 'tg_items': b['tg_items'],
+      'tg_valid_width': b['tg_width_valid'],
+  }
+  from recoder_tpu.data import BatchCollator as BC
+  coll = BC(batch_size=8, negative_sampling=True,
+            num_items=matrix.shape[1])
+  in_inter, tg_inter = ds[np.arange(8)]
+  staged, _ = tr._stage_batch(coll.collate(in_inter)[0],
+                              coll.collate(tg_inter)[0])
+  staged = tr._to_device(staged)
+  params = tr.model.params
+  l_dev = float(tr._forward_loss(params, dev_batch, rng=None,
+                                 training=False))
+  l_host = float(tr._forward_loss(params, staged, rng=None,
+                                  training=False))
+  np.testing.assert_allclose(l_dev, l_host, rtol=1e-5)
+
+  # non-blocks target runs keep the host loader (no crash, no fused)
+  tr2 = Recoder(model=DynamicAutoencoder(hidden_layers=[16]),
+                optimizer_type='adam', loss='mse', seed=5)
+  tr2.train(train_dataset=ds, batch_size=8, num_epochs=1,
+            negative_sampling=True)  # shuffle='users'
+  src2 = getattr(tr2, '_fused_source_cache', (None, None, None))[2]
+  assert src2 is None or src2._tg is None
+
+
 def test_fused_steps_per_call_equivalence(matrix):
   """Scan-batched dispatch (fused_steps_per_call>1) is the same math
   as the single-step loop: identical params after an epoch whose step
