@@ -124,6 +124,66 @@ def test_fused_training_learns(matrix):
   assert any(jax.tree_util.tree_flatten(changed)[0])
 
 
+def test_fuzz_device_matches_host_collator():
+  """Property sweep: random matrix shapes/densities x sampling modes,
+  device build == host collator (union ids, widths, slabs) on every
+  step of an epoch. Catches contract drift the fixed-shape tests
+  miss (empty users, ragged last block, weighted values, catalogs
+  wider than any observed column)."""
+  rng = np.random.default_rng(77)
+  for trial in range(8):
+    n_users = int(rng.integers(5, 60))
+    n_items = int(rng.integers(10, 400))
+    density = rng.uniform(0.01, 0.3)
+    nnz = max(1, int(n_users * n_items * density))
+    rows = rng.integers(0, n_users, nnz)
+    cols = rng.integers(0, n_items, nnz)
+    vals = (np.ones(nnz, np.float32) if trial % 2 == 0
+            else rng.random(nnz).astype(np.float32) + 0.25)
+    from scipy.sparse import csr_matrix
+    m = csr_matrix((vals, (rows, cols)), shape=(n_users, n_items))
+    m.sum_duplicates()
+    if trial % 2 == 0:
+      m.data[:] = 1.0
+    # leave some users empty
+    bs = int(rng.integers(2, 9))
+    mega = bs * int(rng.integers(1, 4))
+    shuffle = ('users', 'blocks')[trial % 2 == 0]
+    catalog = n_items + int(rng.integers(0, 50))  # wider logical catalog
+    W = 1 << int(np.ceil(np.log2(max(
+        8, min(catalog, m.nnz) + 1))))
+    src = DeviceDataSource(m, batch_size=bs, num_sampling_users=mega,
+                           num_items=catalog, union_width=W,
+                           shuffle=shuffle)
+    collator = BatchCollator(batch_size=bs, negative_sampling=True,
+                             num_items=catalog, fixed_union_width=W)
+    dataset = RecommendationDataset(m)
+    if shuffle == 'blocks':
+      perm = jnp.arange(src.n_blocks, dtype=jnp.int32)
+      order = np.arange(src.n_pad)
+    else:
+      order = np.arange(src.n_pad)
+      perm = jnp.asarray(order.astype(np.int32))
+    step = 0
+    for off in range(0, n_users, mega):
+      window = order[off:off + mega]
+      window = window[window < n_users]
+      inter, _ = dataset[window]
+      for hb in collator.collate(inter):
+        db = src.build_batch(perm, jnp.int32(step),
+                             negative_sampling=True)
+        step += 1
+        wv = int(db['width_valid'])
+        assert wv == hb.num_items_in_batch, (trial, step)
+        np.testing.assert_array_equal(
+            np.asarray(db['items'])[:wv], hb.items[:wv])
+        dev = densify_device(db, bs, src.union_width)
+        host = densify_host(hb)
+        np.testing.assert_allclose(dev[:hb.num_users, :wv],
+                                   host[:hb.num_users, :wv], rtol=1e-6)
+        assert np.all(dev[hb.num_users:] == 0), (trial, step)
+
+
 def test_dual_csr_target_matches_host_collator(matrix):
   """Target-dataset (dual-CSR) fused batches: input and target sides
   each reproduce the host collator's independent np.unique unions and
