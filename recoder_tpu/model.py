@@ -802,7 +802,7 @@ class Recoder:
             eval_freq=0, eval_num_recommendations=None,
             eval_num_users=None, metrics=None, eval_batch_size=None,
             profile_dir=None, profile_steps=(10, 30), shuffle='users',
-            num_random_negatives=0, fused_steps_per_call=16):
+            num_random_negatives=0, fused_steps_per_call='auto'):
     """Train the model (argument semantics mirror the reference
     model.py:256-347; see that docstring for parameter meanings).
 
@@ -817,9 +817,11 @@ class Recoder:
     touch a tiny item fraction; decode cost grows with the union
     width). Requires ``negative_sampling=True``.
     ``fused_steps_per_call`` scan-batches that many consecutive fused
-    steps into one dispatch (identical math; losses logged per step).
-    Amortizes per-call host/tunnel overhead -- worth ~4% on dispatch-
-    bound hosts, within noise elsewhere; set 1 to dispatch per step.
+    steps into one dispatch (identical math; losses logged per step),
+    amortizing per-call host/tunnel overhead. Default 'auto' = 16 in
+    blocks mode (measured +2% and lower variance) and 1 in users mode
+    (the scan measurably HURTS the gather-heavy users-mode step:
+    242 vs 306 batches/s at ML-20M shape -- see docs/benchmarks.md).
     Profiling runs always dispatch per step."""
     backend = jax.default_backend()
     log.info('%s Mode', backend.upper())
@@ -948,7 +950,11 @@ class Recoder:
         serialize = self._cpu_mesh_serialize()
         # scan-batched dispatch amortizes per-call host/tunnel cost;
         # profiling forces single-step calls so the trace window's
-        # step boundaries stay host-visible
+        # step boundaries stay host-visible. 'auto': scan only in
+        # blocks mode -- in users mode the scan measurably hurts the
+        # gather-heavy step (242 vs 306 batches/s, docs/benchmarks.md)
+        if fused_steps_per_call in (None, 'auto'):
+          fused_steps_per_call = 16 if shuffle == 'blocks' else 1
         spc = 1 if profile_dir is not None else max(
             1, int(fused_steps_per_call))
         # device-side step carry (counters + overflow); one upload per
