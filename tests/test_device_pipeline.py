@@ -250,6 +250,14 @@ def test_dual_csr_fused_training(matrix):
   tgt.data[:] = (rng.random(tgt.nnz) + 0.5).astype(np.float32)
   ds = RecommendationDataset(matrix, tgt)
 
+  # sparse variant: distinct encode/decode unions through the
+  # row-sparse optimizer (sparse_entries' two-entry plan)
+  sp_model = DynamicAutoencoder(hidden_layers=[16], sparse=True)
+  sp = Recoder(model=sp_model, optimizer_type='adam', loss='mse', seed=5)
+  sp.train(train_dataset=ds, batch_size=8, num_epochs=2,
+           negative_sampling=True, shuffle='blocks')
+  assert sp._fused_source_cache[2]._tg is not None
+
   model = DynamicAutoencoder(hidden_layers=[16])
   tr = Recoder(model=model, optimizer_type='adam', loss='mse', seed=5)
   tr.train(train_dataset=ds, batch_size=8, num_epochs=2,
