@@ -31,6 +31,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class FusedPipelineUnavailable(ValueError):
+  """This configuration cannot be served by the fused device pipeline
+  (e.g. precompute tables past the byte budget with a target matrix);
+  the trainer catches this and falls back to the host loader."""
+
+
+def _exact_block_budget(indptr, n_blocks, mega, n_users):
+  """Max nnz over the fixed contiguous user blocks, 1024-aligned."""
+  edges = np.minimum(np.arange(n_blocks + 1) * mega, n_users)
+  block_nnz = indptr[edges[1:]] - indptr[edges[:-1]]
+  budget = max(int(block_nnz.max()), 1)
+  return (budget + 1023) // 1024 * 1024
+
+
+def _padded_counts_starts(indptr, n_pad, n_users):
+  """Per-user nnz counts and CSR row starts, padded with empty users."""
+  counts_pad = np.zeros(n_pad, np.int32)
+  counts_pad[:n_users] = np.diff(indptr)
+  starts_pad = np.zeros(n_pad, np.int32)
+  starts_pad[:n_users] = indptr[:-1]
+  return counts_pad, starts_pad
+
+
 class DeviceDataSource:
   """A training CSR matrix resident on device, sliceable inside jit.
 
@@ -102,12 +125,9 @@ class DeviceDataSource:
       if shuffle == 'blocks':
         # blocks are fixed contiguous user ranges: the max block nnz is
         # exact, no overflow possible
-        n_blocks = math.ceil(self.num_users_total / self.mega)
-        edges = np.minimum(np.arange(n_blocks + 1) * self.mega,
-                           self.num_users_total)
-        block_nnz = indptr[edges[1:]] - indptr[edges[:-1]]
-        mega_nnz_budget = max(int(block_nnz.max()), 1)
-        mega_nnz_budget = (mega_nnz_budget + 1023) // 1024 * 1024
+        mega_nnz_budget = _exact_block_budget(
+            indptr, math.ceil(self.num_users_total / self.mega),
+            self.mega, self.num_users_total)
       else:
         # estimate from random shuffled windows (what training actually
         # draws); a 25% margin over the sampled max makes overflow --
@@ -132,10 +152,8 @@ class DeviceDataSource:
     # pad user axis so any perm slice of length `mega` is valid;
     # sentinel users have zero interactions
     n_pad = math.ceil(self.num_users_total / self.mega) * self.mega
-    counts_pad = np.zeros(n_pad, np.int32)
-    counts_pad[:self.num_users_total] = counts
-    starts_pad = np.zeros(n_pad, np.int32)
-    starts_pad[:self.num_users_total] = indptr[:-1]
+    counts_pad, starts_pad = _padded_counts_starts(
+        indptr, n_pad, self.num_users_total)
 
     self.n_blocks = n_pad // self.mega
 
@@ -180,8 +198,9 @@ class DeviceDataSource:
     self._tg = None
     if target_matrix is not None:
       if self._precomputed is None:
-        raise ValueError('target_matrix needs the precomputed block '
-                         'tables (input side exceeded the byte budget)')
+        raise FusedPipelineUnavailable(
+            'target_matrix needs the precomputed block tables '
+            '(input side exceeded the byte budget)')
       self._init_target_side(target_matrix, n_pad)
 
   def _init_target_side(self, target_matrix, n_pad):
@@ -189,23 +208,17 @@ class DeviceDataSource:
     assert target_matrix.shape[0] == self.num_users_total, \
         'target matrix must cover the same users'
     t_indptr = target_matrix.indptr.astype(np.int32)
-    t_counts = np.diff(t_indptr)
-    edges = np.minimum(np.arange(self.n_blocks + 1) * self.mega,
-                       self.num_users_total)
-    block_nnz = t_indptr[edges[1:]] - t_indptr[edges[:-1]]
-    M_tg = max(int(block_nnz.max()), 1)
-    M_tg = (M_tg + 1023) // 1024 * 1024
-
-    counts_pad = np.zeros(n_pad, np.int32)
-    counts_pad[:self.num_users_total] = t_counts
-    starts_pad = np.zeros(n_pad, np.int32)
-    starts_pad[:self.num_users_total] = t_indptr[:-1]
+    M_tg = _exact_block_budget(t_indptr, self.n_blocks, self.mega,
+                               self.num_users_total)
+    counts_pad, starts_pad = _padded_counts_starts(
+        t_indptr, n_pad, self.num_users_total)
 
     tables, W_tg = self._block_tables(
         target_matrix.indices.astype(np.int32), t_indptr, counts_pad,
         M_tg)
     if tables is None:
-      raise ValueError('target-side block tables exceed the byte budget')
+      raise FusedPipelineUnavailable(
+          'target-side block tables exceed the byte budget')
 
     binary = bool(np.all(target_matrix.data == 1.0))
     vals = np.concatenate([target_matrix.data.astype(np.float32),
@@ -246,6 +259,11 @@ class DeviceDataSource:
     w_exact = max((len(u) for u in uniques), default=1)
     W = (w_exact + 127) // 128 * 128
     if nb * (2 * M + W) * 4 > self.PRECOMPUTE_BYTE_BUDGET:
+      return None, None
+    if max((len(inv) for inv in inverses), default=0) > M:
+      # an explicit (caller-starved) budget smaller than a block's nnz:
+      # the runtime path truncates and reports overflow; the tables
+      # cannot represent a truncated block, so fall back to it
       return None, None
 
     u_rel = np.full((nb, M), S, np.int32)

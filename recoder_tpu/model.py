@@ -881,17 +881,20 @@ class Recoder:
                 or (shuffle == 'blocks' and negative_sampling
                     and not num_random_negatives))
     if fused_ok:
-      # cache holds a strong reference to the matrix, so identity
-      # comparison cannot alias a garbage-collected object
+      # cache holds strong references to both matrices, so identity
+      # comparison cannot alias garbage-collected objects
       matrix = train_dataset.interactions_matrix
       src_cfg = (batch_size, num_sampling_users, self.mesh, shuffle,
                  num_random_negatives, target_matrix is not None)
       cached = getattr(self, '_fused_source_cache', None)
       if (cached is not None and cached[0] is matrix
-          and cached[1] == src_cfg):
+          and cached[1] == src_cfg
+          and (len(cached) > 3 and cached[3] is target_matrix
+               or target_matrix is None)):
         fused_source = cached[2]
       else:
-        from recoder_tpu.data.device_pipeline import DeviceDataSource
+        from recoder_tpu.data.device_pipeline import (
+            DeviceDataSource, FusedPipelineUnavailable)
         union_width = (train_dataloader.batch_collator.fixed_union_width
                        or train_dataloader._estimate_widths()[0])
         try:
@@ -902,8 +905,9 @@ class Recoder:
               union_width=union_width, mesh=self.mesh, shuffle=shuffle,
               num_random_negatives=num_random_negatives, seed=self.seed,
               target_matrix=target_matrix)
-          self._fused_source_cache = (matrix, src_cfg, fused_source)
-        except ValueError as e:
+          self._fused_source_cache = (matrix, src_cfg, fused_source,
+                                      target_matrix)
+        except FusedPipelineUnavailable as e:
           # e.g. block tables past the byte budget with a target
           # matrix -- fall back to the host loader
           log.info('fused pipeline unavailable (%s); using host loader',
@@ -1122,18 +1126,19 @@ class Recoder:
     log.info('rebuilding device source: mega_nnz_budget %d -> %d, '
              'union_width %d -> %d', fused_source.mega_nnz_budget,
              new_budget, fused_source.union_width, new_width)
+    target_matrix = train_dataset.target_interactions_matrix
     fused_source = DeviceDataSource(
         train_dataset.interactions_matrix, batch_size=batch_size,
         num_sampling_users=num_sampling_users, num_items=self.num_items,
         union_width=new_width, mega_nnz_budget=new_budget, mesh=self.mesh,
         shuffle=fused_source.shuffle,
         num_random_negatives=fused_source.num_random_negatives,
-        seed=self.seed)
+        seed=self.seed, target_matrix=target_matrix)
     self._fused_source_cache = (
         train_dataset.interactions_matrix,
         (batch_size, num_sampling_users, self.mesh, fused_source.shuffle,
-         fused_source.num_random_negatives),
-        fused_source)
+         fused_source.num_random_negatives, target_matrix is not None),
+        fused_source, target_matrix)
     return fused_source
 
   def _maybe_profile(self, profile_dir, profile_steps):

@@ -124,6 +124,60 @@ def test_fused_training_learns(matrix):
   assert any(jax.tree_util.tree_flatten(changed)[0])
 
 
+def test_blocks_starved_budget_falls_back_to_runtime_build(matrix):
+  """An explicit mega_nnz_budget smaller than a block's nnz cannot be
+  represented by the precomputed tables: precompute must be skipped
+  (not crash) and the runtime path truncates + reports overflow."""
+  src = DeviceDataSource(matrix, batch_size=8, num_sampling_users=8,
+                         num_items=matrix.shape[1], union_width=128,
+                         shuffle='blocks', mega_nnz_budget=8)
+  assert src._precomputed is None
+  perm = jnp.arange(src.n_blocks, dtype=jnp.int32)
+  b = src.build_batch(perm, jnp.int32(0), negative_sampling=True)
+  assert int(b['overflow'][0]) > 0  # truncation detected, not silent
+
+
+def test_dual_csr_cache_distinguishes_target_matrices(matrix):
+  """Two trainings with the same input matrix but different target
+  matrices must not reuse each other's precomputed target tables."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  t1 = matrix.copy()
+  t2 = matrix.copy()
+  t2.data[:] = 2.0
+  model = DynamicAutoencoder(hidden_layers=[8])
+  tr = Recoder(model=model, optimizer_type='adam', loss='mse', seed=1)
+  tr.train(train_dataset=RecommendationDataset(matrix, t1), batch_size=8,
+           num_epochs=1, negative_sampling=True, shuffle='blocks')
+  src1 = tr._fused_source_cache[2]
+  tr.train(train_dataset=RecommendationDataset(matrix, t2), batch_size=8,
+           num_epochs=1, negative_sampling=True, shuffle='blocks')
+  src2 = tr._fused_source_cache[2]
+  assert src1 is not src2  # stale T1 tables must not serve the T2 run
+
+
+def test_rebuild_key_matches_train_cache(matrix):
+  """A source rebuilt after overflow must cache-hit the next train()
+  call (the rebuilt budgets would otherwise be discarded and the
+  overflow would recur every epoch)."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(matrix)
+  model = DynamicAutoencoder(hidden_layers=[8])
+  tr = Recoder(model=model, optimizer_type='adam', loss='mse', seed=1)
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=1,
+           negative_sampling=True)
+  src = tr._fused_source_cache[2]
+  tr._overflow_rebuild = (64, 16)  # pretend the epoch overflowed
+  rebuilt = tr._rebuild_fused_source(src, ds, 8, 8)
+  assert rebuilt.mega_nnz_budget > src.mega_nnz_budget
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=2,
+           negative_sampling=True)
+  assert tr._fused_source_cache[2] is rebuilt  # grown budgets kept
+
+
 def test_fuzz_device_matches_host_collator():
   """Property sweep: random matrix shapes/densities x sampling modes,
   device build == host collator (union ids, widths, slabs) on every
@@ -138,17 +192,20 @@ def test_fuzz_device_matches_host_collator():
     nnz = max(1, int(n_users * n_items * density))
     rows = rng.integers(0, n_users, nnz)
     cols = rng.integers(0, n_items, nnz)
-    vals = (np.ones(nnz, np.float32) if trial % 2 == 0
+    # shuffle mode and value-weighting vary independently so the
+    # precomputed blocks path is swept with weighted values too
+    shuffle = 'blocks' if trial % 2 == 0 else 'users'
+    binary = (trial // 2) % 2 == 0
+    vals = (np.ones(nnz, np.float32) if binary
             else rng.random(nnz).astype(np.float32) + 0.25)
     from scipy.sparse import csr_matrix
     m = csr_matrix((vals, (rows, cols)), shape=(n_users, n_items))
     m.sum_duplicates()
-    if trial % 2 == 0:
+    if binary:
       m.data[:] = 1.0
     # leave some users empty
     bs = int(rng.integers(2, 9))
     mega = bs * int(rng.integers(1, 4))
-    shuffle = ('users', 'blocks')[trial % 2 == 0]
     catalog = n_items + int(rng.integers(0, 50))  # wider logical catalog
     W = 1 << int(np.ceil(np.log2(max(
         8, min(catalog, m.nnz) + 1))))
