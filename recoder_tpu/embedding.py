@@ -56,8 +56,10 @@ class EmbeddingsIndex:
 
   def get_embeddings(self, ids):
     """Batch embedding fetch: [m, d] float32 array."""
+    ids = list(ids)  # materialize once: a generator must not be
+    # consumed twice (the second pass would see it exhausted)
     return np.asarray([self.get_embedding(i) for i in ids],
-                      dtype=np.float32).reshape(len(list(ids)), -1)
+                      dtype=np.float32).reshape(len(ids), -1)
 
 
 class _BaseIndex(EmbeddingsIndex):
@@ -300,7 +302,16 @@ class MemCacheEmbeddingsIndex(EmbeddingsIndex):
     return self.embedding_index.get_similarity(id1, id2)
 
   def get_nns_by_ids(self, ids, n):
-    return self.embedding_index.get_nns_by_ids(ids, n)
+    # memoized like the per-id path (cache keyed by id; like that
+    # path, assumes one n per wrapper instance): repeated evaluate()
+    # passes re-query only unseen items
+    ids = list(ids)
+    missing = [i for i in ids if i not in self._nns_cache]
+    if missing:
+      results = self.embedding_index.get_nns_by_ids(missing, n)
+      for i, r in zip(missing, results):
+        self._nns_cache[i] = r
+    return [self._nns_cache[i] for i in ids]
 
   def get_embeddings(self, ids):
     return self.embedding_index.get_embeddings(ids)

@@ -61,28 +61,32 @@ def _hits_matrix(x_batch, y_list, k):
 
 
 def hits_from_relevant(x_batch, y_list, num_items=None):
-  """Full-width hits matrix via one dense membership lookup.
+  """Hits matrix via ONE vectorized membership test.
 
   Replaces per-user ``np.isin`` calls (the evaluator's profile showed
-  them dominating eval time) with a [B, num_items] boolean table and a
-  single fancy-index. ``-1`` padding in ``x_batch`` never matches.
+  them dominating eval time) with a single ``np.isin`` over
+  row-offset id spaces: memory is O(B*K + sum(|y|)) regardless of
+  catalog size (a dense [B, num_items] bool table costs ~0.5 GB per
+  500-user batch at a 1M-item catalog). ``-1`` padding in ``x_batch``
+  never matches. ``num_items`` is accepted for API compatibility and
+  unused.
   """
+  del num_items
   x_batch = np.asarray(x_batch)
   B, K = x_batch.shape
-  if num_items is None:
-    num_items = 0
-    for y in y_list:
-      if len(y):
-        num_items = max(num_items, int(np.max(y)) + 1)
-    num_items = max(num_items, int(x_batch.max()) + 1 if x_batch.size else 1)
-  table = np.zeros((B, num_items + 1), dtype=bool)
   lens = np.array([len(y) for y in y_list])
-  if lens.sum():
-    rows_flat = np.repeat(np.arange(B), lens)
-    cols_flat = np.concatenate([np.asarray(y) for y in y_list if len(y)])
-    table[rows_flat, cols_flat.astype(np.int64)] = True
-  xc = np.where((x_batch >= 0) & (x_batch < num_items), x_batch, num_items)
-  return table[np.arange(B)[:, None], xc].astype(np.float64)
+  if not lens.sum():
+    return np.zeros((B, K), np.float64)
+  rows_flat = np.repeat(np.arange(B, dtype=np.int64), lens)
+  cols_flat = np.concatenate(
+      [np.asarray(y) for y in y_list if len(y)]).astype(np.int64)
+  stride = int(max(cols_flat.max(),
+                   x_batch.max() if x_batch.size else 0)) + 1
+  y_off = rows_flat * stride + cols_flat
+  valid = x_batch >= 0
+  x_off = (np.arange(B, dtype=np.int64)[:, None] * stride
+           + np.where(valid, x_batch, 0))
+  return (np.isin(x_off, y_off) & valid).astype(np.float64)
 
 
 class Metric:
@@ -109,10 +113,17 @@ class Metric:
 
     ``hits`` optionally carries the precomputed full-width relevance
     matrix (see :func:`hits_from_relevant`) shared across metrics.
+    Negative ids are rectangle padding (ragged recommendation lists)
+    and are stripped before the per-user call -- the per-user formulas
+    use ``np.isin(..., assume_unique=True)``, which duplicates would
+    silently break.
     """
     del hits
-    return np.array([self.evaluate(x, y)
-                     for x, y in zip(x_batch, y_list)])
+    out = []
+    for x, y in zip(x_batch, y_list):
+      x = np.asarray(x)
+      out.append(self.evaluate(x[x >= 0], y))
+    return np.array(out)
 
 
 class AveragePrecision(Metric):

@@ -750,13 +750,18 @@ class Recoder:
         t = top_vals[:, -1:]
         cnt_cand = jnp.sum((cv >= t).astype(jnp.int32), axis=1)
 
-        def count_body(i, cnt):
+        def count_body(i, carry):
+          cnt, has_nan = carry
           s, _ = chunk_scores(h, i, id_map, B)
-          return cnt + jnp.sum((s >= t).astype(jnp.int32), axis=1)
+          return (cnt + jnp.sum((s >= t).astype(jnp.int32), axis=1),
+                  has_nan | jnp.isnan(s).any(axis=1))
 
-        cnt_all = jax.lax.fori_loop(0, n_chunks, count_body,
-                                    jnp.zeros((B,), jnp.int32))
-        failed = cnt_all != cnt_cand
+        cnt_all, row_has_nan = jax.lax.fori_loop(
+            0, n_chunks, count_body,
+            (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)))
+        # NaN rows cannot be certified by counting (NaN >= t is False
+        # on both sides while top_k ranks NaN first) -- salvage them
+        failed = (cnt_all != cnt_cand) | row_has_nan
         nfail = jnp.sum(failed.astype(jnp.int32))
 
         def no_salvage(_):

@@ -58,7 +58,7 @@ def exact_top_k(s, k, oversample=4, recall_target=0.99, salvage_rows=64):
     the order of exactly-tied values.
   """
   width = s.shape[-1]
-  k2 = max(int(oversample) * k, 64)
+  k2 = max(int(oversample * k), k, 64)
   if width <= max(k2, MIN_WIDTH):
     return lax.top_k(s, k)
 
@@ -72,11 +72,14 @@ def exact_top_k(s, k, oversample=4, recall_target=0.99, salvage_rows=64):
   top_i = jnp.take_along_axis(ai.astype(jnp.int32), sel, axis=1)
 
   # count-certification: t is a real element so t <= true kth max; the
-  # candidate set covers the true top-k iff it contains EVERY x >= t
+  # candidate set covers the true top-k iff it contains EVERY x >= t.
+  # NaN rows cannot be certified by counting (NaN >= t is False, so
+  # NaNs are invisible to both counts while lax.top_k ranks them
+  # first) -- force them onto the exact salvage/fallback path
   t = top_v[:, -1:]
   cnt_all = jnp.sum((s2 >= t).astype(jnp.int32), axis=1)
   cnt_cand = jnp.sum((av >= t).astype(jnp.int32), axis=1)
-  failed = cnt_all != cnt_cand  # [B]
+  failed = (cnt_all != cnt_cand) | jnp.isnan(s2).any(axis=1)  # [B]
   nfail = jnp.sum(failed.astype(jnp.int32))
 
   def no_salvage(_):

@@ -184,14 +184,16 @@ def make_weight_decay_tree(params, weight_decay, bias_free_paths=None,
 
   ``is_bias`` is a predicate over the flattened '/'-joined path name;
   default: any path segment containing 'bias' (matching the reference's
-  ``'bias' in param_name`` rule, model.py:123).
+  ``'bias' in param_name`` rule, model.py:123). ``bias_free_paths``
+  optionally names additional exact paths to exempt from decay.
   """
-  del bias_free_paths
+  bias_free = frozenset(bias_free_paths or ())
   if is_bias is None:
     is_bias = lambda path: 'bias' in path
 
   flat = jax.tree_util.tree_flatten_with_path(params)
   paths = ['/'.join(str(getattr(k, "key", k)) for k in path)
            for path, _ in flat[0]]
-  leaves = [0.0 if is_bias(p) else float(weight_decay) for p in paths]
+  leaves = [0.0 if (is_bias(p) or p in bias_free) else float(weight_decay)
+            for p in paths]
   return jax.tree_util.tree_unflatten(flat[1], leaves)

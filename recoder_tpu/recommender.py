@@ -8,7 +8,6 @@ scheme over an embeddings index), and :class:`InferenceRecommender`
 
 import numpy as np
 
-import recoder_tpu.utils as utils
 from recoder_tpu.embedding import EmbeddingsIndex
 
 
@@ -72,6 +71,9 @@ class SimilarityRecommender(Recommender):
                                 return_inverse=True)            # [U]
     nn_lists = self.embeddings_index.get_nns_by_ids(uniq, self.n)
 
+    # explicit integer dtype: an empty NN list would otherwise be
+    # float64 and np.concatenate would promote every item id to float
+    nn_lists = [np.asarray(l, dtype=np.int64) for l in nn_lists]
     flat_nns = (np.concatenate(nn_lists) if nn_lists else empty)
     cand = np.unique(flat_nns)                                   # [C]
     if len(cand) == 0:
@@ -80,18 +82,22 @@ class SimilarityRecommender(Recommender):
 
     # one bulk embedding fetch covering candidates and history (most
     # history items are their own near neighbors, so they reuse the
-    # candidate rows; strays -- possible at small n -- fetched exactly)
-    cand_emb = utils.normalize(
-        self.embeddings_index.get_embeddings(cand).astype(np.float64),
-        axis=1)                                                  # [C, d]
+    # candidate rows; strays -- possible at small n -- fetched exactly).
+    # Norms are clamped: an all-zero embedding row would otherwise
+    # turn every touching user's scores into NaN
+    def _unit(rows):
+      norms = np.linalg.norm(rows, axis=1, keepdims=True)
+      return rows / np.maximum(norms, 1e-12)
+
+    cand_emb = _unit(
+        self.embeddings_index.get_embeddings(cand).astype(np.float64))
     pos = np.searchsorted(cand, uniq)
     ok = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == uniq)
     hist_emb = cand_emb[np.minimum(pos, len(cand) - 1)].copy()
     if not np.all(ok):
       strays = uniq[~ok]
-      hist_emb[~ok] = utils.normalize(
-          self.embeddings_index.get_embeddings(strays).astype(np.float64),
-          axis=1)
+      hist_emb[~ok] = _unit(
+          self.embeddings_index.get_embeddings(strays).astype(np.float64))
 
     # per-item NN positions in cand (ragged, stored flat + offsets)
     nn_counts = np.fromiter((len(l) for l in nn_lists), dtype=np.int64,

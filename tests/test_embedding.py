@@ -154,3 +154,31 @@ def test_ann_mmap_load_and_resave(tmp_path):
   a_bytes = (tmp_path / 'a.index.embeddings').read_bytes()
   b_bytes = (tmp_path / 'b.embeddings').read_bytes()
   assert a_bytes == b_bytes
+
+
+def test_memcache_batch_path_is_cached(embeddings):
+  """get_nns_by_ids must consult/populate the memo cache: repeated
+  evaluate() passes would otherwise re-run every ANN query."""
+  class CountingBatch(BruteForceEmbeddingsIndex):
+    batch_ids = []
+
+    def get_nns_by_ids(self, ids, n):
+      CountingBatch.batch_ids.append(list(ids))
+      return super().get_nns_by_ids(ids, n)
+
+  inner = CountingBatch(embeddings=embeddings)
+  inner.build()
+  cached = MemCacheEmbeddingsIndex(inner)
+  first = cached.get_nns_by_ids([1, 2, 3], 4)
+  second = cached.get_nns_by_ids([2, 3, 4], 4)
+  assert CountingBatch.batch_ids == [[1, 2, 3], [4]]  # only misses hit
+  assert [list(np.asarray(r)) for r in second[:2]] == \
+         [list(np.asarray(r)) for r in first[1:]]
+
+
+def test_get_embeddings_accepts_generator(embeddings):
+  idx = BruteForceEmbeddingsIndex(embeddings=embeddings)
+  idx.build()
+  from recoder_tpu.embedding import EmbeddingsIndex
+  got = EmbeddingsIndex.get_embeddings(idx, (i for i in (0, 1, 2)))
+  assert got.shape == (3, embeddings.shape[1])

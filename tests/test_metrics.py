@@ -5,7 +5,8 @@ vectorized-batch implementations."""
 import numpy as np
 import pytest
 
-from recoder_tpu.metrics import AveragePrecision, NDCG, Recall
+from recoder_tpu.metrics import (AveragePrecision, Metric, NDCG,
+                                 Recall, hits_from_relevant, recall)
 
 RTOL = 1e-9
 ATOL = 0.0
@@ -81,3 +82,38 @@ def test_batch_matches_per_user(metric):
   shared = hits_from_relevant(x_batch, y_list)
   shared_vals = metric.evaluate_batch(x_batch, y_list, hits=shared)
   np.testing.assert_allclose(shared_vals, loop_vals, rtol=1e-12)
+
+
+def test_evaluate_batch_fallback_strips_padding():
+  """The base-class per-user fallback must strip -1 rectangle padding:
+  the per-user formulas use np.isin(assume_unique=True), which
+  duplicated pad ids would silently break."""
+
+  class LoopOnly(Metric):
+    def __init__(self):
+      super().__init__('LoopOnly')
+
+    def evaluate(self, x, y):
+      assert np.all(np.asarray(x) >= 0)
+      return recall(x, y, k=len(x) or 1, normalize=False)
+
+  rect = np.array([[5, 2, -1, -1], [1, 0, 3, -1]])
+  y_list = [np.array([2, 9]), np.array([0, 3])]
+  got = LoopOnly().evaluate_batch(rect, y_list)
+  np.testing.assert_allclose(got, [0.5, 1.0])
+  # padded and unpadded ranked lists agree with the real metrics
+  r = Recall(k=2, normalize=False)
+  np.testing.assert_allclose(
+      r.evaluate_batch(rect, y_list),
+      [r.evaluate(np.array([5, 2]), y_list[0]),
+       r.evaluate(np.array([1, 0]), y_list[1])])
+
+
+def test_hits_from_relevant_large_sparse_ids():
+  """Membership math must not depend on a dense [B, num_items] table:
+  huge item ids (1M-item catalogs) must work in O(B*K + nnz) memory."""
+  big = 50_000_000
+  x = np.array([[big - 1, 3, -1], [big - 2, 0, big - 1]])
+  y = [np.array([3, big - 1]), np.array([big - 2])]
+  got = hits_from_relevant(x, y)
+  np.testing.assert_array_equal(got, [[1, 1, 0], [1, 0, 0]])

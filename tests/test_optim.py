@@ -138,3 +138,18 @@ def test_weight_decay_tree_exempts_all_bias_params():
            for path, _ in flat]
   assert any('encode_bias_' in n for n in names)
   assert any('decode_bias_' in n for n in names)
+
+
+def test_weight_decay_tree_bias_free_paths():
+  """Explicitly named paths are exempt from decay (the parameter was
+  previously accepted and silently ignored)."""
+  import jax.numpy as jnp
+
+  from recoder_tpu.optim import make_weight_decay_tree
+  params = {'w': jnp.zeros((2, 2)), 'scale': jnp.zeros((2,)),
+            'de_bias': jnp.zeros((2,))}
+  tree = make_weight_decay_tree(params, 1e-2,
+                                bias_free_paths=['scale'])
+  assert tree['w'] == 1e-2
+  assert tree['scale'] == 0.0
+  assert tree['de_bias'] == 0.0

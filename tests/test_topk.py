@@ -95,3 +95,25 @@ def test_under_jit_and_3d():
   v_ref, _ = lax.top_k(s, 32)
   np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
   assert i.shape == (2, 3, 32)
+
+
+def test_nan_rows_match_lax_topk():
+  """NaN rows defeat count-certification (NaN >= t is False on both
+  sides); they must take the exact path so results still match
+  lax.top_k everywhere."""
+  s = np.array(jax.random.normal(jax.random.PRNGKey(6), (4, 16384)))
+  s[1, ::7] = np.nan
+  s[3, :] = np.nan
+  s = jnp.asarray(s)
+  v, i = topk.exact_top_k(s, 20)
+  v_ref, i_ref = lax.top_k(s, 20)
+  np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+  np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_fractional_oversample_keeps_k_candidates():
+  """oversample < 1 must never request fewer than k candidates."""
+  s = jax.random.normal(jax.random.PRNGKey(7), (2, 16384))
+  v, _ = topk.exact_top_k(s, 100, oversample=0.25)
+  v_ref, _ = lax.top_k(s, 100)
+  np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
