@@ -19,6 +19,10 @@ def flatten_tree(tree, prefix=''):
   out = {}
   if isinstance(tree, dict):
     for k, v in tree.items():
+      if '/' in str(k):
+        # '/' is the path separator; a key containing it would
+        # round-trip into a DIFFERENT nested structure on load
+        raise ValueError(f'checkpoint keys must not contain "/": {k!r}')
       out.update(flatten_tree(v, f'{prefix}{k}/'))
   elif tree is None:
     pass

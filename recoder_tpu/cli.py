@@ -61,24 +61,33 @@ def parse_metrics(specs):
   return out
 
 
-def _load_datasets(data_cfg):
+def _load_datasets(data_cfg, load_val=True):
+  """Returns (train_dataset, val_dataset, item_id_map, user_id_map).
+
+  The id maps translate the CSVs' original ids to internal indices;
+  outputs that leave the process (cmd_recommend's CSV) must translate
+  back through their inverses. ``load_val=False`` skips reading the
+  validation CSVs for commands that never use them.
+  """
   cols = dict(user_col=data_cfg.get('user_col', 'uid'),
               item_col=data_cfg.get('item_col', 'sid'),
               inter_col=data_cfg.get('inter_col', 'watched'))
   train_df = pd.read_csv(data_cfg['train'])
-  train_matrix, item_id_map, _ = dataframe_to_csr_matrix(train_df, **cols)
+  train_matrix, item_id_map, user_id_map = dataframe_to_csr_matrix(
+      train_df, **cols)
   train_dataset = RecommendationDataset(train_matrix)
 
   val_dataset = None
-  if data_cfg.get('val_tr') and data_cfg.get('val_te'):
+  if load_val and data_cfg.get('val_tr') and data_cfg.get('val_te'):
     val_tr = pd.read_csv(data_cfg['val_tr'])
     val_te = pd.read_csv(data_cfg['val_te'])
-    val_tr_m, _, user_id_map = dataframe_to_csr_matrix(
+    val_tr_m, _, val_user_map = dataframe_to_csr_matrix(
         val_tr, item_id_map=item_id_map, **cols)
     val_te_m, _, _ = dataframe_to_csr_matrix(
-        val_te, item_id_map=item_id_map, user_id_map=user_id_map, **cols)
+        val_te, item_id_map=item_id_map, user_id_map=val_user_map,
+        **cols)
     val_dataset = RecommendationDataset(val_tr_m, val_te_m)
-  return train_dataset, val_dataset
+  return train_dataset, val_dataset, item_id_map, user_id_map
 
 
 def _build_model(model_cfg):
@@ -102,7 +111,7 @@ def _build_trainer(cfg, model):
 
 
 def cmd_train(cfg):
-  train_dataset, val_dataset = _load_datasets(cfg['data'])
+  train_dataset, val_dataset, _, _ = _load_datasets(cfg['data'])
   model = _build_model(cfg.get('model', {}))
   trainer = _build_trainer(cfg, model)
   train_kwargs = dict(cfg.get('train', {}))
@@ -114,7 +123,7 @@ def cmd_train(cfg):
 
 def cmd_evaluate(cfg, model_file, num_recommendations, batch_size,
                  metric_specs=None):
-  _, val_dataset = _load_datasets(cfg['data'])
+  _, val_dataset, _, _ = _load_datasets(cfg['data'])
   assert val_dataset is not None, 'config needs val_tr/val_te for evaluate'
   model = _build_model(cfg.get('model', {}))
   trainer = _build_trainer(cfg, model)
@@ -132,12 +141,17 @@ def cmd_evaluate(cfg, model_file, num_recommendations, batch_size,
 
 def cmd_recommend(cfg, model_file, num_recommendations, batch_size, out):
   """Batch-score every user in the training matrix and write top-k
-  recommendations as CSV (uid, rank, sid)."""
+  recommendations as CSV (uid, rank, sid) in the ORIGINAL id space of
+  the input CSVs (internal indices are translated back through the
+  dataframe_to_csr_matrix id maps)."""
   import sys
 
   from recoder_tpu.data import UsersInteractions
 
-  train_dataset, _ = _load_datasets(cfg['data'])
+  train_dataset, _, item_id_map, user_id_map = _load_datasets(
+      cfg['data'], load_val=False)
+  inv_user = {v: k for k, v in user_id_map.items()}
+  inv_item = {v: k for k, v in item_id_map.items()}
   model = _build_model(cfg.get('model', {}))
   trainer = _build_trainer(cfg, model)
   trainer.init_from_model_file(model_file)
@@ -152,7 +166,7 @@ def cmd_recommend(cfg, model_file, num_recommendations, batch_size, out):
     recs = trainer.recommend(ui, num_recommendations)
     for u, items in zip(range(lo, hi), recs):
       for rank, sid in enumerate(items, 1):
-        print(f'{u},{rank},{sid}', file=fh)
+        print(f'{inv_user[u]},{rank},{inv_item[int(sid)]}', file=fh)
   if out:
     fh.close()
     print(f'wrote recommendations for {matrix.shape[0]} users to {out}')
@@ -209,6 +223,15 @@ def make_server(cfg, model_file, host='127.0.0.1', port=8321):
         req = json.loads(self.rfile.read(length))
         histories = req['interactions']
         k = int(req.get('k', 10))
+        # bound k: every distinct k compiles a new top-k program (the
+        # jit cache keys on it), so an unvalidated k is both an
+        # out-of-range error waiting at lax.top_k and a compile-storm
+        # DoS vector
+        if not 1 <= k <= num_items:
+          raise ValueError(f'k must be in [1, {num_items}]')
+        if not histories:
+          self._reply(200, {'recommendations': []})
+          return
         rows, cols = [], []
         for u, items in enumerate(histories):
           for i in items:

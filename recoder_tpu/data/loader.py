@@ -84,6 +84,12 @@ class BatchCollator:
     self.num_items = num_items
     self.num_random_negatives = int(num_random_negatives)
     self._neg_rng = np.random.default_rng(seed + 7)
+    # numpy Generators are not thread-safe; prefetch workers collate
+    # concurrently, so the draw is serialized (order across
+    # mega-batches still depends on scheduling under num_workers > 0,
+    # like the reference's multi-process loader)
+    import threading
+    self._neg_lock = threading.Lock()
     self.item_ladder = item_ladder or BucketLadder(min_size=256, growth=1.25)
     self.nnz_ladder = nnz_ladder or BucketLadder(min_size=1024, growth=1.25)
     self.pad_users_to_batch_size = pad_users_to_batch_size
@@ -123,8 +129,9 @@ class BatchCollator:
       if self.num_random_negatives:
         # extra uniform-random negatives widen the union (zero-valued
         # decode columns); see DeviceDataSource.build_batch
-        rand = self._neg_rng.integers(0, num_items,
-                                      self.num_random_negatives)
+        with self._neg_lock:
+          rand = self._neg_rng.integers(0, num_items,
+                                        self.num_random_negatives)
         merged = np.union1d(batch_items, rand).astype(batch_items.dtype)
         compressed_cols = np.searchsorted(
             merged, batch_items)[compressed_cols]
@@ -249,9 +256,8 @@ class RecommendationDataLoader:
                        replace=False)
       counts = matrix.indptr[idx + 1] - matrix.indptr[idx]
       # per compute-batch nnz: worst window of batch_size users
-      order = np.arange(len(idx))
       for off in range(0, len(idx), self.batch_size):
-        max_nnz = max(max_nnz, int(counts[order[off:off + self.batch_size]]
+        max_nnz = max(max_nnz, int(counts[off:off + self.batch_size]
                                    .sum()))
       if self.negative_sampling:
         cols = np.concatenate([
@@ -314,4 +320,14 @@ class RecommendationDataLoader:
         yield pending.popleft().result()
 
   def __len__(self):
-    return int(np.ceil(len(self.dataset) / self.batch_size))
+    # batches per mega-batch is ceil(mega/batch_size): when the mega
+    # size is not a multiple of batch_size, every mega yields a short
+    # tail slice (plain ceil(n/bs) would undercount those)
+    import math
+    n = len(self.dataset)
+    S, bs = self.num_sampling_users, self.batch_size
+    full, rem = divmod(n, S)
+    count = full * math.ceil(S / bs)
+    if rem:
+      count += math.ceil(rem / bs)
+    return count

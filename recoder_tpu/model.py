@@ -1230,6 +1230,8 @@ class Recoder:
     """Collate a full-catalog inference batch with sticky nnz padding:
     the pad width only grows (monotone), so repeated inference calls
     reuse one compiled program instead of one per nnz bucket."""
+    if len(users_interactions.users) == 0:
+      raise ValueError('cannot score an empty user batch')
     collator = BatchCollator(batch_size=len(users_interactions.users),
                              negative_sampling=False,
                              num_items=self.num_items,

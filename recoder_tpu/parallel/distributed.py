@@ -10,8 +10,17 @@ Untested on real multi-host hardware in round 1 (single chip only);
 the API mirrors jax.distributed and is a thin veneer.
 """
 
+import os
+
 import jax
 import numpy as np
+
+#: environment variables whose presence marks a multi-process launch
+#: (jax.distributed's own auto-detection hooks + TPU pod metadata)
+_DISTRIBUTED_ENV_HINTS = ('JAX_COORDINATOR_ADDRESS',
+                          'COORDINATOR_ADDRESS', 'JAX_NUM_PROCESSES',
+                          'CLOUD_TPU_TASK_ID', 'TPU_WORKER_ID',
+                          'MEGASCALE_COORDINATOR_ADDRESS')
 
 
 def initialize(coordinator_address=None, num_processes=None,
@@ -22,8 +31,17 @@ def initialize(coordinator_address=None, num_processes=None,
     coordinator_address: "host:port" of process 0 (None: auto / env).
     num_processes: total process count (None: from the environment).
     process_id: this process's index (None: from the environment).
+
+  With all-default args the environment decides: when any distributed
+  launch hint is present (coordinator env vars, TPU pod metadata),
+  ``jax.distributed.initialize()`` runs with its own auto-detection --
+  an unconditional early return here would leave every pod host
+  training the full dataset independently with no gradient sync.
+  Plain single-host runs (no args, no env hints) stay a no-op.
   """
-  if num_processes in (None, 1) and coordinator_address is None:
+  env_hint = any(os.environ.get(k) for k in _DISTRIBUTED_ENV_HINTS)
+  if (num_processes in (None, 1) and coordinator_address is None
+      and not env_hint):
     return  # single process
   jax.distributed.initialize(coordinator_address=coordinator_address,
                              num_processes=num_processes,

@@ -131,3 +131,14 @@ def test_sparse_dense_checkpoint_cross_load(tmp_path):
   # and continues training on the dense path
   dense.train(train_dataset=ds, batch_size=10, num_epochs=3,
               negative_sampling=True)
+
+
+def test_checkpoint_rejects_slash_keys(tmp_path):
+  """'/' is the flattened-path separator: a key containing it would
+  silently round-trip into a different nested structure."""
+  import pytest
+
+  from recoder_tpu.checkpoint import save_checkpoint
+  with pytest.raises(ValueError, match='must not contain'):
+    save_checkpoint(str(tmp_path / 'x.npz'),
+                    {'model': {'enc/w0': np.zeros(2)}}, {'v': 1})

@@ -158,3 +158,34 @@ def test_cli_train_with_mesh(workspace):
   mesh_cfg.write_text(json.dumps(cfg))
   _run_cli(['train', '--config', str(mesh_cfg)])
   assert os.path.exists(str(tmp_path / 'mesh_ck_epoch_2.model'))
+
+
+def test_cli_recommend_original_id_space(tmp_path):
+  """The recommend CSV must speak the input CSVs' ORIGINAL id space,
+  not internal matrix indices (uids offset by 1000, sids by 500)."""
+  rng = np.random.default_rng(3)
+  uids = np.repeat(np.arange(1000, 1030), 8)
+  sids = rng.integers(500, 560, len(uids))
+  pd.DataFrame({'uid': uids, 'sid': sids, 'watched': 1.0}) \
+      .drop_duplicates(['uid', 'sid']) \
+      .to_csv(tmp_path / 'train.csv', index=False)
+  cfg = {
+      'data': {'train': str(tmp_path / 'train.csv')},
+      'model': {'type': 'autoencoder', 'hidden_layers': [8],
+                'noise_prob': 0.0},
+      'trainer': {'optimizer_type': 'adam', 'loss': 'mse', 'seed': 1},
+      'train': {'batch_size': 10, 'num_epochs': 1,
+                'negative_sampling': True,
+                'model_checkpoint_prefix': str(tmp_path / 'ck')},
+  }
+  cfg_path = tmp_path / 'run.json'
+  cfg_path.write_text(json.dumps(cfg))
+  _run_cli(['train', '--config', str(cfg_path)])
+  out_csv = str(tmp_path / 'recs.csv')
+  _run_cli(['recommend', '--config', str(cfg_path),
+            '--model-file', str(tmp_path / 'ck_epoch_1.model'),
+            '--num-recommendations', '5', '--batch-size', '30',
+            '--out', out_csv])
+  recs = pd.read_csv(out_csv)
+  assert set(recs.uid) == set(range(1000, 1030))
+  assert recs.sid.between(500, 559).all()

@@ -192,3 +192,24 @@ def test_collator_full_catalog(input_dataframe):
     np.testing.assert_array_equal(
         dense[:batch.num_users],
         matrix[i * 4:i * 4 + batch.num_users].toarray())
+
+
+def test_loader_len_matches_iteration_nonmultiple_mega():
+  """len() must count the short tail slice every mega-batch yields
+  when num_sampling_users is not a multiple of batch_size."""
+  import pandas as pd
+
+  from recoder_tpu.data import RecommendationDataLoader, \
+      RecommendationDataset
+  from recoder_tpu.utils import dataframe_to_csr_matrix
+
+  rng = np.random.default_rng(9)
+  df = pd.DataFrame({'u': np.repeat(np.arange(100), 3),
+                     'i': rng.integers(0, 50, 300), 'v': 1.0})
+  df = df.drop_duplicates(['u', 'i'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'u', 'i', 'v')
+  loader = RecommendationDataLoader(RecommendationDataset(m),
+                                    batch_size=40,
+                                    num_sampling_users=50,
+                                    negative_sampling=True)
+  assert len(loader) == sum(1 for _ in loader)
