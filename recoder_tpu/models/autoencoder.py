@@ -323,7 +323,6 @@ class DynamicAutoencoder(FactorizationModel):
     """Forward where embedding-table rows arrive pre-gathered (the
     differentiable leaves of the sparse path)."""
     del input_users, target_users, input_items
-    from recoder_tpu.ops.gather_matmul import take_rows
     de_rows = gathered.get('de_rows', gathered['en_rows'])
     de_bias = take_rows(params['de_bias'], target_items,
                         items_sorted_unique)

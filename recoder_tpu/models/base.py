@@ -3,9 +3,13 @@
 Parity with reference recoder/nn.py:12-65 (FactorizationModel ABC,
 ``activation`` at nn.py:6). TPU-first additions: every model pads its
 item (and user) axis to a lane-aligned size with one extra sentinel row
-(index ``num_items``) so padded union slots gather a dedicated zero row,
-and exposes ``param_axes()`` naming which parameter axes carry the item/
-user dimension -- the contract the mesh-sharding layer builds on.
+(index ``num_items``) so padded union slots have a VALID row to gather
+-- the sentinel/pad rows are xavier-initialized like real rows, NOT
+zero; correctness comes from masking (loss row/col masks zero padded
+contributions, recommend masks pad columns with -inf), the CLAUDE.md
+"padding must contribute exactly zero" contract. ``param_axes()``
+names which parameter axes carry the item/user dimension -- the
+contract the mesh-sharding layer builds on.
 """
 
 import jax

@@ -24,9 +24,21 @@ def _lib_path():
 
 def _build_lib(out):
   src = os.path.join(_HERE, 'ann_index.cpp')
+  # compile to a temp path and rename atomically: another process may
+  # be dlopen-ing `out` while this one rebuilds (a half-written ELF
+  # crashes the loader), and rename is atomic on POSIX
+  tmp = f'{out}.build.{os.getpid()}'
   cmd = ['g++', '-O3', '-std=c++17', '-shared', '-fPIC', '-pthread',
-         '-o', out, src]
-  subprocess.run(cmd, check=True, capture_output=True)
+         '-o', tmp, src]
+  try:
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+  except subprocess.CalledProcessError as e:
+    raise RuntimeError(
+        f'building libann_index.so failed:\n{e.stderr}') from e
+  except FileNotFoundError as e:
+    raise RuntimeError('building libann_index.so requires g++ on PATH'
+                       ) from e
+  os.replace(tmp, out)
 
 
 def _load():
@@ -47,6 +59,7 @@ def _load():
                                   ctypes.c_int]
     lib.ann_build.argtypes = [ctypes.c_void_p, ctypes.c_int,
                               ctypes.c_uint32, ctypes.c_int]
+    lib.ann_build.restype = ctypes.c_int
     lib.ann_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.ann_save.restype = ctypes.c_int
     lib.ann_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
@@ -57,6 +70,7 @@ def _load():
     lib.ann_dim.restype = ctypes.c_int
     lib.ann_get_item.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                  ctypes.c_void_p]
+    lib.ann_get_item.restype = ctypes.c_int
     lib.ann_get_nns_by_item.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_int,
                                         ctypes.c_void_p, ctypes.c_void_p]
@@ -75,6 +89,7 @@ def _load():
                                       ctypes.c_void_p]
     lib.ann_get_items.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                   ctypes.c_int, ctypes.c_void_p]
+    lib.ann_get_items.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -102,7 +117,12 @@ class AnnIndex:
     self._lib.ann_add_items(self._ptr, arr.ctypes.data, arr.shape[0])
 
   def build(self, n_trees, seed=0, leaf_size=0):
-    self._lib.ann_build(self._ptr, int(n_trees), int(seed), int(leaf_size))
+    if not self._lib.ann_build(self._ptr, int(n_trees), int(seed),
+                               int(leaf_size)):
+      raise RuntimeError(
+          'build() needs staged items: add_items() must precede it, '
+          'and an index can only be built once (a built or loaded '
+          'index is immutable -- create a new AnnIndex to rebuild)')
 
   def save(self, path):
     if not self._lib.ann_save(self._ptr, path.encode()):
@@ -118,7 +138,9 @@ class AnnIndex:
 
   def get_item_vector(self, i):
     out = np.empty(self._dim, dtype=np.float32)
-    self._lib.ann_get_item(self._ptr, int(i), out.ctypes.data)
+    if not self._lib.ann_get_item(self._ptr, int(i), out.ctypes.data):
+      raise IndexError(f'item id {i} out of range '
+                       f'[0, {self.n_items})')
     return out.tolist()
 
   def get_nns_by_item(self, i, n, search_k=-1):
@@ -127,6 +149,9 @@ class AnnIndex:
     k = self._lib.ann_get_nns_by_item(self._ptr, int(i), int(n),
                                       int(search_k), ids.ctypes.data,
                                       dists.ctypes.data)
+    if k < 0:
+      raise IndexError(f'item id {i} out of range '
+                       f'[0, {self.n_items})')
     return ids[:k].tolist(), dists[:k].tolist()
 
   def get_nns_by_vector(self, vec, n, search_k=-1):
@@ -139,7 +164,10 @@ class AnnIndex:
     return ids[:k].tolist(), dists[:k].tolist()
 
   def get_distance(self, i, j):
-    return float(self._lib.ann_get_distance(self._ptr, int(i), int(j)))
+    d = float(self._lib.ann_get_distance(self._ptr, int(i), int(j)))
+    if d < 0:  # real angular distances are >= 0; -1 = bad id
+      raise IndexError(f'item id out of range: {i} or {j}')
+    return d
 
   def get_nns_batch(self, items, n, search_k=-1, n_threads=0):
     """Batched NN search over a C++ worker pool.
@@ -164,6 +192,10 @@ class AnnIndex:
                                   int(search_k), int(n_threads),
                                   ids.ctypes.data, dists.ctypes.data,
                                   counts.ctypes.data)
+      if counts.min() < 0:
+        bad = q[np.argmin(counts)]
+        raise IndexError(f'item id {bad} out of range '
+                         f'[0, {self.n_items})')
     return ids, dists, counts
 
   def get_items(self, ids):
@@ -171,6 +203,8 @@ class AnnIndex:
     q = np.ascontiguousarray(ids, dtype=np.int32)
     out = np.empty((q.shape[0], self._dim), dtype=np.float32)
     if q.shape[0]:
-      self._lib.ann_get_items(self._ptr, q.ctypes.data, q.shape[0],
-                              out.ctypes.data)
+      if not self._lib.ann_get_items(self._ptr, q.ctypes.data,
+                                     q.shape[0], out.ctypes.data):
+        raise IndexError(f'an item id is out of range '
+                         f'[0, {self.n_items}): {q.tolist()[:8]}...')
     return out

@@ -26,9 +26,11 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <queue>
 #include <random>
 #include <thread>
+#include <tuple>
 #include <vector>
 
 #include <fcntl.h>
@@ -91,7 +93,13 @@ class AnnIndex {
     n_items_ += n;
   }
 
-  void Build(int n_trees, uint32_t seed, int leaf_size) {
+  bool Build(int n_trees, uint32_t seed, int leaf_size) {
+    // staged vectors are cleared by Serialize/Load: a second Build (or
+    // a Build on a loaded index) would read them out of bounds
+    if (n_items_ <= 0 ||
+        build_norms_.size() != size_t(n_items_) * dim_) {
+      return false;
+    }
     std::vector<Tree> trees(n_trees);
     leaf_size_ = leaf_size > 0 ? leaf_size : std::max(8, dim_ / 4);
     unsigned hw = std::max(1u, std::thread::hardware_concurrency());
@@ -112,6 +120,7 @@ class AnnIndex {
     }
     for (auto& th : pool) th.join();
     Serialize(trees);
+    return true;
   }
 
   // best-first search across all trees with a shared priority queue
@@ -178,13 +187,21 @@ class AnnIndex {
     return k;
   }
 
+  bool ValidItem(int i) const {
+    return items_p_ != nullptr && i >= 0 && i < n_items_;
+  }
+
   int GetNnsByItem(int item, int n, int search_k, int32_t* out_ids,
                    float* out_dists) const {
+    if (!ValidItem(item)) return -1;  // out-of-range id, surfaced to
+    // Python as an exception instead of an out-of-bounds read
     return GetNnsByVector(items_p_ + size_t(item) * dim_, n, search_k,
                           out_ids, out_dists);
   }
 
   float GetDistance(int i, int j) const {
+    if (!ValidItem(i) || !ValidItem(j)) return -1.f;  // real angular
+    // distances are >= 0, so -1 is an unambiguous error sentinel
     const float* a = norms_p_ + size_t(i) * dim_;
     const float* b = norms_p_ + size_t(j) * dim_;
     double dot = 0;
@@ -192,8 +209,10 @@ class AnnIndex {
     return std::sqrt(std::max(0.0, 2.0 - 2.0 * dot));
   }
 
-  void GetItem(int i, float* out) const {
+  bool GetItem(int i, float* out) const {
+    if (!ValidItem(i)) return false;
     std::memcpy(out, items_p_ + size_t(i) * dim_, sizeof(float) * dim_);
+    return true;
   }
 
   int n_items() const { return n_items_; }
@@ -223,15 +242,26 @@ class AnnIndex {
                    fd, 0);
     ::close(fd);
     if (m == MAP_FAILED) return false;
+    // parse the NEW mapping before touching existing state: a corrupt
+    // file must leave a previously working index fully intact (the
+    // old flow freed the live buffer first, leaving every view pointer
+    // dangling on failure)
+    Parsed ps;
+    if (!ParseBuffer(static_cast<const char*>(m), size_t(st.st_size),
+                     &ps)) {
+      munmap(m, size_t(st.st_size));
+      return false;
+    }
     UnmapIfMapped();
     buffer_.clear();
     buffer_.shrink_to_fit();
+    build_items_.clear();
+    build_items_.shrink_to_fit();
+    build_norms_.clear();
+    build_norms_.shrink_to_fit();
     map_ = m;
     map_size_ = size_t(st.st_size);
-    if (!ParseBuffer(static_cast<const char*>(map_), map_size_)) {
-      UnmapIfMapped();
-      return false;
-    }
+    Commit(ps);
     return true;
   }
 
@@ -311,30 +341,58 @@ class AnnIndex {
     build_norms_.clear();
     build_norms_.shrink_to_fit();
     UnmapIfMapped();
-    bool ok = ParseBuffer(buffer_.data(), buffer_.size());
+    Parsed ps;
+    bool ok = ParseBuffer(buffer_.data(), buffer_.size(), &ps);
     (void)ok;  // layout written by this function; always parses
+    Commit(ps);
   }
 
-  bool ParseBuffer(const char* base, size_t size) {
+  // parse result, committed to members only on success (see Load)
+  struct Parsed {
+    int n_items = 0;
+    const float* items_p = nullptr;
+    const float* norms_p = nullptr;
+    std::vector<TreeView> views;
+  };
+
+  void Commit(Parsed& ps) {
+    n_items_ = ps.n_items;
+    items_p_ = ps.items_p;
+    norms_p_ = ps.norms_p;
+    views_ = std::move(ps.views);
+  }
+
+  bool ParseBuffer(const char* base, size_t size, Parsed* out) const {
     const char* p = base;
     const char* end = base + size;
     auto need = [&](size_t bytes) { return size_t(end - p) >= bytes; };
+    // counters come from the file: every count is validated against
+    // the bytes remaining BEFORE entering size arithmetic, so corrupt
+    // (or hostile) values cannot overflow the accumulated `want`
+    auto sane = [&](int64_t v) {
+      return v >= 0 && size_t(v) <= size_t(end - p);
+    };
     if (!need(16)) return false;
     int32_t header[4];
     std::memcpy(header, p, 16);
     p += 16;
     if (header[0] != kMagicV2 || header[1] != dim_) return false;
-    n_items_ = header[2];
+    if (header[2] < 0 || header[3] < 0) return false;
+    out->n_items = header[2];
     int n_trees = header[3];
-    size_t items_bytes = sizeof(float) * size_t(n_items_) * dim_;
+    if (size_t(out->n_items) > size / (sizeof(float) * size_t(dim_)))
+      return false;
+    if (size_t(n_trees) > size / 32)  // each tree needs >= 32 bytes
+      return false;
+    size_t items_bytes = sizeof(float) * size_t(out->n_items) * dim_;
     if (!need(2 * Pad8(items_bytes))) return false;
-    items_p_ = reinterpret_cast<const float*>(p);
+    out->items_p = reinterpret_cast<const float*>(p);
     p += Pad8(items_bytes);
-    norms_p_ = reinterpret_cast<const float*>(p);
+    out->norms_p = reinterpret_cast<const float*>(p);
     p += Pad8(items_bytes);
 
-    views_.assign(n_trees, TreeView{});
-    for (TreeView& v : views_) {
+    out->views.assign(n_trees, TreeView{});
+    for (TreeView& v : out->views) {
       if (!need(32)) return false;
       std::memcpy(&v.root, p, 4);
       p += 8;
@@ -343,9 +401,11 @@ class AnnIndex {
       p += 24;
       int64_t n = counters[0], n_planes = counters[1],
               n_leaf = counters[2];
-      size_t want = 2 * Pad8(4 * n) + 3 * 8 * n
-          + Pad8(sizeof(float) * n_planes) + Pad8(4 * n_leaf);
-      if (n < 0 || n_planes < 0 || n_leaf < 0 || !need(want)) return false;
+      if (!sane(n) || !sane(n_planes) || !sane(n_leaf)) return false;
+      size_t want = 2 * Pad8(4 * size_t(n)) + 3 * 8 * size_t(n)
+          + Pad8(sizeof(float) * size_t(n_planes))
+          + Pad8(4 * size_t(n_leaf));
+      if (!need(want)) return false;
       v.left = reinterpret_cast<const int32_t*>(p);
       p += Pad8(4 * n);
       v.right = reinterpret_cast<const int32_t*>(p);
@@ -495,8 +555,9 @@ void ann_add_items(void* p, const float* data, int n) {
   static_cast<AnnIndex*>(p)->AddItems(data, n);
 }
 
-void ann_build(void* p, int n_trees, uint32_t seed, int leaf_size) {
-  static_cast<AnnIndex*>(p)->Build(n_trees, seed, leaf_size);
+int ann_build(void* p, int n_trees, uint32_t seed, int leaf_size) {
+  return static_cast<AnnIndex*>(p)->Build(n_trees, seed, leaf_size)
+      ? 1 : 0;
 }
 
 int ann_save(void* p, const char* path) {
@@ -510,8 +571,8 @@ int ann_load(void* p, const char* path) {
 int ann_n_items(void* p) { return static_cast<AnnIndex*>(p)->n_items(); }
 int ann_dim(void* p) { return static_cast<AnnIndex*>(p)->dim(); }
 
-void ann_get_item(void* p, int i, float* out) {
-  static_cast<AnnIndex*>(p)->GetItem(i, out);
+int ann_get_item(void* p, int i, float* out) {
+  return static_cast<AnnIndex*>(p)->GetItem(i, out) ? 1 : 0;
 }
 
 int ann_get_nns_by_item(void* p, int item, int n, int search_k,
@@ -561,12 +622,14 @@ void ann_get_nns_batch(void* p, const int32_t* items, int m, int n,
   }
 }
 
-// Bulk row fetch: out is [m, dim] row-major.
-void ann_get_items(void* p, const int32_t* ids, int m, float* out) {
+// Bulk row fetch: out is [m, dim] row-major. Returns 1, or 0 when any
+// id is out of range (out is left partially written).
+int ann_get_items(void* p, const int32_t* ids, int m, float* out) {
   AnnIndex* index = static_cast<AnnIndex*>(p);
   int dim = index->dim();
   for (int i = 0; i < m; ++i)
-    index->GetItem(ids[i], out + size_t(i) * dim);
+    if (!index->GetItem(ids[i], out + size_t(i) * dim)) return 0;
+  return 1;
 }
 
 }  // extern "C"

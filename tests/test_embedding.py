@@ -182,3 +182,37 @@ def test_get_embeddings_accepts_generator(embeddings):
   from recoder_tpu.embedding import EmbeddingsIndex
   got = EmbeddingsIndex.get_embeddings(idx, (i for i in (0, 1, 2)))
   assert got.shape == (3, embeddings.shape[1])
+
+
+def test_ann_native_guard_rails(tmp_path, embeddings):
+  """Native-layer hardening: double build is rejected, out-of-range
+  ids raise instead of reading out of bounds, and a failed load leaves
+  a working index fully intact."""
+  import pytest
+
+  from recoder_tpu.native.ann import AnnIndex as NativeIndex
+
+  idx = NativeIndex(embeddings.shape[1])
+  idx.add_items(embeddings)
+  idx.build(4, seed=1)
+  with pytest.raises(RuntimeError, match='built once'):
+    idx.build(4, seed=1)
+
+  with pytest.raises(IndexError):
+    idx.get_nns_by_item(len(embeddings), 5)
+  with pytest.raises(IndexError):
+    idx.get_item_vector(-1)
+  with pytest.raises(IndexError):
+    idx.get_distance(0, len(embeddings) + 3)
+  with pytest.raises(IndexError):
+    idx.get_items([0, len(embeddings)])
+  with pytest.raises(IndexError):
+    idx.get_nns_batch([1, -2], 5)
+
+  before = idx.get_nns_by_item(3, 5)
+  bad = tmp_path / 'corrupt.ann'
+  bad.write_bytes(b'NOTANINDEXNOTANINDEX' * 4)
+  with pytest.raises(IOError):
+    idx.load(str(bad))
+  # the previously built index must still answer queries
+  assert idx.get_nns_by_item(3, 5) == before
