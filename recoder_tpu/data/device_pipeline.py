@@ -295,10 +295,23 @@ class DeviceDataSource:
 
   def epoch_permutation(self, key):
     """Per-epoch shuffle state: shuffled user ids padded with sentinel
-    users ('users' mode), or shuffled block indices ('blocks' mode)."""
+    users ('users' mode), or shuffled block indices ('blocks' mode).
+
+    The partially-filled tail block (present when num_users is not a
+    multiple of the mega size) is PINNED to the last permutation slot:
+    steps_per_epoch = ceil(num_users / batch_size) only covers every
+    real user if the block whose trailing slices are pure padding is
+    the one that gets cut off -- a shuffled tail block mid-epoch would
+    waste its pad slices and silently skip the real slices of whichever
+    block landed last."""
     if self.shuffle == 'blocks':
-      return self._put(
-          jax.random.permutation(key, self.n_blocks).astype(jnp.int32))
+      if self.n_pad > self.num_users_total and self.n_blocks > 1:
+        head = jax.random.permutation(key, self.n_blocks - 1)
+        perm = jnp.concatenate(
+            [head, jnp.array([self.n_blocks - 1], head.dtype)])
+      else:
+        perm = jax.random.permutation(key, self.n_blocks)
+      return self._put(perm.astype(jnp.int32))
     perm = jax.random.permutation(key, self.num_users_total)
     pad = jnp.arange(self.num_users_total, self.n_pad, dtype=perm.dtype)
     return self._put(jnp.concatenate([perm, pad]).astype(jnp.int32))
@@ -471,7 +484,11 @@ class DeviceDataSource:
                                   0).astype(jnp.int32)
     else:
       union_dropped = jnp.int32(0)
-    overflow = jnp.stack([nnz_dropped, union_dropped])
+    # drops are mega-batch-level quantities; report them only on the
+    # mega's FIRST slice so the epoch sums aren't inflated by
+    # slices_per_mega (the max counters are unaffected either way)
+    first_slice = (s == 0).astype(jnp.int32)
+    overflow = jnp.stack([nnz_dropped, union_dropped]) * first_slice
 
     out = {
         'rows': rows_m, 'cols': compressed, 'vals': vals_m,

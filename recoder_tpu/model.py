@@ -232,8 +232,10 @@ class Recoder:
     if self._pending_opt_arrays is not None:
       opt, sparse = self._pending_opt_arrays
       try:
-        self.opt_state = jax.tree_util.tree_map(_adapt_array,
-                                                self.opt_state, opt)
+        if opt is not None:  # a pre-training checkpoint carries no
+          # optimizer state -- start fresh without the mismatch warning
+          self.opt_state = jax.tree_util.tree_map(_adapt_array,
+                                                  self.opt_state, opt)
         for p in sparse_paths:
           if p in sparse:
             self.sparse_states[p] = jax.tree_util.tree_map(
@@ -283,6 +285,17 @@ class Recoder:
           f'during training)')
     self._init_optimizer(weight_decay=weight_decay)
     self._init_loss_module()
+    # compiled step fns captured the optimizer's weight-decay tree and
+    # the loss module at trace time; a later train() with different
+    # values would silently run the OLD trace (same shapes = no
+    # retrace), so invalidate the jit caches when they change
+    trace_key = (float(weight_decay),
+                 self.loss if isinstance(self.loss, str)
+                 else id(self.loss))
+    if getattr(self, '_step_trace_key', None) not in (None, trace_key):
+      self._step_fns = {}
+      self._loss_fns = {}
+    self._step_trace_key = trace_key
 
   # ------------------------------------------------------------------
   # batch staging
@@ -304,12 +317,7 @@ class Recoder:
       d['tg_vals'] = target_batch.vals
       d['tg_items'] = target_batch.items
       d['tg_valid_width'] = np.int32(target_batch.num_items_in_batch)
-    key = (input_batch.items is not None and len(input_batch.items) or 0,
-           len(input_batch.rows), len(input_batch.users),
-           target_batch is not None and (
-               target_batch.items is not None and len(target_batch.items) or 0,
-               len(target_batch.rows)) or None)
-    return d, key
+    return d
 
   def _to_device(self, staged):
     """Move a staged batch to device (sharded when a mesh is set)."""
@@ -342,7 +350,7 @@ class Recoder:
     """
     if self._cpu_mesh_serialize():
       for input_batch, target_batch in dataloader:
-        staged, _ = self._stage_batch(input_batch, target_batch)
+        staged = self._stage_batch(input_batch, target_batch)
         yield self._to_device(staged), target_batch is not None
       return
     import queue as _queue
@@ -352,7 +360,7 @@ class Recoder:
     def producer():
       try:
         for input_batch, target_batch in dataloader:
-          staged, _ = self._stage_batch(input_batch, target_batch)
+          staged = self._stage_batch(input_batch, target_batch)
           staged = self._to_device(staged)
           q.put(('ok', (staged, target_batch is not None)))
         q.put(('done', None))
@@ -378,6 +386,24 @@ class Recoder:
           dense, NamedSharding(self.mesh, P('data', None)))
     return dense
 
+  def _apply_extra_kwargs(self):
+    """Optional kwargs for model.apply, filtered by its signature
+    (cached): built-in models take the sorted-unique gather promise;
+    custom models with the bare documented signature get nothing."""
+    extra = getattr(self, '_apply_extra', None)
+    if extra is None:
+      import inspect
+      try:
+        params = inspect.signature(self.model.apply).parameters
+        accepts = ('items_sorted_unique' in params
+                   or any(p.kind == inspect.Parameter.VAR_KEYWORD
+                          for p in params.values()))
+      except (TypeError, ValueError):
+        accepts = True
+      extra = {'items_sorted_unique': True} if accepts else {}
+      self._apply_extra = extra
+    return extra
+
   def _forward_loss(self, params, batch, rng, training, gathered=None):
     """Pure loss for one staged batch (used by train, validate)."""
     model = self.model
@@ -402,10 +428,13 @@ class Recoder:
       tg_width = in_width
 
     # item-union id vectors from the collators are ascending + unique
-    # (np.unique semantics) with a sentinel tail -- promise it to XLA
+    # (np.unique semantics) with a sentinel tail -- promise it to XLA.
+    # The promise kwarg is passed only when the model accepts it:
+    # custom models implementing exactly the documented
+    # FactorizationModel.apply signature must keep working
     kwargs = dict(input_users=batch['in_users'], input_items=in_items,
                   target_items=tg_items, rng=rng, training=training,
-                  items_sorted_unique=True)
+                  **self._apply_extra_kwargs())
     if gathered is None:
       out = model.apply(params, input_dense, **kwargs)
     else:

@@ -338,7 +338,7 @@ def test_dual_csr_fused_training(matrix):
   coll = BC(batch_size=8, negative_sampling=True,
             num_items=matrix.shape[1])
   in_inter, tg_inter = ds[np.arange(8)]
-  staged, _ = tr._stage_batch(coll.collate(in_inter)[0],
+  staged = tr._stage_batch(coll.collate(in_inter)[0],
                               coll.collate(tg_inter)[0])
   staged = tr._to_device(staged)
   params = tr.model.params
@@ -447,3 +447,55 @@ def test_blocks_mode_reconstructs_exact_batches(precomputed):
     want[:, :] = sub
     np.testing.assert_allclose(dense[:10, :len(block_items)], want)
     assert dense[10].sum() == 0 and dense[:, len(block_items):].sum() == 0
+
+
+def test_blocks_partial_tail_block_covers_all_users():
+  """N not a multiple of the mega size with several slices per mega:
+  the padded tail block must be pinned LAST in the epoch permutation
+  or steps_per_epoch = ceil(N/bs) cuts off real users of whichever
+  block is permuted last (silent per-epoch data loss)."""
+  rng = np.random.default_rng(13)
+  n_users, n_items = 120, 80  # mega=50, bs=10 -> 3 blocks, tail has 20
+  df = pd.DataFrame({'u': np.repeat(np.arange(n_users), 4),
+                     'i': rng.integers(0, n_items, n_users * 4),
+                     'v': 1.0}).drop_duplicates(['u', 'i'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'u', 'i', 'v')
+  src = DeviceDataSource(m, batch_size=10, num_sampling_users=50,
+                         num_items=n_items, union_width=256,
+                         shuffle='blocks')
+  for seed in range(4):
+    perm = src.epoch_permutation(jax.random.PRNGKey(seed))
+    assert int(np.asarray(perm)[-1]) == src.n_blocks - 1  # tail pinned
+    seen = set()
+    for step in range(src.steps_per_epoch):
+      b = src.build_batch(perm, jnp.int32(step), negative_sampling=True)
+      users = np.asarray(b['users'])
+      seen.update(int(u) for u in users[:int(b['num_users'])])
+    assert seen == set(range(n_users)), (
+        f'epoch (seed {seed}) skipped users: '
+        f'{sorted(set(range(n_users)) - seen)[:10]}')
+
+
+def test_second_train_call_applies_new_weight_decay(matrix):
+  """Compiled step fns bake the weight-decay tree at trace time; a
+  train() call with a different value must retrace, not silently run
+  the stale trace."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(matrix)
+
+  def final_params(wd_schedule):
+    model = DynamicAutoencoder(hidden_layers=[8])
+    tr = Recoder(model=model, optimizer_type='adam', loss='mse', seed=2)
+    for i, wd in enumerate(wd_schedule, start=1):
+      tr.train(train_dataset=ds, batch_size=8, num_epochs=i,
+               negative_sampling=True, weight_decay=wd)
+    return jax.tree_util.tree_map(np.asarray, tr.model.params)
+
+  with_decay = final_params([0.0, 0.3])
+  without = final_params([0.0, 0.0])
+  diff = jax.tree_util.tree_map(
+      lambda a, b: not np.allclose(a, b), with_decay, without)
+  assert any(jax.tree_util.tree_flatten(diff)[0]), (
+      'second train() ignored the new weight_decay')
