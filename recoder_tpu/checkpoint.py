@@ -9,6 +9,7 @@ checkpoints are torch-free, mmap-friendly and endian-stable.
 """
 
 import json
+import os
 
 import jax
 import numpy as np
@@ -44,14 +45,29 @@ def unflatten_tree(flat):
 
 
 def save_checkpoint(path, arrays_tree, metadata):
-  """Write arrays (nested dict pytree) + JSON-able metadata to ``path``."""
+  """Write arrays (nested dict pytree) + JSON-able metadata to ``path``.
+
+  Crash-safe overwrite: the archive is written to a same-directory
+  temp file and atomically swapped into place with ``os.replace`` — a
+  crash mid-write leaves any existing checkpoint at ``path`` intact
+  (the reference's ``torch.save`` overwrites in place,
+  reference model.py:193-224; production runs overwrite the same
+  epoch path on resume, so in-place is a data-loss hazard)."""
   arrays_tree = jax.tree_util.tree_map(np.asarray, arrays_tree)
   flat = flatten_tree(arrays_tree)
   payload = {f'arr::{k}': v for k, v in flat.items()}
   payload['meta::json'] = np.frombuffer(
       json.dumps(metadata).encode('utf-8'), dtype=np.uint8)
-  with open(path, 'wb') as f:
-    np.savez(f, **payload)
+  tmp = f'{path}.tmp-save'
+  try:
+    with open(tmp, 'wb') as f:
+      np.savez(f, **payload)
+      f.flush()
+      os.fsync(f.fileno())
+    os.replace(tmp, path)
+  finally:
+    if os.path.exists(tmp):
+      os.unlink(tmp)
 
 
 def load_checkpoint(path):

@@ -164,9 +164,16 @@ def cmd_recommend(cfg, model_file, num_recommendations, batch_size, out):
     ui = UsersInteractions(users=np.arange(lo, hi),
                            interactions_matrix=matrix[lo:hi])
     recs = trainer.recommend(ui, num_recommendations)
+    num_items = len(item_id_map)
     for u, items in zip(range(lo, hi), recs):
-      for rank, sid in enumerate(items, 1):
+      rank = 1
+      for sid in items:
+        # users with < k unseen items get -inf-masked pad columns
+        # (id >= num_items) in their top-k tail; skip, don't crash
+        if int(sid) >= num_items:
+          continue
         print(f'{inv_user[u]},{rank},{inv_item[int(sid)]}', file=fh)
+        rank += 1
   if out:
     fh.close()
     print(f'wrote recommendations for {matrix.shape[0]} users to {out}')

@@ -293,25 +293,26 @@ class MemCacheEmbeddingsIndex(EmbeddingsIndex):
     return self.embedding_index.get_nns_by_embedding(embedding, n)
 
   def get_nns_by_id(self, embedding_id, n):
-    if embedding_id not in self._nns_cache:
-      self._nns_cache[embedding_id] = \
+    key = (embedding_id, n)
+    if key not in self._nns_cache:
+      self._nns_cache[key] = \
           self.embedding_index.get_nns_by_id(embedding_id, n)
-    return self._nns_cache[embedding_id]
+    return self._nns_cache[key]
 
   def get_similarity(self, id1, id2):
     return self.embedding_index.get_similarity(id1, id2)
 
   def get_nns_by_ids(self, ids, n):
-    # memoized like the per-id path (cache keyed by id; like that
-    # path, assumes one n per wrapper instance): repeated evaluate()
-    # passes re-query only unseen items
+    # memoized like the per-id path (cache keyed on (id, n) so a later
+    # call with a different n never returns stale-length lists):
+    # repeated evaluate() passes re-query only unseen items
     ids = list(ids)
-    missing = [i for i in ids if i not in self._nns_cache]
+    missing = [i for i in ids if (i, n) not in self._nns_cache]
     if missing:
       results = self.embedding_index.get_nns_by_ids(missing, n)
       for i, r in zip(missing, results):
-        self._nns_cache[i] = r
-    return [self._nns_cache[i] for i in ids]
+        self._nns_cache[(i, n)] = r
+    return [self._nns_cache[(i, n)] for i in ids]
 
   def get_embeddings(self, ids):
     return self.embedding_index.get_embeddings(ids)

@@ -289,9 +289,11 @@ class Recoder:
     # the loss module at trace time; a later train() with different
     # values would silently run the OLD trace (same shapes = no
     # retrace), so invalidate the jit caches when they change
-    trace_key = (float(weight_decay),
-                 self.loss if isinstance(self.loss, str)
-                 else id(self.loss))
+    # the key holds the loss OBJECT (strong reference), not id(): a
+    # gc'd module's id can be reused by a new one, silently matching
+    # the stale trace. Custom modules compare by identity (default
+    # __eq__), strings by value -- both are the right invalidation.
+    trace_key = (float(weight_decay), self.loss)
     if getattr(self, '_step_trace_key', None) not in (None, trace_key):
       self._step_fns = {}
       self._loss_fns = {}
@@ -1289,7 +1291,15 @@ class Recoder:
     return top_idx
 
   def recommend(self, users_interactions, num_recommendations):
-    """Top-k recommendations excluding each user's seen items."""
+    """Top-k recommendations excluding each user's seen items.
+
+    Exactness note: 'exact' top-k is certified for NaN-free score
+    rows. A diverged model (NaN scores) yields unspecified ranking
+    for the NaN rows — the monolithic path's ``lax.top_k`` ranks NaN
+    first while the chunked merge ranks NaN last — so chunked and
+    monolithic results may differ there; both are garbage by
+    construction and the training loop's loss logging is the place
+    divergence actually surfaces."""
     return np.asarray(
         self.recommend_async(users_interactions,
                              num_recommendations)).tolist()

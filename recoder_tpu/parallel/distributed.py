@@ -15,11 +15,13 @@ import os
 import jax
 import numpy as np
 
-#: environment variables whose presence marks a multi-process launch
-#: (jax.distributed's own auto-detection hooks + TPU pod metadata)
+#: environment variables whose presence marks a multi-process launch.
+#: Only coordinator-address / process-count style hints qualify:
+#: TPU_WORKER_ID / CLOUD_TPU_TASK_ID are routinely set (to 0) on plain
+#: single-host TPU VMs, and auto-initializing on them alone can hang a
+#: container waiting for a coordinator that will never answer.
 _DISTRIBUTED_ENV_HINTS = ('JAX_COORDINATOR_ADDRESS',
                           'COORDINATOR_ADDRESS', 'JAX_NUM_PROCESSES',
-                          'CLOUD_TPU_TASK_ID', 'TPU_WORKER_ID',
                           'MEGASCALE_COORDINATOR_ADDRESS')
 
 
@@ -32,12 +34,14 @@ def initialize(coordinator_address=None, num_processes=None,
     num_processes: total process count (None: from the environment).
     process_id: this process's index (None: from the environment).
 
-  With all-default args the environment decides: when any distributed
-  launch hint is present (coordinator env vars, TPU pod metadata),
+  With all-default args the environment decides: when a coordinator /
+  process-count hint is present (see ``_DISTRIBUTED_ENV_HINTS``),
   ``jax.distributed.initialize()`` runs with its own auto-detection --
   an unconditional early return here would leave every pod host
   training the full dataset independently with no gradient sync.
-  Plain single-host runs (no args, no env hints) stay a no-op.
+  Plain single-host runs (no args, no env hints) stay a no-op; pod
+  launchers that only export worker-id metadata must pass args or set
+  a coordinator env var explicitly.
   """
   env_hint = any(os.environ.get(k) for k in _DISTRIBUTED_ENV_HINTS)
   if (num_processes in (None, 1) and coordinator_address is None

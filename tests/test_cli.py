@@ -189,3 +189,34 @@ def test_cli_recommend_original_id_space(tmp_path):
   recs = pd.read_csv(out_csv)
   assert set(recs.uid) == set(range(1000, 1030))
   assert recs.sid.between(500, 559).all()
+
+
+def test_cli_recommend_k_exceeds_unseen(tmp_path):
+  """k larger than a user's unseen catalog: the -inf-masked pad
+  columns in the top-k tail must be skipped, not KeyError the run
+  (users here have seen most of a 8-item catalog, k=10 > catalog)."""
+  uids = np.repeat(np.arange(100, 112), 6)
+  sids = np.tile(np.arange(50, 56), 12)
+  pd.DataFrame({'uid': uids, 'sid': sids, 'watched': 1.0}) \
+      .to_csv(tmp_path / 'train.csv', index=False)
+  cfg = {
+      'data': {'train': str(tmp_path / 'train.csv')},
+      'model': {'type': 'autoencoder', 'hidden_layers': [4],
+                'noise_prob': 0.0},
+      'trainer': {'optimizer_type': 'adam', 'loss': 'mse', 'seed': 1},
+      'train': {'batch_size': 6, 'num_epochs': 1,
+                'negative_sampling': True,
+                'model_checkpoint_prefix': str(tmp_path / 'ck')},
+  }
+  cfg_path = tmp_path / 'run.json'
+  cfg_path.write_text(json.dumps(cfg))
+  _run_cli(['train', '--config', str(cfg_path)])
+  out_csv = str(tmp_path / 'recs.csv')
+  _run_cli(['recommend', '--config', str(cfg_path),
+            '--model-file', str(tmp_path / 'ck_epoch_1.model'),
+            '--num-recommendations', '10', '--batch-size', '12',
+            '--out', out_csv])
+  recs = pd.read_csv(out_csv)
+  assert recs.sid.between(50, 55).all()   # never a pad column id
+  assert (recs.groupby('uid')['rank'].apply(
+      lambda r: list(r) == list(range(1, len(r) + 1)))).all()

@@ -216,3 +216,17 @@ def test_ann_native_guard_rails(tmp_path, embeddings):
     idx.load(str(bad))
   # the previously built index must still answer queries
   assert idx.get_nns_by_item(3, 5) == before
+
+
+def test_memcache_n_change_not_stale(embeddings):
+  """A later call with a different n must not return neighbor lists of
+  the previously-cached length (cache is keyed on (id, n))."""
+  inner = BruteForceEmbeddingsIndex(embeddings=embeddings)
+  inner.build()
+  cached = MemCacheEmbeddingsIndex(inner)
+  assert len(cached.get_nns_by_id(3, 5)) == 5
+  assert len(cached.get_nns_by_id(3, 2)) == 2
+  batch5 = cached.get_nns_by_ids([1, 3], 5)
+  batch3 = cached.get_nns_by_ids([1, 3], 3)
+  assert [len(r) for r in batch5] == [5, 5]
+  assert [len(r) for r in batch3] == [3, 3]
