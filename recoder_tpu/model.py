@@ -625,8 +625,110 @@ class Recoder:
     if 'val' not in self._loss_fns:
       def val_loss(params, batch):
         return self._forward_loss(params, batch, rng=None, training=False)
-      self._loss_fns['val'] = jax.jit(val_loss)
+      dense_fn = jax.jit(val_loss)
+      chunk = self._resolve_eval_chunk()
+      chunked_fn = None
+      if chunk is not None and isinstance(self.loss, str):
+        # custom Loss modules stay on the dense path: their semantics
+        # over a partial item axis aren't knowable here
+        def chunked(params, batch):
+          return self._chunked_val_loss(params, batch, chunk)
+        chunked_fn = jax.jit(chunked)
+
+      def dispatch(params, batch):
+        full_catalog = (batch.get('in_items') is None
+                        and batch.get('tg_items') is None)
+        if chunked_fn is not None and full_catalog:
+          return chunked_fn(params, batch)
+        return dense_fn(params, batch)
+
+      self._loss_fns['val'] = dispatch
     return self._loss_fns['val']
+
+  def _chunked_val_loss(self, params, batch, chunk):
+    """Full-catalog validation loss in O(B x chunk) memory.
+
+    ``_forward_loss`` densifies ``[B, num_items_padded]``; at the
+    multi-million-item scale where recommend() already chunks
+    (``eval_item_chunk`` / ``AUTO_CHUNK_ITEMS``), that slab exceeds
+    HBM. This path encodes once from COO (``encode_coo``) and streams
+    ``decode_slice`` chunks, accumulating the same sum-reduced loss:
+    one pass for the elementwise losses (mse / logistic), two for the
+    multinomial NLL (streaming logsumexp for the partition function,
+    then the NLL pass). Equality vs the dense path is gate-tested at
+    small scale (tests/test_chunked_eval.py).
+    """
+    from recoder_tpu.ops.losses import _NEG_INF
+    model = self.model
+    B = batch['in_users'].shape[0]
+    W = model.num_items_padded
+    C = chunk
+    n_chunks = -(-model.num_items // C)  # ceil; last chunk clamped
+    rows, cols = batch['in_rows'], batch['in_cols']
+    vals = batch['in_vals']
+    if 'tg_rows' in batch:
+      t_rows, t_cols, t_vals = (batch['tg_rows'], batch['tg_cols'],
+                                batch['tg_vals'])
+    else:
+      t_rows, t_cols, t_vals = rows, cols, vals
+    h = model.encode_coo(params, rows, cols, vals, B,
+                         input_users=batch['in_users'])
+    row_mask = (jnp.arange(B) < batch['in_valid_users']) \
+        .astype(jnp.float32)[:, None]
+
+    def chunk_out_tgt(i):
+      start = jnp.minimum(i * C, W - C)
+      out = model.decode_slice(params, h, start, C).astype(jnp.float32)
+      c = t_cols - start
+      ok = (c >= 0) & (c < C) & (t_rows < B)
+      tgt = jnp.zeros((B + 1, C), jnp.float32)
+      tgt = tgt.at[jnp.where(ok, t_rows, B),
+                   jnp.where(ok, c, 0)].add(
+          jnp.where(ok, t_vals.astype(jnp.float32), 0.0))[:B]
+      # valid = inside the logical catalog and not re-covered by the
+      # clamped last chunk's overlap
+      col_ids = start + jnp.arange(C)[None, :]
+      valid = (col_ids < model.num_items) & (col_ids >= i * C)
+      return out, tgt, valid
+
+    if self.loss == 'logloss':
+      def lse_body(i, carry):
+        m, s = carry
+        out, _, valid = chunk_out_tgt(i)
+        logits = jnp.where(valid, out, _NEG_INF)
+        new_m = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
+        s = (s * jnp.exp(m - new_m)
+             + jnp.sum(jnp.exp(logits - new_m), axis=1, keepdims=True))
+        return new_m, s
+
+      m, s = jax.lax.fori_loop(
+          0, n_chunks, lse_body,
+          (jnp.full((B, 1), _NEG_INF, jnp.float32),
+           jnp.zeros((B, 1), jnp.float32)))
+      log_denom = m + jnp.log(s)
+
+      def nll_body(i, acc):
+        out, tgt, valid = chunk_out_tgt(i)
+        logits = jnp.where(valid, out, _NEG_INF)
+        loss = -tgt * (logits - log_denom)
+        return acc + jnp.sum(loss * row_mask * valid)
+
+      total = jax.lax.fori_loop(0, n_chunks, nll_body, jnp.float32(0))
+    else:
+      confidence = getattr(self.loss_module, 'confidence', 0.0)
+
+      def body(i, acc):
+        out, tgt, valid = chunk_out_tgt(i)
+        if self.loss == 'mse':
+          w = 1.0 + confidence * (tgt > 0).astype(jnp.float32)
+          loss = w * jnp.square(out - tgt)
+        else:  # 'logistic'
+          loss = (jnp.maximum(out, 0.0) - out * tgt
+                  + jnp.log1p(jnp.exp(-jnp.abs(out))))
+        return acc + jnp.sum(loss * row_mask * valid)
+
+      total = jax.lax.fori_loop(0, n_chunks, body, jnp.float32(0))
+    return total / batch['in_valid_users']
 
   def _resolve_eval_chunk(self):
     """Effective item-chunk width for inference (None = monolithic)."""
@@ -838,7 +940,8 @@ class Recoder:
             eval_freq=0, eval_num_recommendations=None,
             eval_num_users=None, metrics=None, eval_batch_size=None,
             profile_dir=None, profile_steps=(10, 30), shuffle='users',
-            num_random_negatives=0, fused_steps_per_call='auto'):
+            num_random_negatives=0, fused_steps_per_call='auto',
+            progress=False):
     """Train the model (argument semantics mirror the reference
     model.py:256-347; see that docstring for parameter meanings).
 
@@ -858,7 +961,11 @@ class Recoder:
     blocks mode (measured +2% and lower variance) and 1 in users mode
     (the scan measurably HURTS the gather-heavy users-mode step:
     242 vs 306 batches/s at ML-20M shape -- see docs/benchmarks.md).
-    Profiling runs always dispatch per step."""
+    Profiling runs always dispatch per step.
+    ``progress=True`` paints a per-step tqdm bar with a running-loss
+    postfix (reference model.py:381,412-415). The bar is fed by a
+    lagging background thread fetching already-complete losses, so it
+    never syncs the device pipeline (recoder_tpu.progress)."""
     backend = jax.default_backend()
     log.info('%s Mode', backend.upper())
     for param, value in self.model.model_params().items():
@@ -970,6 +1077,13 @@ class Recoder:
       epoch_losses = []
       epoch_overflows = []
       t0 = time.time()
+      reporter = None
+
+      def _start_progress(total):
+        if not progress:
+          return None
+        from recoder_tpu.progress import ProgressReporter
+        return ProgressReporter(total, f'Epoch {epoch}/{num_epochs}')
 
       if fused_source is not None and self._overflow_rebuild is not None:
         fused_source = self._rebuild_fused_source(
@@ -1002,6 +1116,7 @@ class Recoder:
         carry = fused_source._put(jnp.asarray(
             [self._iters_consumed, self._global_step, 0, 0, 0, 0],
             jnp.int32))
+        reporter = _start_progress(iters_to_process)
         remaining = iters_to_process
         while remaining > 0:
           block = spc if remaining >= spc else 1
@@ -1025,6 +1140,8 @@ class Recoder:
           if serialize:
             jax.block_until_ready(loss)
           epoch_losses.append(loss)  # scalar (block 1) or [block] vector
+          if reporter is not None:
+            reporter.put(block, loss)
         if iters_to_process:
           epoch_overflows.append(carry[2:])
       else:
@@ -1035,6 +1152,7 @@ class Recoder:
 
         iters_to_process = min(iters_per_epoch,
                                num_batches - self._iters_consumed)
+        reporter = _start_progress(iters_to_process)
 
         for _ in range(iters_to_process):
           self._maybe_profile(profile_dir, profile_steps)
@@ -1047,6 +1165,11 @@ class Recoder:
           if self._cpu_mesh_serialize():
             jax.block_until_ready(loss)
           epoch_losses.append(loss)
+          if reporter is not None:
+            reporter.put(1, loss)
+
+      if reporter is not None:
+        reporter.close()
 
       # mean loss reduced on device; the host fetch happens on a logger
       # thread so the next epoch's dispatch isn't blocked by the

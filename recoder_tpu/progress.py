@@ -1,0 +1,94 @@
+"""Opt-in per-step training progress (reference parity: the tqdm bar
+with a running-loss postfix, reference model.py:381,412-415).
+
+The constraint on TPU is never blocking the dispatch loop: fetching a
+loss to host synchronizes the device stream (and on a tunneled chip
+costs a ~5 ms round trip), so the bar is painted by a LAGGING
+background thread. The train loop enqueues device loss handles (no
+sync); the thread drains the queue to the newest handle and fetches
+only that one -- by the time it is fetched, steps dispatched after it
+have filled the pipeline, so the fetch overlaps compute instead of
+draining it. Measured zero throughput cost (docs/benchmarks.md).
+"""
+
+import queue
+import sys
+import threading
+
+import numpy as np
+
+
+class _PlainBar:
+  """Minimal fallback when tqdm is unavailable: one stderr line
+  rewritten in place."""
+
+  def __init__(self, total, desc):
+    self.total, self.desc, self.n = total, desc, 0
+
+  def update(self, n):
+    self.n += n
+
+  def set_postfix_str(self, s):
+    sys.stderr.write(f'\r{self.desc}: {self.n}/{self.total} {s}')
+    sys.stderr.flush()
+
+  def close(self):
+    sys.stderr.write('\r\x1b[K')
+    sys.stderr.flush()
+
+
+class ProgressReporter:
+  """Per-epoch progress bar fed with device loss handles.
+
+  Usage::
+
+      rep = ProgressReporter(total_steps, 'Epoch 3/30')
+      rep.put(1, loss_device_array)   # per step/block; never blocks
+      rep.close()                     # paints the final state, joins
+  """
+
+  def __init__(self, total, desc):
+    self._q = queue.SimpleQueue()
+    try:
+      from tqdm import tqdm
+      self._bar = tqdm(total=total, desc=desc, leave=False,
+                       dynamic_ncols=True, file=sys.stderr)
+    except ImportError:  # pragma: no cover - tqdm is baked in here
+      self._bar = _PlainBar(total, desc)
+    self._thread = threading.Thread(target=self._run,
+                                    name='progress-reporter',
+                                    daemon=True)
+    self._thread.start()
+
+  def put(self, num_steps, loss_handle):
+    """Record ``num_steps`` dispatched steps whose (mean) loss is in
+    the device array ``loss_handle``. Returns immediately."""
+    self._q.put((num_steps, loss_handle))
+
+  def close(self):
+    self._q.put(None)
+    self._thread.join(timeout=30)
+    self._bar.close()
+
+  def _run(self):
+    done = False
+    while not done:
+      item = self._q.get()
+      if item is None:
+        return
+      n, handle = item
+      # drain to the newest handle: a slow fetch must lag further
+      # behind, not backlog the queue
+      while True:
+        try:
+          nxt = self._q.get_nowait()
+        except queue.Empty:
+          break
+        if nxt is None:
+          done = True
+          break
+        n += nxt[0]
+        handle = nxt[1]
+      loss = float(np.mean(np.asarray(handle)))
+      self._bar.update(n)
+      self._bar.set_postfix_str(f'loss={loss:.5f}')

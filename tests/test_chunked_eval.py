@@ -183,3 +183,68 @@ def test_bf16_eval_dtype():
     expected = [i for i in range(NUM_ITEMS) if i not in seen][:k]
     assert list(rec) == expected
     assert list(rec_c) == expected
+
+
+@pytest.mark.parametrize('loss', ['mse', 'logistic', 'logloss'])
+@pytest.mark.parametrize('chunk', [256, 192])
+def test_chunked_val_loss_matches_dense(loss, chunk):
+  """Full-catalog validation loss through the chunked
+  (encode_coo/decode_slice) path == the dense [B, W] path, for the
+  elementwise losses and the two-pass multinomial NLL, including when
+  the chunk does not divide the padded catalog."""
+  from recoder_tpu.data.loader import RecommendationDataLoader
+
+  matrix = _random_matrix(seed=21)
+  ds = RecommendationDataset(matrix)
+  model = DynamicAutoencoder(hidden_layers=[16], activation_type='tanh')
+  tr = Recoder(model, optimizer_type='adam', loss=loss)
+  tr.train(ds, batch_size=20, num_epochs=1, lr=0.01)
+
+  dl = RecommendationDataLoader(ds, batch_size=20,
+                                negative_sampling=False)
+  dense = tr._validate(dl)
+
+  tr.eval_item_chunk = chunk
+  tr._loss_fns.pop('val', None)   # re-resolve the chunk
+  chunked = tr._validate(dl)
+  np.testing.assert_allclose(chunked, dense, rtol=2e-5)
+
+
+def test_chunked_val_loss_target_dataset():
+  """Chunked val loss with a dual-CSR target dataset (input and target
+  interactions differ) matches the dense path."""
+  from recoder_tpu.data.loader import RecommendationDataLoader
+
+  in_m = _random_matrix(seed=31)
+  tg_m = _random_matrix(seed=32)
+  train_ds = RecommendationDataset(in_m)
+  val_ds = RecommendationDataset(tg_m, in_m)
+  tr = Recoder(DynamicAutoencoder(hidden_layers=[16]),
+               optimizer_type='adam', loss='mse')
+  tr.train(train_ds, batch_size=20, num_epochs=1, lr=0.01)
+
+  dl = RecommendationDataLoader(val_ds, batch_size=20,
+                                negative_sampling=False)
+  dense = tr._validate(dl)
+  tr.eval_item_chunk = 128
+  tr._loss_fns.pop('val', None)
+  chunked = tr._validate(dl)
+  np.testing.assert_allclose(chunked, dense, rtol=2e-5)
+
+
+def test_chunked_val_loss_custom_loss_falls_back():
+  """A custom Loss module has unknowable chunk semantics: the val path
+  must stay dense (and still work) when one is supplied."""
+  from recoder_tpu.data.loader import RecommendationDataLoader
+  from recoder_tpu.ops import losses as losses_lib
+
+  matrix = _random_matrix(seed=41)
+  ds = RecommendationDataset(matrix)
+  tr = Recoder(DynamicAutoencoder(hidden_layers=[8]),
+               optimizer_type='adam',
+               loss=losses_lib.MSELoss(reduction='sum'),
+               eval_item_chunk=128)
+  tr.train(ds, batch_size=20, num_epochs=1, lr=0.01)
+  dl = RecommendationDataLoader(ds, batch_size=20,
+                                negative_sampling=False)
+  assert np.isfinite(tr._validate(dl))

@@ -180,3 +180,33 @@ def test_blocks_shuffle_reaches_reference_quality():
                     atol=0.01, rtol=0)
   assert np.isclose(means[ndcg_100], REFERENCE_PINNED['ndcg_100'],
                     atol=0.01, rtol=0)
+
+
+def test_progress_mode():
+  """progress=True paints a per-step bar without changing training
+  results (the reporter thread only reads lagging loss handles)."""
+  import pandas as pd
+  import scipy.sparse as sp
+
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  rng = np.random.default_rng(0)
+  m = sp.csr_matrix((np.ones(400, np.float32),
+                     (rng.integers(0, 40, 400),
+                      rng.integers(0, 60, 400))), shape=(40, 60))
+  m.sum_duplicates()
+  ds = RecommendationDataset(m.tocsr())
+
+  def run(progress):
+    tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8],
+                                          noise_prob=0.0),
+                 optimizer_type='adam', loss='mse', seed=7)
+    tr.train(train_dataset=ds, batch_size=10, num_epochs=2,
+             negative_sampling=True, progress=progress)
+    return tr.model.params
+
+  a, b = run(False), run(True)
+  for k in a:
+    np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
