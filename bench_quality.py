@@ -1,21 +1,38 @@
-"""North-star benchmark: wall-clock to reference quality on ML-20M-class
-data (BASELINE.json: "reference Recall@20/NDCG@100 in under 60 s on one
-TPU v5e", vs the reference's <60 s K80 claim, README.md:26-27).
+"""North-star benchmark: wall-clock to reference quality.
 
-Protocol: the synthetic ML-20M-class dataset from bench.py, split
-strong-generalization style (vae_cf, reference
-scripts/ml-20m/preprocess.py:50-106): 10k users held out, their
-interactions folded 80% in (model input) / 20% out (ground truth).
-Train the headline config (DynamicAutoencoder[200], MSE confidence=3,
-negative sampling, batch 500) and evaluate Recall@20 / NDCG@100 after
-every epoch; report the wall-clock at which BOTH metrics reach the
-quality the ACTUAL torch reference converges to on this exact dataset.
+Two anchors, selected with ``--fixture``:
 
-The quality bar (REFERENCE_QUALITY below) was measured by running the
-reference implementation itself via tools/derive_quality_target.py
-(torch CPU, same split, same config, 10 epochs == its "fully trained"
-<60 s K80 budget). Eval time is excluded from the clock: the reference
-claim times training only, and evaluation here runs after a timestamp.
+* ``real`` (default): the ML-20M-derived fixture (tests/data -- a
+  deterministic 80/20 per-user split of the reference's own val.csv;
+  its train.csv blob is stripped from the snapshot, see
+  tools/make_test_data.py). Config = the reference's integration-gate
+  protocol (reference tests/test_model.py:40-62: DynAE[200] tanh,
+  noise 0.5, loss='logloss', adam, bs 500, lr 1e-3, wd 2e-5, negative
+  sampling). Quality bar = 0.99x the CONVERGED metrics the actual
+  torch reference reaches after its 30-epoch protocol on this exact
+  fixture (pinned from 4 derivation runs, tests/test_model.py:8-22:
+  Recall@20 0.1417, Recall@50 0.2393, NDCG@100 0.1684;
+  tests/test_reference_parity.py re-derives them live). This is the
+  defensible bar: real data, converged quality, all three gate
+  metrics.
+
+* ``synthetic``: the ML-20M-shaped synthetic set from bench.py
+  (Zipf popularity, no per-user structure), strong-generalization
+  split, MSE config; bar = the torch reference's PEAK over its
+  10-epoch budget on the same data (it peaks at epoch 1 and declines
+  -- kept for continuity with earlier rounds; the absolute bar is
+  weak, which is why ``real`` is the default).
+
+Timing protocol (both anchors): compilation is excluded (one warmup
+epoch + eval, then parameters/optimizer reset in place -- same shapes,
+so the timed run reuses every compiled program; the reference's torch
+pays no compile and the K80 claim times training only). Evaluation
+runs between timestamps and is excluded. Each epoch is trained exactly
+once: ``current_epoch`` is advanced manually between single-epoch
+train() calls because ``train(num_epochs=N)`` re-runs the last
+completed epoch on resume (deliberate reference parity, reference
+model.py:360) -- the per-epoch loop would otherwise train every epoch
+twice.
 
 Prints ONE JSON line:
   {"metric": "ml20m_seconds_to_reference_quality", "value": S,
@@ -32,24 +49,19 @@ from bench import BATCH_SIZE, synthesize_ml20m
 
 HELDOUT_USERS = 10_000
 TRAIN_SEED = 0
-NUM_EPOCHS = 10
-MAX_EPOCHS = 14  # headroom past the reference's 10-epoch budget
 
-# Measured from the torch reference by tools/derive_quality_target.py:
-# its PEAK quality across the full 10-epoch (<60 s K80) budget, from
-# the per-epoch curve (derived 2026-08-16, seed 0):
-#   epoch  1: Recall@20 0.04718  NDCG@100 0.06588   <- peak
-#   epoch  2: 0.03932 / 0.05753 ... epoch 10: 0.03668 / 0.05410
-# (the reference peaks after one epoch on this data and then declines;
-# this implementation's epoch-1 values, 0.0474/0.0659, match the
-# reference's epoch-1 almost exactly -- trajectory-level parity).
-# Absolute values are low because the synthetic data has Zipf
-# popularity but no per-user structure; the target is differential
-# (same data, same config, reference implementation, its best epoch).
-REFERENCE_QUALITY = {'recall_20': 0.04718, 'ndcg_100': 0.06588}
-# relative bar: the reference's own atol=0.01 gate would be ~27% slack
-# at these absolute values; 97% of reference is a tighter, fairer bar
-QUALITY_FRACTION = 0.97
+# Synthetic anchor: measured from the torch reference by
+# tools/derive_quality_target.py (its PEAK across the 10-epoch <60 s
+# K80 budget; the curve peaks at epoch 1 on this data -- derived
+# 2026-08-16, seed 0).
+SYNTHETIC_QUALITY = {'recall_20': 0.04718, 'ndcg_100': 0.06588}
+SYNTHETIC_FRACTION = 0.97
+
+# Real-fixture anchor: the reference's CONVERGED 30-epoch metrics on
+# tests/data (pinned derivation, tests/test_model.py:8-22,54).
+REAL_QUALITY = {'recall_20': 0.1417, 'recall_50': 0.2393,
+                'ndcg_100': 0.1684}
+REAL_FRACTION = 0.99
 
 
 def log(*a):
@@ -94,9 +106,72 @@ def split_heldout(matrix, seed=1234, heldout=HELDOUT_USERS,
   return train_m, build(rows_in, cols_in), build(rows_out, cols_out)
 
 
+def load_real_fixture():
+  """tests/data fixture with the gate's evaluation orientation
+  (tests/test_model.py::_load_datasets)."""
+  import os
+
+  import pandas as pd
+
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.utils import dataframe_to_csr_matrix
+
+  data_dir = 'tests/data'
+  train_df = pd.read_csv(os.path.join(data_dir, 'train.csv.gz'))
+  val_df = pd.read_csv(os.path.join(data_dir, 'val.csv.gz'))
+  val_df = val_df[val_df.sid.isin(train_df.sid.unique())]
+  train_m, imap, umap = dataframe_to_csr_matrix(
+      train_df, user_col='uid', item_col='sid', inter_col='watched')
+  val_m, _, _ = dataframe_to_csr_matrix(
+      val_df, user_col='uid', item_col='sid', inter_col='watched',
+      item_id_map=imap, user_id_map=umap)
+  return (RecommendationDataset(train_m),
+          RecommendationDataset(val_m, train_m))
+
+
+def time_to_quality(trainer, val_ds, metrics, targets, common,
+                    max_epochs, eval_batch=BATCH_SIZE):
+  """Train epoch-by-epoch (each epoch exactly once), evaluating
+  between timestamps; returns (seconds_to_hit_or_None, history)."""
+  train_clock = 0.0
+  hit_at = None
+  history = []
+  for epoch in range(1, max_epochs + 1):
+    if epoch > 1:
+      # advance past the resume-re-runs-last-epoch parity quirk so
+      # this call trains exactly epoch `epoch` (see module docstring)
+      trainer.current_epoch = epoch
+    t0 = time.time()
+    trainer.train(num_epochs=epoch, **common)
+    train_clock += time.time() - t0
+    res = trainer._evaluate(val_ds, num_recommendations=100,
+                            metrics=metrics, batch_size=eval_batch)
+    vals = {name: float(np.mean(res[m]))
+            for name, m in metrics_by_name(metrics).items()}
+    history.append({'epoch': epoch, 'train_s': round(train_clock, 2),
+                    **{k: round(v, 4) for k, v in vals.items()}})
+    log(f'epoch {epoch}: train_clock={train_clock:.2f}s '
+        + ' '.join(f'{k}={v:.4f}' for k, v in vals.items()))
+    if all(vals[k] >= t for k, t in targets.items()):
+      hit_at = train_clock
+      break
+  return hit_at, history
+
+
+def metrics_by_name(metrics):
+  names = {}
+  for m in metrics:
+    key = type(m).__name__.lower() + '_' + str(m.k)
+    names[key] = m
+  return names
+
+
 def main():
   import argparse
   ap = argparse.ArgumentParser()
+  ap.add_argument('--fixture', choices=['real', 'synthetic'],
+                  default='real',
+                  help='quality anchor (see module docstring)')
   ap.add_argument('--shuffle', choices=['users', 'blocks'],
                   default='blocks',
                   help="sampling mode (blocks: faster step, fixed "
@@ -104,38 +179,47 @@ def main():
                        "reference semantics)")
   args = ap.parse_args()
 
-  if REFERENCE_QUALITY['recall_20'] is None:
-    log('REFERENCE_QUALITY not derived yet -- run '
-        'tools/derive_quality_target.py and paste its numbers.')
-    sys.exit(2)
-
   import jax
   jax.config.update('jax_default_prng_impl', 'rbg')
-  from recoder_tpu.data import RecommendationDataset
   from recoder_tpu.metrics import NDCG, Recall
   from recoder_tpu.model import Recoder
   from recoder_tpu.models import DynamicAutoencoder
 
-  train_m, val_tr_m, val_te_m = split_heldout(
-      synthesize_ml20m(seed=TRAIN_SEED))
-  train_ds = RecommendationDataset(train_m)
-  val_ds = RecommendationDataset(val_tr_m, val_te_m)
+  if args.fixture == 'real':
+    train_ds, val_ds = load_real_fixture()
+    model = DynamicAutoencoder(hidden_layers=[200],
+                               activation_type='tanh', noise_prob=0.5)
+    trainer = Recoder(model=model, optimizer_type='adam',
+                      loss='logloss')
+    metrics = [Recall(k=20, normalize=True), Recall(k=50, normalize=True),
+               NDCG(k=100)]
+    quality, fraction = REAL_QUALITY, REAL_FRACTION
+    max_epochs = 40   # headroom past the reference's 30-epoch protocol
+  else:
+    from recoder_tpu.data import RecommendationDataset
+    train_m, val_tr_m, val_te_m = split_heldout(
+        synthesize_ml20m(seed=TRAIN_SEED))
+    train_ds = RecommendationDataset(train_m)
+    val_ds = RecommendationDataset(val_tr_m, val_te_m)
+    model = DynamicAutoencoder(hidden_layers=[200],
+                               activation_type='tanh', noise_prob=0.5)
+    trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
+                      loss_params={'confidence': 3})
+    metrics = [Recall(k=20, normalize=True), NDCG(k=100)]
+    quality, fraction = SYNTHETIC_QUALITY, SYNTHETIC_FRACTION
+    max_epochs = 14
 
-  model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
-                             noise_prob=0.5)
-  trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
-                    loss_params={'confidence': 3})
-  recall_20 = Recall(k=20, normalize=True)
-  ndcg_100 = NDCG(k=100)
+  targets = {}
+  for name in metrics_by_name(metrics):
+    if name in quality:
+      targets[name] = quality[name] * fraction
+  log(f'targets ({fraction:.0%} of reference, fixture={args.fixture}, '
+      f'shuffle={args.shuffle}): '
+      + ' '.join(f'{k} >= {v:.4f}' for k, v in targets.items()))
 
   common = dict(train_dataset=train_ds, batch_size=BATCH_SIZE, lr=1e-3,
                 weight_decay=2e-5, negative_sampling=True,
                 shuffle=args.shuffle)
-
-  target_r = REFERENCE_QUALITY['recall_20'] * QUALITY_FRACTION
-  target_n = REFERENCE_QUALITY['ndcg_100'] * QUALITY_FRACTION
-  log(f'targets ({QUALITY_FRACTION:.0%} of reference): recall@20 >= '
-      f'{target_r:.4f}, ndcg@100 >= {target_n:.4f}')
 
   # compile outside the clock (the reference's torch pays no compile;
   # the K80 claim times training): warm up one epoch + one eval, then
@@ -143,35 +227,18 @@ def main():
   # reuses every compiled program. Cold-start cost is logged.
   t0 = time.time()
   trainer.train(num_epochs=1, **common)
-  trainer._evaluate(val_ds, num_recommendations=100,
-                    metrics=[recall_20, ndcg_100], batch_size=BATCH_SIZE)
+  trainer._evaluate(val_ds, num_recommendations=100, metrics=metrics,
+                    batch_size=BATCH_SIZE)
   log(f'warmup (compilation) took {time.time() - t0:.1f}s; resetting '
       f'state and starting the clock')
   trainer.reset_training_state()
 
-  train_clock = 0.0
-  hit_at = None
-  history = []
-  for epoch in range(1, MAX_EPOCHS + 1):
-    t0 = time.time()
-    trainer.train(num_epochs=epoch, **common)
-    train_clock += time.time() - t0
-    res = trainer._evaluate(val_ds, num_recommendations=100,
-                            metrics=[recall_20, ndcg_100],
-                            batch_size=BATCH_SIZE)
-    r = float(np.mean(res[recall_20]))
-    n = float(np.mean(res[ndcg_100]))
-    history.append({'epoch': epoch, 'train_s': round(train_clock, 2),
-                    'recall_20': round(r, 4), 'ndcg_100': round(n, 4)})
-    log(f'epoch {epoch}: train_clock={train_clock:.1f}s '
-        f'recall@20={r:.4f} ndcg@100={n:.4f}')
-    if r >= target_r and n >= target_n:
-      hit_at = train_clock
-      break
+  hit_at, history = time_to_quality(trainer, val_ds, metrics, targets,
+                                    common, max_epochs)
 
   log('history: ' + json.dumps(history))
   if hit_at is None:
-    log(f'did NOT reach reference quality within {MAX_EPOCHS} epochs')
+    log(f'did NOT reach reference quality within {max_epochs} epochs')
     sys.exit(1)
 
   print(json.dumps({

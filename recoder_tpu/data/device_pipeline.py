@@ -130,18 +130,20 @@ class DeviceDataSource:
             self.mega, self.num_users_total)
       else:
         # estimate from random shuffled windows (what training actually
-        # draws); a 25% margin over the sampled max makes overflow --
-        # which truncates that mega-batch's tail -- rare. Budget size is
-        # the dominant per-step cost of the on-device collator, so a
-        # tight estimate matters.
+        # draws); a 12% margin over a 128-sample max makes overflow --
+        # which truncates that mega-batch's tail and triggers a
+        # budget-grow rebuild -- rare. Budget size scales every
+        # [n_blocks, M] pass of the epoch-table build and the
+        # per-step densify, so a tight estimate matters (the earlier
+        # 32-sample/25% margin left ~12% pure padding at ML-20M shape).
         rng = np.random.default_rng(4321)
         n = self.num_users_total
         window = min(self.mega, n)
         max_win = 1
-        for _ in range(32):
+        for _ in range(128):
           idx = rng.choice(n, size=window, replace=False)
           max_win = max(max_win, int(counts[idx].sum()))
-        mega_nnz_budget = int(max_win * 1.25) + 256
+        mega_nnz_budget = int(max_win * 1.12) + 256
         mega_nnz_budget = (mega_nnz_budget + 1023) // 1024 * 1024
     self.mega_nnz_budget = mega_nnz_budget
 
@@ -171,6 +173,11 @@ class DeviceDataSource:
     put = self._put
     self.d_counts = put(jnp.asarray(counts_pad))
     self.d_starts = put(jnp.asarray(starts_pad))
+    # counts and starts interleaved: the epoch-table build reads both
+    # per shuffled user, and one row-gather of [n, 2] costs about half
+    # of two element-gathers on the TPU scalar core
+    self.d_cs = put(jnp.asarray(
+        np.stack([counts_pad, starts_pad], axis=1)))
     self.d_cols = put(jnp.asarray(cols))
     self.d_vals = None if binary else put(jnp.asarray(vals))
     self.n_pad = n_pad
@@ -202,6 +209,32 @@ class DeviceDataSource:
             'target_matrix needs the precomputed block tables '
             '(input side exceeded the byte budget)')
       self._init_target_side(target_matrix, n_pad)
+
+    # 'users' mode: the union/owner tables are not epoch-invariant,
+    # but the epoch PERMUTATION is known at epoch start -- so the same
+    # tables the blocks mode precomputes once are built per epoch ON
+    # DEVICE in ONE batched jit call (epoch_state): a [n_blocks, M]
+    # sort replaces the per-step lax.sort, and every step then runs
+    # the table-fetch path (blocks-mode cost) while keeping the
+    # reference's fresh-random-co-batch semantics (data.py:121-126).
+    # Measured at ML-20M shape (v5e): 234 per-step sorts cost
+    # ~0.46 ms each spread over the epoch and hold the step at
+    # ~3.2 ms; the batched build costs ~0.15 s once per epoch and
+    # drops the step to the ~1.7 ms blocks rate. A host-side build
+    # (numpy + upload) was measured FAR worse through the tunneled
+    # runtime (113 MB/epoch upload -> 133 b/s vs 306) and rejected.
+    self._seed = seed
+    self._epoch_states = {}
+    self._epoch_build_fn = None
+    bytes_per_epoch = self.n_blocks * (2 * self.mega_nnz_budget
+                                       + self.union_width + 3) * 4
+    if not self.binary:
+      bytes_per_epoch += self.n_blocks * self.mega_nnz_budget * 4
+    # current + prefetched epoch tables are alive at once
+    self.users_precompute = (
+        shuffle == 'users' and not self.num_random_negatives
+        and target_matrix is None
+        and 2 * bytes_per_epoch <= self.PRECOMPUTE_BYTE_BUDGET)
 
   def _init_target_side(self, target_matrix, n_pad):
     target_matrix = target_matrix.tocsr()
@@ -316,6 +349,114 @@ class DeviceDataSource:
     pad = jnp.arange(self.num_users_total, self.n_pad, dtype=perm.dtype)
     return self._put(jnp.concatenate([perm, pad]).astype(jnp.int32))
 
+  # -- per-epoch precomputed tables ('users' mode) ----------------------
+
+  def prefetch_epoch(self, epoch):
+    """Dispatch the on-device build of ``epoch``'s users-mode tables
+    (no-op unless this source precomputes). jit dispatch is async, so
+    this only enqueues device work; the trainer calls it for e+1 at
+    the start of epoch e so the build rides the device queue."""
+    if not self.users_precompute or epoch in self._epoch_states:
+      return
+    self._epoch_states[epoch] = self._users_epoch_state(epoch)
+
+  def epoch_state(self, epoch):
+    """The per-epoch pytree the fused step consumes in 'users'
+    precompute mode: permutation + union/owner/overflow tables, built
+    on device by one batched jit call (~0.15 s/epoch at ML-20M shape
+    vs ~0.46 ms/step of per-step sorts). Returns None when this source
+    does not precompute (caller falls back to
+    :meth:`epoch_permutation`)."""
+    if not self.users_precompute:
+      return None
+    self.prefetch_epoch(epoch)
+    state = self._epoch_states[epoch]
+    for e in [e for e in self._epoch_states if e < epoch]:
+      del self._epoch_states[e]  # free the previous epoch's tables
+    return state
+
+  def _users_epoch_state(self, epoch):
+    # the permutation comes from host numpy: ~1 ms + a 4*n-byte upload
+    # vs ~70 ms for jax.random.permutation on device (a single-row
+    # 100k+-key sort badly underutilizes the TPU sort unit)
+    rng = np.random.default_rng([self._seed + 1, epoch])
+    perm = np.concatenate(
+        [rng.permutation(self.num_users_total).astype(np.int32),
+         np.arange(self.num_users_total, self.n_pad, dtype=np.int32)])
+    perm = self._put(jnp.asarray(perm))
+    if self._epoch_build_fn is None:
+      self._epoch_build_fn = jax.jit(self._build_epoch_tables)
+    state = dict(self._epoch_build_fn(perm))
+    state['perm'] = perm
+    return state
+
+  def _build_epoch_tables(self, perm):
+    """One epoch's users-mode tables, built on device in one batched
+    pass: the per-mega ``np.unique`` union semantics of
+    :meth:`_unique_union`, vectorized over all ``n_blocks`` megas
+    ([nb, M] sort + scatters). When the catalog and the nnz budget
+    both fit 16 bits, the (col, slot) pair packs into one uint32 so
+    the sort moves one operand instead of two."""
+    S, M, W = self.mega, self.mega_nnz_budget, self.union_width
+    nb = self.n_blocks
+    sentinel = self.num_items
+
+    perm2 = perm.reshape(nb, S)
+    cs = self.d_cs[perm2]                            # [nb, S, 2]
+    counts, starts = cs[..., 0], cs[..., 1]
+    cum = jnp.cumsum(counts, axis=1)
+    total = cum[:, -1]                               # [nb]
+    offsets = cum - counts
+    rows_s = jnp.broadcast_to(jnp.arange(nb)[:, None], (nb, S))
+    marks = jnp.zeros((nb, M), jnp.int32) \
+        .at[rows_s, offsets].add(1, mode='drop')
+    u_of_j = jnp.cumsum(marks, axis=1) - 1           # [nb, M]
+    j = jnp.arange(M, dtype=jnp.int32)[None, :]
+    valid = j < total[:, None]
+    adjust = starts - offsets                        # [nb, S]
+    # adjust[u_of_j] as a piecewise-constant fill (scatter the deltas
+    # at each user's segment start, cumsum): a take_along_axis gather
+    # here costs ~11 ns/element on the TPU scalar core (~130 ms at
+    # ML-20M shape); the scatter+cumsum form is ~1 ms
+    prev = jnp.concatenate(
+        [jnp.zeros((nb, 1), jnp.int32), adjust[:, :-1]], axis=1)
+    fill = jnp.zeros((nb, M), jnp.int32) \
+        .at[rows_s, offsets].add(adjust - prev, mode='drop')
+    src = jnp.cumsum(fill, axis=1) + j
+    src = jnp.where(valid, src, 0)
+    cols = jnp.where(valid, self.d_cols[src], sentinel)
+
+    iota = jnp.broadcast_to(j, (nb, M))
+    if sentinel <= 0xFFFF and M <= 0x10000:
+      packed = ((cols.astype(jnp.uint32) << 16)
+                | iota.astype(jnp.uint32))
+      spacked = jax.lax.sort(packed, dimension=1)
+      sc = (spacked >> 16).astype(jnp.int32)
+      order = (spacked & 0xFFFF).astype(jnp.int32)
+    else:
+      sc, order = jax.lax.sort((cols, iota), dimension=1, num_keys=1)
+    first = jnp.concatenate(
+        [jnp.ones((nb, 1), bool), sc[:, 1:] != sc[:, :-1]], axis=1)
+    ranks = (jnp.cumsum(first, axis=1) - 1).astype(jnp.int32)
+    rows_m = jnp.broadcast_to(jnp.arange(nb)[:, None], (nb, M))
+    unions = jnp.full((nb, W), sentinel, jnp.int32) \
+        .at[rows_m, jnp.where(first, ranks, W)].set(sc, mode='drop')
+    cmp = jnp.zeros((nb, M), jnp.int32).at[rows_m, order].set(ranks)
+    widths_true = jnp.sum(jnp.logical_and(first, sc != sentinel),
+                          axis=1).astype(jnp.int32)
+    state = {
+        'u_rel': jnp.where(valid, u_of_j, S),
+        'cmp': cmp,
+        'unions': unions,
+        'widths': jnp.minimum(widths_true, W),
+        'overflow': jnp.stack(
+            [jnp.maximum(total - M, 0),
+             jnp.maximum(widths_true - W, 0)], axis=1).astype(jnp.int32),
+    }
+    if not self.binary:
+      state['vals'] = jnp.where(valid, self.d_vals[src], 0.0)
+    return state
+
   # -- pure batch construction (called inside the jitted step) ----------
 
   def _unique_union(self, cols_m, valid, sentinel, M):
@@ -354,7 +495,16 @@ class DeviceDataSource:
     ``neg_step`` seeds the random-negative draw (defaults to
     ``step_idx``; the trainer passes the GLOBAL step so the extra
     negatives refresh across epochs).
+
+    ``perm`` may be an :meth:`epoch_state` pytree ('users' precompute
+    mode): negative-sampling steps are then served entirely from the
+    per-epoch tables; other configurations fall back to the general
+    path using its permutation.
     """
+    if isinstance(perm, dict):
+      if negative_sampling and self._precomputed is None:
+        return self._build_from_epoch_tables(perm, step_idx)
+      perm = perm['perm']
     B = self.batch_size
     S = self.mega
     M = self.mega_nnz_budget
@@ -506,6 +656,50 @@ class DeviceDataSource:
                          'runs use the host loader)')
       out.update(self._build_target_side(block, ustart, lo_u, hi_u))
     return out
+
+  def _build_from_epoch_tables(self, state, step_idx):
+    """Users-mode step from the per-epoch tables: the same payload as
+    the general path, with the CSR gathers, ``lax.sort`` union build,
+    and owner-map cumsum all replaced by contiguous table row fetches
+    (the blocks-mode fast path, now under a fresh permutation each
+    epoch)."""
+    B, S = self.batch_size, self.mega
+    M, W = self.mega_nnz_budget, self.union_width
+    spm = self.slices_per_mega
+    m = step_idx // spm
+    s = step_idx % spm
+
+    u_of_j = jax.lax.dynamic_slice(state['u_rel'], (m, 0), (1, M))[0]
+    compressed = jax.lax.dynamic_slice(state['cmp'], (m, 0), (1, M))[0]
+    items = jax.lax.dynamic_slice(state['unions'], (m, 0), (1, W))[0]
+    width_valid = state['widths'][m]
+
+    lo_u, hi_u = s * B, s * B + B
+    # padded slots carry owner S, outside every slice range
+    in_slice = jnp.logical_and(u_of_j >= lo_u, u_of_j < hi_u)
+    rows_m = jnp.where(in_slice, u_of_j - lo_u, B)
+    if self.binary:
+      vals_m = in_slice.astype(jnp.float32)
+    else:
+      vals_row = jax.lax.dynamic_slice(state['vals'], (m, 0), (1, M))[0]
+      vals_m = jnp.where(in_slice, vals_row, 0.0)
+
+    slice_users = jax.lax.dynamic_slice(state['perm'],
+                                        (m * S + s * B,), (B,))
+    num_users = jnp.sum(slice_users < self.num_users_total)
+    slice_users = jnp.minimum(slice_users, self.num_users_total)
+
+    first_slice = (s == 0).astype(jnp.int32)
+    overflow = jax.lax.dynamic_slice(state['overflow'], (m, 0),
+                                     (1, 2))[0] * first_slice
+    return {
+        'rows': rows_m, 'cols': compressed, 'vals': vals_m,
+        'items': items, 'users': slice_users,
+        'num_users': jnp.maximum(num_users, 1).astype(jnp.float32),
+        'width_valid': width_valid,
+        'union_width': W,
+        'overflow': overflow,
+    }
 
   def _build_target_side(self, block, ustart, lo_u, hi_u):
     """Target-side slab triplets for the same user block, from the

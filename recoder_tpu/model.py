@@ -1092,23 +1092,36 @@ class Recoder:
       if fused_source is not None:
         if (self._train_iterator is None
             or self._iters_consumed >= num_batches):
-          perm_key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 1),
-                                        epoch)
-          self._train_iterator = ('fused',
-                                  fused_source.epoch_permutation(perm_key))
+          # users-mode precompute: per-epoch tables built on a host
+          # worker (prefetched one epoch ahead below); None falls back
+          # to the on-device union build with a device permutation
+          state = (fused_source.epoch_state(epoch)
+                   if negative_sampling else None)
+          if state is None:
+            perm_key = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed + 1), epoch)
+            state = fused_source.epoch_permutation(perm_key)
+          self._train_iterator = ('fused', state)
           self._iters_consumed = 0
         _, perm = self._train_iterator
+        if negative_sampling and epoch < num_epochs:
+          fused_source.prefetch_epoch(epoch + 1)
 
         iters_to_process = min(iters_per_epoch,
                                num_batches - self._iters_consumed)
         serialize = self._cpu_mesh_serialize()
         # scan-batched dispatch amortizes per-call host/tunnel cost;
         # profiling forces single-step calls so the trace window's
-        # step boundaries stay host-visible. 'auto': scan only in
-        # blocks mode -- in users mode the scan measurably hurts the
-        # gather-heavy step (242 vs 306 batches/s, docs/benchmarks.md)
+        # step boundaries stay host-visible. 'auto': scan whenever the
+        # step runs the table-fetch path (blocks mode, or users mode
+        # with per-epoch tables) -- the general users-mode step
+        # measurably loses optimizations inside a scan body
+        # (242 vs 306 batches/s, docs/benchmarks.md)
         if fused_steps_per_call in (None, 'auto'):
-          fused_steps_per_call = 16 if shuffle == 'blocks' else 1
+          table_step = (shuffle == 'blocks'
+                        or (negative_sampling
+                            and fused_source.users_precompute))
+          fused_steps_per_call = 16 if table_step else 1
         spc = 1 if profile_dir is not None else max(
             1, int(fused_steps_per_call))
         # device-side step carry (counters + overflow); one upload per

@@ -499,3 +499,113 @@ def test_second_train_call_applies_new_weight_decay(matrix):
       lambda a, b: not np.allclose(a, b), with_decay, without)
   assert any(jax.tree_util.tree_flatten(diff)[0]), (
       'second train() ignored the new weight_decay')
+
+
+def test_users_epoch_tables_match_general_path(matrix):
+  """'users' precompute mode: every step served from the per-epoch
+  host-built tables equals the general on-device union build given the
+  same permutation (binary and weighted values)."""
+  n_users, n_items = matrix.shape
+  for binary in (True, False):
+    m = matrix.copy()
+    if binary:
+      m.data[:] = 1.0
+    src = DeviceDataSource(m, batch_size=8, num_sampling_users=16,
+                           num_items=n_items, union_width=128,
+                           shuffle='users')
+    assert src.users_precompute
+    state = src.epoch_state(3)
+    perm = state['perm']
+    for step in range(src.steps_per_epoch):
+      a = src.build_batch(state, jnp.int32(step), negative_sampling=True)
+      b = src.build_batch(perm, jnp.int32(step), negative_sampling=True)
+      wv = int(a['width_valid'])
+      assert wv == int(b['width_valid']), (binary, step)
+      np.testing.assert_array_equal(np.asarray(a['items']),
+                                    np.asarray(b['items']))
+      np.testing.assert_array_equal(np.asarray(a['users']),
+                                    np.asarray(b['users']))
+      assert float(a['num_users']) == float(b['num_users'])
+      np.testing.assert_array_equal(np.asarray(a['overflow']),
+                                    np.asarray(b['overflow']))
+      da = densify_device(a, 8, src.union_width)
+      db_ = densify_device(b, 8, src.union_width)
+      np.testing.assert_allclose(da, db_, rtol=1e-6)
+
+
+def test_users_epoch_tables_overflow_counts(matrix):
+  """A too-small nnz budget truncates the table-path mega exactly like
+  the device path and reports the same overflow counters."""
+  n_users, n_items = matrix.shape
+  m = matrix.copy()
+  m.data[:] = 1.0
+  src = DeviceDataSource(m, batch_size=8, num_sampling_users=16,
+                         num_items=n_items, union_width=128,
+                         mega_nnz_budget=64, shuffle='users')
+  assert src.users_precompute
+  state = src.epoch_state(1)
+  saw_overflow = False
+  for step in range(src.steps_per_epoch):
+    a = src.build_batch(state, jnp.int32(step), negative_sampling=True)
+    b = src.build_batch(state['perm'], jnp.int32(step),
+                        negative_sampling=True)
+    np.testing.assert_array_equal(np.asarray(a['overflow']),
+                                  np.asarray(b['overflow']))
+    saw_overflow |= int(np.asarray(a['overflow'])[0]) > 0
+  assert saw_overflow  # the tiny budget must actually truncate
+
+
+def test_users_epoch_state_caching_and_distinct_epochs(matrix):
+  """epoch_state is cached per epoch (resume re-runs the same epoch)
+  and different epochs draw different permutations."""
+  m = matrix.copy()
+  m.data[:] = 1.0
+  src = DeviceDataSource(m, batch_size=8, num_sampling_users=8,
+                         num_items=m.shape[1], union_width=128,
+                         shuffle='users')
+  s1 = src.epoch_state(1)
+  s1b = src.epoch_state(1)
+  assert s1 is s1b   # same job, not a rebuild
+  s2 = src.epoch_state(2)
+  assert not np.array_equal(np.asarray(s1['perm']),
+                            np.asarray(s2['perm']))
+  # both are full permutations of the user space
+  n = src.num_users_total
+  assert sorted(np.asarray(s2['perm'])[:n].tolist()) == list(range(n))
+
+
+def test_users_precompute_disabled_paths(matrix):
+  """random negatives / blocks mode / target datasets keep the
+  existing paths (no users precompute)."""
+  m = matrix.copy()
+  m.data[:] = 1.0
+  src_r = DeviceDataSource(m, batch_size=8, num_sampling_users=8,
+                           num_items=m.shape[1], union_width=256,
+                           shuffle='users', num_random_negatives=16)
+  assert not src_r.users_precompute
+  assert src_r.epoch_state(1) is None
+  src_b = DeviceDataSource(m, batch_size=8, num_sampling_users=8,
+                           num_items=m.shape[1], union_width=128,
+                           shuffle='blocks')
+  assert not src_b.users_precompute
+
+
+def test_users_precompute_end_to_end_training(matrix):
+  """Trainer integration: users-mode fused training with the per-epoch
+  tables converges (loss decreases) and resumes across train() calls."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  m = matrix.copy()
+  m.data[:] = 1.0
+  ds = RecommendationDataset(m)
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[16],
+                                        noise_prob=0.0),
+               optimizer_type='adam', loss='mse', seed=3)
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=3,
+           negative_sampling=True, shuffle='users')
+  src = tr._fused_source_cache[2]
+  assert src.users_precompute
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=5,
+           negative_sampling=True, shuffle='users')
+  assert tr.current_epoch == 5
