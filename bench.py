@@ -32,33 +32,44 @@ NUM_ITEMS = 20_108
 MEAN_ITEMS_PER_USER = 86
 BATCH_SIZE = 500
 
+# MSD post-vae_cf-filter shape (reference scripts/msd/preprocess.py
+# protocol; Liang et al. 2018 report 571,355 users x 41,140 items)
+MSD_USERS = 571_355
+MSD_ITEMS = 41_140
+MSD_MEAN_ITEMS_PER_USER = 59
+
 
 def log(*a):
   print(*a, file=sys.stderr, flush=True)
 
 
-def synthesize_ml20m(seed=0):
-  """CSR matrix with ML-20M's shape and a Zipf popularity profile."""
+def synthesize(num_users, num_items, mean_items, seed=0):
+  """CSR matrix with the given shape and a Zipf popularity profile."""
   from scipy.sparse import csr_matrix
   rng = np.random.default_rng(seed)
   # per-user interaction counts: lognormal, clipped to [5, 1000]
-  counts = np.clip(rng.lognormal(mean=np.log(MEAN_ITEMS_PER_USER * 0.6),
-                                 sigma=0.9, size=NUM_USERS),
+  counts = np.clip(rng.lognormal(mean=np.log(mean_items * 0.6),
+                                 sigma=0.9, size=num_users),
                    5, 1000).astype(np.int64)
   total = int(counts.sum())
-  log(f'synthesizing {total:,} interactions for {NUM_USERS:,} users '
-      f'x {NUM_ITEMS:,} items')
-  users = np.repeat(np.arange(NUM_USERS, dtype=np.int64), counts)
+  log(f'synthesizing {total:,} interactions for {num_users:,} users '
+      f'x {num_items:,} items')
+  users = np.repeat(np.arange(num_users, dtype=np.int64), counts)
   # Zipf-ish item popularity via the inverse-CDF of a power law
   u = rng.random(total)
-  items = np.floor(NUM_ITEMS * u ** 2.2).astype(np.int64)
-  items = np.minimum(items, NUM_ITEMS - 1)
+  items = np.floor(num_items * u ** 2.2).astype(np.int64)
+  items = np.minimum(items, num_items - 1)
   vals = np.ones(total, dtype=np.float32)
-  m = csr_matrix((vals, (users, items)), shape=(NUM_USERS, NUM_ITEMS))
+  m = csr_matrix((vals, (users, items)), shape=(num_users, num_items))
   m.sum_duplicates()
   m.data[:] = 1.0
   log(f'matrix built: nnz={m.nnz:,}')
   return m
+
+
+def synthesize_ml20m(seed=0):
+  """CSR matrix with ML-20M's shape (see :func:`synthesize`)."""
+  return synthesize(NUM_USERS, NUM_ITEMS, MEAN_ITEMS_PER_USER, seed)
 
 
 def main():
@@ -74,6 +85,11 @@ def main():
                        "faster step, measured quality-neutral)")
   ap.add_argument('--dtype', choices=['float32', 'bfloat16'],
                   default='float32', help='matmul compute dtype')
+  ap.add_argument('--dataset', choices=['ml20m', 'msd'], default='ml20m',
+                  help="workload shape: ml20m (MSE headline config) or "
+                       "msd (BASELINE config 3: multinomial NLL "
+                       "'logloss', sparse tables, 571k users x 41k "
+                       "items -- reference scripts/msd/train.py:42-49)")
   args = ap.parse_args()
 
   import jax
@@ -84,17 +100,28 @@ def main():
   from recoder_tpu.model import Recoder
   from recoder_tpu.models import DynamicAutoencoder
 
-  matrix = synthesize_ml20m()
+  cd = None if args.dtype == 'float32' else args.dtype
+  if args.dataset == 'msd':
+    matrix = synthesize(MSD_USERS, MSD_ITEMS, MSD_MEAN_ITEMS_PER_USER)
+    num_users = MSD_USERS
+    model = DynamicAutoencoder(hidden_layers=[200],
+                               activation_type='tanh', noise_prob=0.5,
+                               sparse=True, compute_dtype=cd)
+    trainer = Recoder(model=model, optimizer_type='adam',
+                      loss='logloss')
+    metric_name = 'msd_user_batches_per_sec'
+  else:
+    matrix = synthesize_ml20m()
+    num_users = NUM_USERS
+    model = DynamicAutoencoder(hidden_layers=[200],
+                               activation_type='tanh', noise_prob=0.5,
+                               compute_dtype=cd)
+    trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
+                      loss_params={'confidence': 3})
+    metric_name = 'ml20m_user_batches_per_sec'
   dataset = RecommendationDataset(matrix)
 
-  model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
-                             noise_prob=0.5,
-                             compute_dtype=(None if args.dtype == 'float32'
-                                            else args.dtype))
-  trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
-                    loss_params={'confidence': 3})
-
-  num_batches = int(np.ceil(NUM_USERS / BATCH_SIZE))
+  num_batches = int(np.ceil(num_users / BATCH_SIZE))
 
   # the fused on-device pipeline serves this workload: host loader
   # workers are never consumed, and their processes contend with the
@@ -120,11 +147,11 @@ def main():
   batches_per_sec = timed_epochs * num_batches / dt
   epoch_time = dt / timed_epochs
   log(f'epoch_time={epoch_time:.2f}s  users/s='
-      f'{timed_epochs * NUM_USERS / dt:,.0f}  '
+      f'{timed_epochs * num_users / dt:,.0f}  '
       f'full-train(10ep) projection={10 * epoch_time:.1f}s')
 
   print(json.dumps({
-      'metric': 'ml20m_user_batches_per_sec',
+      'metric': metric_name,
       'value': round(batches_per_sec, 2),
       'unit': 'batches/s',
       'vs_baseline': round(batches_per_sec / K80_BASELINE_BATCHES_PER_SEC, 3),

@@ -351,31 +351,34 @@ class DeviceDataSource:
 
   # -- per-epoch precomputed tables ('users' mode) ----------------------
 
-  def prefetch_epoch(self, epoch):
+  def prefetch_epoch(self, epoch, full_decode=False):
     """Dispatch the on-device build of ``epoch``'s users-mode tables
     (no-op unless this source precomputes). jit dispatch is async, so
     this only enqueues device work; the trainer calls it for e+1 at
     the start of epoch e so the build rides the device queue."""
-    if not self.users_precompute or epoch in self._epoch_states:
+    if not self.users_precompute or (epoch, full_decode) in \
+        self._epoch_states:
       return
-    self._epoch_states[epoch] = self._users_epoch_state(epoch)
+    self._epoch_states[(epoch, full_decode)] = \
+        self._users_epoch_state(epoch, full_decode)
 
-  def epoch_state(self, epoch):
+  def epoch_state(self, epoch, full_decode=False):
     """The per-epoch pytree the fused step consumes in 'users'
-    precompute mode: permutation + union/owner/overflow tables, built
-    on device by one batched jit call (~0.15 s/epoch at ML-20M shape
-    vs ~0.46 ms/step of per-step sorts). Returns None when this source
-    does not precompute (caller falls back to
-    :meth:`epoch_permutation`)."""
+    precompute mode: permutation + owner/overflow tables (plus the
+    union tables, or the raw mega cols in full-decode mode), built on
+    device by one batched jit call (~0.15 s/epoch at ML-20M shape vs
+    ~0.46 ms/step of per-step sorts; the full-decode build skips the
+    sort entirely). Returns None when this source does not precompute
+    (caller falls back to :meth:`epoch_permutation`)."""
     if not self.users_precompute:
       return None
-    self.prefetch_epoch(epoch)
-    state = self._epoch_states[epoch]
-    for e in [e for e in self._epoch_states if e < epoch]:
-      del self._epoch_states[e]  # free the previous epoch's tables
+    self.prefetch_epoch(epoch, full_decode)
+    state = self._epoch_states[(epoch, full_decode)]
+    for k in [k for k in self._epoch_states if k[0] < epoch]:
+      del self._epoch_states[k]  # free the previous epoch's tables
     return state
 
-  def _users_epoch_state(self, epoch):
+  def _users_epoch_state(self, epoch, full_decode=False):
     # the permutation comes from host numpy: ~1 ms + a 4*n-byte upload
     # vs ~70 ms for jax.random.permutation on device (a single-row
     # 100k+-key sort badly underutilizes the TPU sort unit)
@@ -385,19 +388,18 @@ class DeviceDataSource:
          np.arange(self.num_users_total, self.n_pad, dtype=np.int32)])
     perm = self._put(jnp.asarray(perm))
     if self._epoch_build_fn is None:
-      self._epoch_build_fn = jax.jit(self._build_epoch_tables)
-    state = dict(self._epoch_build_fn(perm))
+      self._epoch_build_fn = {
+          False: jax.jit(self._build_epoch_tables),
+          True: jax.jit(self._build_epoch_tables_fd),
+      }
+    state = dict(self._epoch_build_fn[bool(full_decode)](perm))
     state['perm'] = perm
     return state
 
-  def _build_epoch_tables(self, perm):
-    """One epoch's users-mode tables, built on device in one batched
-    pass: the per-mega ``np.unique`` union semantics of
-    :meth:`_unique_union`, vectorized over all ``n_blocks`` megas
-    ([nb, M] sort + scatters). When the catalog and the nnz budget
-    both fit 16 bits, the (col, slot) pair packs into one uint32 so
-    the sort moves one operand instead of two."""
-    S, M, W = self.mega, self.mega_nnz_budget, self.union_width
+  def _epoch_gather_stage(self, perm):
+    """Shared prefix of the batched epoch-table builds: per-mega
+    owner map and the gathered raw mega cols, [nb, M]."""
+    S, M = self.mega, self.mega_nnz_budget
     nb = self.n_blocks
     sentinel = self.num_items
 
@@ -425,7 +427,38 @@ class DeviceDataSource:
     src = jnp.cumsum(fill, axis=1) + j
     src = jnp.where(valid, src, 0)
     cols = jnp.where(valid, self.d_cols[src], sentinel)
+    return u_of_j, valid, cols, src, total
 
+  def _build_epoch_tables_fd(self, perm):
+    """Full-decode epoch tables: the gather stage only (owner map +
+    raw mega cols + overflow) -- no sort, no union compression (the
+    step decodes the full catalog and masks the loss columns)."""
+    S, M = self.mega, self.mega_nnz_budget
+    u_of_j, valid, cols, src, total = self._epoch_gather_stage(perm)
+    state = {
+        'u_rel': jnp.where(valid, u_of_j, S),
+        'cols_raw': cols,
+        'overflow': jnp.stack(
+            [jnp.maximum(total - M, 0),
+             jnp.zeros_like(total)], axis=1).astype(jnp.int32),
+    }
+    if not self.binary:
+      state['vals'] = jnp.where(valid, self.d_vals[src], 0.0)
+    return state
+
+  def _build_epoch_tables(self, perm):
+    """One epoch's users-mode tables, built on device in one batched
+    pass: the per-mega ``np.unique`` union semantics of
+    :meth:`_unique_union`, vectorized over all ``n_blocks`` megas
+    ([nb, M] sort + scatters). When the catalog and the nnz budget
+    both fit 16 bits, the (col, slot) pair packs into one uint32 so
+    the sort moves one operand instead of two."""
+    S, M, W = self.mega, self.mega_nnz_budget, self.union_width
+    nb = self.n_blocks
+    sentinel = self.num_items
+
+    u_of_j, valid, cols, src, total = self._epoch_gather_stage(perm)
+    j = jnp.arange(M, dtype=jnp.int32)[None, :]
     iota = jnp.broadcast_to(j, (nb, M))
     if sentinel <= 0xFFFF and M <= 0x10000:
       packed = ((cols.astype(jnp.uint32) << 16)
@@ -485,7 +518,7 @@ class DeviceDataSource:
     return items, compressed, width_valid
 
   def build_batch(self, perm, step_idx, negative_sampling=True,
-                  neg_step=None):
+                  neg_step=None, full_decode=False):
     """Build one compute batch's dense inputs on device.
 
     Returns a dict: input_dense [B, W], items [W] (or None), masks and
@@ -500,8 +533,19 @@ class DeviceDataSource:
     mode): negative-sampling steps are then served entirely from the
     per-epoch tables; other configurations fall back to the general
     path using its permutation.
+
+    ``full_decode`` (negative sampling only): emit RAW catalog column
+    ids and no union -- the step decodes against the full item tables
+    and masks the loss to the mega's columns, trading a slightly
+    wider slab for zero union build, zero table-row gathers, and a
+    pure-matmul backward (measured 1.73x on fwd+bwd at ML-20M shape,
+    experiments/coo_forward.py). The trainer auto-selects it when the
+    padded catalog is at most ~2x the union width.
     """
     if isinstance(perm, dict):
+      if 'cols_raw' in perm:
+        assert full_decode and negative_sampling
+        return self._build_fd_from_epoch_tables(perm, step_idx)
       if negative_sampling and self._precomputed is None:
         return self._build_from_epoch_tables(perm, step_idx)
       perm = perm['perm']
@@ -533,8 +577,21 @@ class DeviceDataSource:
     j = jnp.arange(M, dtype=jnp.int32)
     valid = j < total
 
+    fd = bool(full_decode) and negative_sampling
+    fd_rand_ids = None
     pre = self._precomputed if negative_sampling else None
-    if pre is not None:
+    if pre is not None and fd:
+      # full-decode blocks mode: owner map from the tables, RAW cols
+      # straight off the contiguous CSR range -- no union fetch at all
+      u_of_j = jax.lax.dynamic_slice(pre['u_rel'], (block, 0),
+                                     (1, M))[0]
+      compressed = jnp.where(
+          valid, jax.lax.dynamic_slice(self.d_cols, (nnz_start,), (M,)),
+          sentinel)
+      items = None
+      width_valid = jnp.int32(0)
+      W = None
+    elif pre is not None:
       # epoch-invariant block tables (host-precomputed at init): three
       # contiguous row fetches replace the sort/unique/scatter union
       # build and the marks+cumsum owner map of the general path
@@ -569,7 +626,20 @@ class DeviceDataSource:
         src = jnp.where(valid, src, 0)
         cols_m = jnp.where(valid, self.d_cols[src], sentinel)       # [M]
 
-      if negative_sampling:
+      if negative_sampling and fd:
+        # full decode: raw catalog ids, no union compression; random
+        # negatives only need to join the loss MASK (see the trainer)
+        compressed = cols_m
+        items = None
+        width_valid = jnp.int32(0)
+        W = None
+        if self.num_random_negatives:
+          key = jax.random.fold_in(
+              self._d_negkey, step_idx if neg_step is None else neg_step)
+          fd_rand_ids = jax.random.randint(
+              key, (self.num_random_negatives,), 0, self.num_items,
+              jnp.int32)
+      elif negative_sampling:
         R = self.num_random_negatives
         if R:
           # extra uniform-random negative items widen the union beyond
@@ -629,11 +699,11 @@ class DeviceDataSource:
     # the trainer accumulates these per epoch, warns, and rebuilds the
     # source with grown budgets (silent data loss is not acceptable).
     nnz_dropped = jnp.maximum(total - M, 0).astype(jnp.int32)
-    if negative_sampling:
+    if negative_sampling and not fd:
       union_dropped = jnp.maximum(width_valid - self.union_width,
                                   0).astype(jnp.int32)
     else:
-      union_dropped = jnp.int32(0)
+      union_dropped = jnp.int32(0)  # fd has no union to overflow
     # drops are mega-batch-level quantities; report them only on the
     # mega's FIRST slice so the epoch sums aren't inflated by
     # slices_per_mega (the max counters are unaffected either way)
@@ -648,6 +718,13 @@ class DeviceDataSource:
         'union_width': W,
         'overflow': overflow,
     }
+    if fd:
+      out['fd'] = True
+      out['fd_mask_from_slab'] = (self.slices_per_mega == 1
+                                  and self.binary
+                                  and fd_rand_ids is None)
+      if fd_rand_ids is not None:
+        out['fd_rand_ids'] = fd_rand_ids
 
     if self._tg is not None:
       if not negative_sampling:
@@ -699,6 +776,46 @@ class DeviceDataSource:
         'width_valid': width_valid,
         'union_width': W,
         'overflow': overflow,
+    }
+
+  def _build_fd_from_epoch_tables(self, state, step_idx):
+    """Users-mode full-decode step from the gather-only epoch tables:
+    owner map + raw mega cols, no union at all (see build_batch)."""
+    B, S = self.batch_size, self.mega
+    M = self.mega_nnz_budget
+    spm = self.slices_per_mega
+    m = step_idx // spm
+    s = step_idx % spm
+
+    u_of_j = jax.lax.dynamic_slice(state['u_rel'], (m, 0), (1, M))[0]
+    compressed = jax.lax.dynamic_slice(state['cols_raw'], (m, 0),
+                                       (1, M))[0]
+    lo_u, hi_u = s * B, s * B + B
+    in_slice = jnp.logical_and(u_of_j >= lo_u, u_of_j < hi_u)
+    rows_m = jnp.where(in_slice, u_of_j - lo_u, B)
+    if self.binary:
+      vals_m = in_slice.astype(jnp.float32)
+    else:
+      vals_row = jax.lax.dynamic_slice(state['vals'], (m, 0), (1, M))[0]
+      vals_m = jnp.where(in_slice, vals_row, 0.0)
+
+    slice_users = jax.lax.dynamic_slice(state['perm'],
+                                        (m * S + s * B,), (B,))
+    num_users = jnp.sum(slice_users < self.num_users_total)
+    slice_users = jnp.minimum(slice_users, self.num_users_total)
+
+    first_slice = (s == 0).astype(jnp.int32)
+    overflow = jax.lax.dynamic_slice(state['overflow'], (m, 0),
+                                     (1, 2))[0] * first_slice
+    return {
+        'rows': rows_m, 'cols': compressed, 'vals': vals_m,
+        'items': None, 'users': slice_users,
+        'num_users': jnp.maximum(num_users, 1).astype(jnp.float32),
+        'width_valid': jnp.int32(0),
+        'union_width': None,
+        'overflow': overflow,
+        'fd': True,
+        'fd_mask_from_slab': (spm == 1 and self.binary),
     }
 
   def _build_target_side(self, block, ustart, lo_u, hi_u):

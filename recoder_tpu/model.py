@@ -443,8 +443,29 @@ class Recoder:
       out = model.apply_gathered(params, gathered, input_dense, **kwargs)
 
     row_mask = (jnp.arange(B) < batch['in_valid_users']).astype(jnp.float32)
-    col_valid = tg_valid_width if tg_items is not None else model.num_items
-    col_mask = (jnp.arange(tg_width) < col_valid).astype(jnp.float32)
+    if batch.get('fd', False):
+      # full-decode negative sampling: the loss columns are the
+      # mega-batch's item union (exactly the union path's columns),
+      # expressed as a dense mask over the padded catalog instead of a
+      # compressed axis. Binary single-slice megas read it off the
+      # already-built slab; otherwise one scatter of the raw mega cols
+      # builds it (sentinel-padded slots land on column num_items,
+      # which the logical-catalog clamp below masks back out).
+      if batch.get('fd_mask_from_slab', False):
+        present = jnp.any(input_dense != 0, axis=0)
+      else:
+        present = jnp.zeros((tg_width,), bool) \
+            .at[batch['in_cols']].set(True, mode='drop')
+        if 'fd_rand_ids' in batch:
+          present = present.at[batch['fd_rand_ids']].set(True,
+                                                         mode='drop')
+      col_mask = jnp.logical_and(
+          present, jnp.arange(tg_width) < model.num_items) \
+          .astype(jnp.float32)
+    else:
+      col_valid = (tg_valid_width if tg_items is not None
+                   else model.num_items)
+      col_mask = (jnp.arange(tg_width) < col_valid).astype(jnp.float32)
 
     loss = self.loss_module(out, target_dense,
                             row_mask=row_mask, col_mask=col_mask)
@@ -528,7 +549,7 @@ class Recoder:
     return fn
 
   def _get_fused_step_fn(self, source, negative_sampling, sparse,
-                         steps=1):
+                         steps=1, full_decode=False):
     """A step that builds its batch on device from a resident CSR
     (recoder_tpu.data.device_pipeline) -- no per-step host transfer.
 
@@ -541,7 +562,7 @@ class Recoder:
     within noise on many-core hosts, docs/benchmarks.md)."""
     # keyed by the source object too: the compiled fn closes over the
     # source's device arrays, so a new source needs a fresh trace
-    cache_key = ('fused', negative_sampling, sparse, steps)
+    cache_key = ('fused', negative_sampling, sparse, steps, full_decode)
     cached = self._step_fns.get(cache_key)
     if cached is not None and cached[0] is source:
       return cached[1]
@@ -549,13 +570,17 @@ class Recoder:
     def build(perm, step_idx, global_step):
       b = source.build_batch(perm, step_idx,
                              negative_sampling=negative_sampling,
-                             neg_step=global_step)
+                             neg_step=global_step,
+                             full_decode=full_decode)
       d = {
           'in_rows': b['rows'], 'in_cols': b['cols'], 'in_vals': b['vals'],
           'in_users': b['users'], 'in_items': b['items'],
           'in_valid_users': b['num_users'],
           'in_valid_width': b['width_valid'],
       }
+      for k in ('fd', 'fd_mask_from_slab', 'fd_rand_ids'):
+        if k in b:
+          d[k] = b[k]
       if 'tg_rows' in b:  # dual-CSR (target-dataset) source
         d.update({'tg_rows': b['tg_rows'], 'tg_cols': b['tg_cols'],
                   'tg_vals': b['tg_vals'], 'tg_items': b['tg_items'],
@@ -941,7 +966,7 @@ class Recoder:
             eval_num_users=None, metrics=None, eval_batch_size=None,
             profile_dir=None, profile_steps=(10, 30), shuffle='users',
             num_random_negatives=0, fused_steps_per_call='auto',
-            progress=False):
+            progress=False, full_decode='auto'):
     """Train the model (argument semantics mirror the reference
     model.py:256-347; see that docstring for parameter meanings).
 
@@ -965,7 +990,17 @@ class Recoder:
     ``progress=True`` paints a per-step tqdm bar with a running-loss
     postfix (reference model.py:381,412-415). The bar is fed by a
     lagging background thread fetching already-complete losses, so it
-    never syncs the device pipeline (recoder_tpu.progress)."""
+    never syncs the device pipeline (recoder_tpu.progress).
+    ``full_decode`` ('auto' | True | False): with negative sampling on
+    the fused dense path, decode against the FULL item tables and mask
+    the loss to the mega-batch's columns instead of gathering the
+    union's table rows. Identical loss and gradients (same columns,
+    same values); the backward becomes pure MXU matmuls instead of
+    table scatter-adds -- measured 1.73x on fwd+bwd at ML-20M shape
+    (experiments/coo_forward.py). 'auto' selects it when the padded
+    catalog is at most 2x the union width (the slab passes grow with
+    catalog width, so union gathering wins again on MSD-class
+    catalogs where union << catalog)."""
     backend = jax.default_backend()
     log.info('%s Mode', backend.upper())
     for param, value in self.model.model_params().items():
@@ -1059,12 +1094,23 @@ class Recoder:
     if fused_source is not None:
       num_batches = fused_source.steps_per_epoch
 
+    fd = False
+    if fused_source is not None and negative_sampling and not sparse \
+        and train_dataset.target_interactions_matrix is None \
+        and full_decode is not False:
+      if full_decode is True:
+        fd = True
+      else:  # 'auto': slab passes scale with the catalog width, the
+        # union gathers with the union width -- break-even ~2x
+        fd = (self.model.num_items_padded
+              <= 2 * fused_source.union_width)
+
     # a partially-consumed iterator only carries over into a train()
     # call with the same dataset and batching config (resuming the
     # reference's partial-epoch semantics); anything else restarts it
     iter_key = (train_dataset, batch_size, num_sampling_users,
                 negative_sampling, shuffle, num_random_negatives,
-                fused_source is not None)
+                fused_source is not None, fd)
     if getattr(self, '_train_iterator_key', None) != iter_key:
       self._train_iterator = None
       self._iters_consumed = 0
@@ -1092,10 +1138,10 @@ class Recoder:
       if fused_source is not None:
         if (self._train_iterator is None
             or self._iters_consumed >= num_batches):
-          # users-mode precompute: per-epoch tables built on a host
-          # worker (prefetched one epoch ahead below); None falls back
+          # users-mode precompute: per-epoch tables dispatched on
+          # device (prefetched one epoch ahead below); None falls back
           # to the on-device union build with a device permutation
-          state = (fused_source.epoch_state(epoch)
+          state = (fused_source.epoch_state(epoch, full_decode=fd)
                    if negative_sampling else None)
           if state is None:
             perm_key = jax.random.fold_in(
@@ -1105,7 +1151,7 @@ class Recoder:
           self._iters_consumed = 0
         _, perm = self._train_iterator
         if negative_sampling and epoch < num_epochs:
-          fused_source.prefetch_epoch(epoch + 1)
+          fused_source.prefetch_epoch(epoch + 1, full_decode=fd)
 
         iters_to_process = min(iters_per_epoch,
                                num_batches - self._iters_consumed)
@@ -1135,7 +1181,8 @@ class Recoder:
           block = spc if remaining >= spc else 1
           step_fn = self._get_fused_step_fn(fused_source,
                                             negative_sampling, sparse,
-                                            steps=block)
+                                            steps=block,
+                                            full_decode=fd)
           self._maybe_profile(profile_dir, profile_steps)
           self._iters_consumed += block
           self._global_step += block

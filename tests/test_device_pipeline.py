@@ -609,3 +609,69 @@ def test_users_precompute_end_to_end_training(matrix):
   tr.train(train_dataset=ds, batch_size=8, num_epochs=5,
            negative_sampling=True, shuffle='users')
   assert tr.current_epoch == 5
+
+
+@pytest.mark.parametrize('shuffle', ['blocks', 'users'])
+def test_full_decode_matches_union_path(matrix, shuffle):
+  """full_decode=True trains to the same parameters as the union path
+  (identical loss columns and values; only the decode layout differs).
+  noise/dropout off so the rng realization cannot differ."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  m = matrix.copy()
+  ds = RecommendationDataset(m)
+
+  def run(fd):
+    tr = Recoder(model=DynamicAutoencoder(hidden_layers=[16],
+                                          noise_prob=0.0),
+                 optimizer_type='adam', loss='mse', seed=11)
+    tr.train(train_dataset=ds, batch_size=8, num_epochs=2,
+             negative_sampling=True, shuffle=shuffle, full_decode=fd)
+    return tr.model.params
+
+  a, b = run(True), run(False)
+  for k in a:
+    np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                               atol=2e-5,
+                               err_msg=f'{shuffle}: param {k} diverged')
+
+
+def test_full_decode_random_negatives(matrix):
+  """full_decode with num_random_negatives: the random ids join the
+  loss mask (same draw as the union path's union join), so training
+  matches the union path."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(matrix)
+
+  def run(fd):
+    tr = Recoder(model=DynamicAutoencoder(hidden_layers=[16],
+                                          noise_prob=0.0),
+                 optimizer_type='adam', loss='logloss', seed=5)
+    tr.train(train_dataset=ds, batch_size=8, num_epochs=1,
+             negative_sampling=True, shuffle='users',
+             num_random_negatives=16, full_decode=fd)
+    return tr.model.params
+
+  a, b = run(True), run(False)
+  for k in a:
+    np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                               atol=2e-5, err_msg=f'param {k}')
+
+
+def test_full_decode_sparse_model_falls_back(matrix):
+  """Sparse models keep the union path (row-sparse Adam needs the
+  gathered rows) even when full_decode is requested."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(matrix)
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[16], sparse=True,
+                                        noise_prob=0.0),
+               optimizer_type='adam', loss='mse', seed=2)
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=1,
+           negative_sampling=True, full_decode=True)
+  for v in tr.model.params.values():
+    assert np.isfinite(np.asarray(v)).all()
