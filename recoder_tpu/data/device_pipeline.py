@@ -326,6 +326,54 @@ class DeviceDataSource:
     from jax.sharding import NamedSharding, PartitionSpec as P
     return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
+  # -- passing the resident arrays as jit ARGUMENTS ---------------------
+  # A jitted step that merely closes over the CSR + table arrays ships
+  # them inside the serialized program (hundreds of MB at MSD scale --
+  # the axon remote-compile tunnel rejects it outright with HTTP 413,
+  # and every source rebuild forces a retrace). The trainer instead
+  # fetches `device_arrays()` once and passes the pytree as a step
+  # argument; `bound()` temporarily rebinds the attributes to the
+  # traced values while `build_batch` runs under trace.
+
+  _ARRAY_ATTRS = ('d_counts', 'd_starts', 'd_cs', 'd_cols', 'd_vals',
+                  '_d_negkey', '_precomputed', '_tg')
+
+  def device_arrays(self):
+    """The device-resident pytree the fused step needs, for passing
+    as a jit argument (see class comment above). Array leaves only:
+    the static entries of ``_tg`` (budgets, binary flag) must stay
+    Python values, not traced arrays."""
+    out = {}
+    for name in self._ARRAY_ATTRS:
+      v = getattr(self, name, None)
+      if v is None:
+        continue
+      if name == '_tg':
+        v = {k: x for k, x in v.items()
+             if k in ('pre', 'd_counts', 'd_starts', 'd_vals')
+             and x is not None}
+      out[name] = v
+    return out
+
+  def bound(self, arrays):
+    """Context manager: rebind the resident-array attributes to the
+    (possibly traced) values in ``arrays`` for the duration."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+      saved = {name: getattr(self, name, None) for name in arrays}
+      try:
+        for name, v in arrays.items():
+          if name == '_tg':
+            v = {**self._tg, **v}
+          setattr(self, name, v)
+        yield
+      finally:
+        for name, v in saved.items():
+          setattr(self, name, v)
+    return cm()
+
   def epoch_permutation(self, key):
     """Per-epoch shuffle state: shuffled user ids padded with sentinel
     users ('users' mode), or shuffled block indices ('blocks' mode).

@@ -567,11 +567,12 @@ class Recoder:
     if cached is not None and cached[0] is source:
       return cached[1]
 
-    def build(perm, step_idx, global_step):
-      b = source.build_batch(perm, step_idx,
-                             negative_sampling=negative_sampling,
-                             neg_step=global_step,
-                             full_decode=full_decode)
+    def build(perm, step_idx, global_step, src):
+      with source.bound(src):
+        b = source.build_batch(perm, step_idx,
+                               negative_sampling=negative_sampling,
+                               neg_step=global_step,
+                               full_decode=full_decode)
       d = {
           'in_rows': b['rows'], 'in_cols': b['cols'], 'in_vals': b['vals'],
           'in_users': b['users'], 'in_items': b['items'],
@@ -597,9 +598,9 @@ class Recoder:
                               jnp.maximum(carry[4:6], overflow)])
 
     if not sparse:
-      def one_step(params, opt_state, carry, perm, lr):
+      def one_step(params, opt_state, carry, perm, lr, src):
         rng = jax.random.fold_in(self._base_rng, carry[1])
-        batch, overflow = build(perm, carry[0], carry[1])
+        batch, overflow = build(perm, carry[0], carry[1], src)
         new_params, new_opt_state, loss = self._dense_step_math(
             params, opt_state, batch, lr, rng)
         return new_params, new_opt_state, loss, roll(carry, overflow)
@@ -607,10 +608,10 @@ class Recoder:
       if steps == 1:
         fn = jax.jit(one_step, donate_argnums=(0, 1, 2))
       else:
-        def multi_step(params, opt_state, carry, perm, lr):
+        def multi_step(params, opt_state, carry, perm, lr, src):
           def body(c, _):
             p, o, cr = c
-            p, o, loss, cr = one_step(p, o, cr, perm, lr)
+            p, o, loss, cr = one_step(p, o, cr, perm, lr, src)
             return (p, o, cr), loss
           (params, opt_state, carry), losses = jax.lax.scan(
               body, (params, opt_state, carry), None, length=steps)
@@ -618,9 +619,10 @@ class Recoder:
 
         fn = jax.jit(multi_step, donate_argnums=(0, 1, 2))
     else:
-      def one_step(params, opt_state, sparse_states, carry, perm, lr):
+      def one_step(params, opt_state, sparse_states, carry, perm, lr,
+                   src):
         rng = jax.random.fold_in(self._base_rng, carry[1])
-        batch, overflow = build(perm, carry[0], carry[1])
+        batch, overflow = build(perm, carry[0], carry[1], src)
         new_params, new_opt_state, new_sparse, loss = (
             self._sparse_step_math(params, opt_state, sparse_states,
                                    batch, lr, rng))
@@ -630,10 +632,11 @@ class Recoder:
       if steps == 1:
         fn = jax.jit(one_step, donate_argnums=(0, 1, 2, 3))
       else:
-        def multi_step(params, opt_state, sparse_states, carry, perm, lr):
+        def multi_step(params, opt_state, sparse_states, carry, perm,
+                       lr, src):
           def body(c, _):
             p, o, s, cr = c
-            p, o, s, loss, cr = one_step(p, o, s, cr, perm, lr)
+            p, o, s, loss, cr = one_step(p, o, s, cr, perm, lr, src)
             return (p, o, s, cr), loss
           ((params, opt_state, sparse_states, carry), losses) = (
               jax.lax.scan(body,
@@ -1155,6 +1158,7 @@ class Recoder:
 
         iters_to_process = min(iters_per_epoch,
                                num_batches - self._iters_consumed)
+        src_arrays = fused_source.device_arrays()
         serialize = self._cpu_mesh_serialize()
         # scan-batched dispatch amortizes per-call host/tunnel cost;
         # profiling forces single-step calls so the trace window's
@@ -1190,13 +1194,14 @@ class Recoder:
           if not sparse:
             dense_params, _ = self._split_params()
             new_params, self.opt_state, loss, carry = step_fn(
-                dense_params, self.opt_state, carry, perm, lr_arr)
+                dense_params, self.opt_state, carry, perm, lr_arr,
+                src_arrays)
             self.model.params = new_params
           else:
             (self.model.params, self.opt_state, self.sparse_states,
              loss, carry) = step_fn(self.model.params, self.opt_state,
                                     self.sparse_states, carry, perm,
-                                    lr_arr)
+                                    lr_arr, src_arrays)
           if serialize:
             jax.block_until_ready(loss)
           epoch_losses.append(loss)  # scalar (block 1) or [block] vector
