@@ -68,13 +68,15 @@ class DeviceDataSource:
     binary (bool, optional): force value-free (all-ones) mode; detected
       from the data when None.
     mesh (jax.sharding.Mesh, optional): when given, the resident CSR
-      arrays are replicated across the mesh so the batch build runs
-      SPMD (identical compute on every chip, zero communication); the
+      arrays live across the mesh so the batch build runs SPMD; the
       trainer's sharding constraint on the densified slab then splits
       the users axis over 'data' and the model math splits tables over
-      'model'. Replication costs nnz * 8 bytes per chip -- the right
-      trade until the catalog outgrows HBM, at which point the host
-      loader path (which shards users per host) takes over.
+      'model'. By default the arrays are replicated (zero
+      communication -- the right trade while they fit HBM); past
+      ``SHARD_TABLES_BYTE_BUDGET`` the blocks-mode tables and CSR
+      shard over the 'data' axis instead (``table_sharding``), with
+      per-step shard_map owner-slice + psum fetches, so per-chip
+      residency scales 1/data_ways for pod-scale catalogs.
     shuffle (str): 'users' (default) draws every mega-batch as a fresh
       random user subset (the reference's RandomSampler semantics,
       data.py:121-126): M-length gathers assemble the scattered CSR
@@ -90,12 +92,21 @@ class DeviceDataSource:
       group across epochs, so the negative-sampling mix does not
       refresh -- measured convergence comparison in docs/benchmarks.md;
       offered as an opt-in.
+    table_sharding ('auto' | 'data' | None): storage layout of the
+      blocks-mode tables and CSR on a multi-chip mesh -- see the
+      ``mesh`` entry. 'auto' (default) shards past the byte budget;
+      'data' forces sharding; None forces replication.
   """
+
+  #: replicated resident bytes past which 'auto' table sharding
+  #: engages (per chip; tables + CSR replicated on every chip is the
+  #: right trade until they crowd model + slab out of HBM)
+  SHARD_TABLES_BYTE_BUDGET = 2 << 30
 
   def __init__(self, matrix, batch_size, num_sampling_users, num_items,
                union_width, mega_nnz_budget=None, binary=None, mesh=None,
                shuffle='users', num_random_negatives=0, seed=0,
-               target_matrix=None):
+               target_matrix=None, table_sharding='auto'):
     assert shuffle in ('users', 'blocks'), shuffle
     if target_matrix is not None and (shuffle != 'blocks'
                                       or num_random_negatives):
@@ -108,6 +119,20 @@ class DeviceDataSource:
     self.shuffle = shuffle
     self.mesh = mesh
     self.num_random_negatives = int(num_random_negatives)
+    # >HBM catalogs: shard the big resident arrays (block tables +
+    # blocks-mode CSR) over the mesh 'data' axis instead of
+    # replicating them per chip. Fetches go through shard_map (owner
+    # shard slices locally, one [M]-sized psum broadcasts) -- a plain
+    # GSPMD dynamic_slice on a sharded operand all-gathers the WHOLE
+    # table per step (verified on the virtual mesh), which is worse
+    # than replication. 'auto' engages past SHARD_TABLES_BYTE_BUDGET;
+    # blocks mode only (the users-mode per-epoch tables stay
+    # replicated -- their build is a batched all-blocks pass).
+    self._data_ways = 1
+    if mesh is not None and 'data' in mesh.shape:
+      self._data_ways = int(mesh.shape['data'])
+    self.table_sharding = None
+    self._want_table_sharding = table_sharding
     matrix = matrix.tocsr()
     self.num_users_total = matrix.shape[0]
     self.num_items = num_items
@@ -159,6 +184,20 @@ class DeviceDataSource:
 
     self.n_blocks = n_pad // self.mega
 
+    # decide table sharding before the big arrays land on device
+    if (shuffle == 'blocks' and self._data_ways > 1
+        and self._want_table_sharding is not None):
+      nnz_bytes = matrix.nnz * (4 if binary else 8)
+      table_bytes = self.n_blocks * (2 * self.mega_nnz_budget
+                                     + self.union_width) * 4
+      if target_matrix is not None:
+        table_bytes *= 2  # target side is the same order of magnitude
+      if (self._want_table_sharding == 'data'
+          or (self._want_table_sharding == 'auto'
+              and nnz_bytes + table_bytes
+              > self.SHARD_TABLES_BYTE_BUDGET)):
+        self.table_sharding = 'data'
+
     cols = matrix.indices.astype(np.int32)
     vals = matrix.data.astype(np.float32)
     if shuffle == 'blocks':
@@ -178,8 +217,12 @@ class DeviceDataSource:
     # of two element-gathers on the TPU scalar core
     self.d_cs = put(jnp.asarray(
         np.stack([counts_pad, starts_pad], axis=1)))
-    self.d_cols = put(jnp.asarray(cols))
-    self.d_vals = None if binary else put(jnp.asarray(vals))
+    if self.table_sharding is not None:
+      self.d_cols = self._put_csr_chunks(cols)
+      self.d_vals = None if binary else self._put_csr_chunks(vals)
+    else:
+      self.d_cols = put(jnp.asarray(cols))
+      self.d_vals = None if binary else put(jnp.asarray(vals))
     self.n_pad = n_pad
     if self.num_random_negatives:
       self._d_negkey = put(jax.random.PRNGKey(seed + 7))
@@ -257,11 +300,17 @@ class DeviceDataSource:
     vals = np.concatenate([target_matrix.data.astype(np.float32),
                            np.zeros(M_tg, np.float32)])
     put = self._put
+    if binary:
+      d_vals = None
+    elif self.table_sharding is not None:
+      d_vals = self._put_csr_chunks(vals, halo=M_tg)
+    else:
+      d_vals = put(jnp.asarray(vals))
     self._tg = {
         'M': M_tg, 'W': W_tg, 'binary': binary, 'pre': tables,
         'd_counts': put(jnp.asarray(counts_pad)),
         'd_starts': put(jnp.asarray(starts_pad)),
-        'd_vals': None if binary else put(jnp.asarray(vals)),
+        'd_vals': d_vals,
     }
 
   #: precomputed block tables are skipped past this many bytes
@@ -291,7 +340,10 @@ class DeviceDataSource:
 
     w_exact = max((len(u) for u in uniques), default=1)
     W = (w_exact + 127) // 128 * 128
-    if nb * (2 * M + W) * 4 > self.PRECOMPUTE_BYTE_BUDGET:
+    # sharding spreads the tables over the data ways: the per-chip
+    # budget scales accordingly
+    ways = self._data_ways if self.table_sharding is not None else 1
+    if nb * (2 * M + W) * 4 > ways * self.PRECOMPUTE_BYTE_BUDGET:
       return None, None
     if max((len(inv) for inv in inverses), default=0) > M:
       # an explicit (caller-starved) budget smaller than a block's nnz:
@@ -312,12 +364,15 @@ class DeviceDataSource:
       u_rel[b, :n] = np.repeat(
           np.arange(S, dtype=np.int32), counts_pad[b * S:(b + 1) * S])
 
-    put = self._put
+    if self.table_sharding is not None:
+      put_big = self._put_block_table
+    else:
+      put_big = lambda a: self._put(jnp.asarray(a))
     return {
-        'u_rel': put(jnp.asarray(u_rel)),
-        'cmp': put(jnp.asarray(cmp)),
-        'unions': put(jnp.asarray(unions)),
-        'widths': put(jnp.asarray(widths)),
+        'u_rel': put_big(u_rel),
+        'cmp': put_big(cmp),
+        'unions': put_big(unions),
+        'widths': self._put(jnp.asarray(widths)),  # tiny: replicated
     }, W
 
   def _put(self, arr):
@@ -325,6 +380,90 @@ class DeviceDataSource:
       return jax.device_put(arr)
     from jax.sharding import NamedSharding, PartitionSpec as P
     return jax.device_put(arr, NamedSharding(self.mesh, P()))
+
+  # -- 'data'-sharded table storage (>HBM catalogs) ---------------------
+
+  @staticmethod
+  def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+      from jax import shard_map as sm
+    except ImportError:
+      from jax.experimental.shard_map import shard_map as sm
+    return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+  def _put_block_table(self, arr):
+    """[n_blocks, X] table row-sharded over 'data' (block rows padded
+    to a multiple of the data ways)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    D = self._data_ways
+    nb = arr.shape[0]
+    nb_pad = -(-nb // D) * D
+    if nb_pad != nb:
+      arr = np.concatenate(
+          [arr, np.zeros((nb_pad - nb,) + arr.shape[1:], arr.dtype)])
+    return jax.device_put(jnp.asarray(arr),
+                          NamedSharding(self.mesh, P('data', None)))
+
+  def _put_csr_chunks(self, arr, halo=None):
+    """Flat CSR array as [D, chunk + halo] rows sharded over 'data':
+    row d covers the global range [d*chunk, d*chunk + chunk + halo),
+    so any halo-wide contiguous slice lives wholly on its owner shard
+    (``arr`` arrives already sentinel-padded by ``halo``)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    D = self._data_ways
+    halo = self.mega_nnz_budget if halo is None else halo
+    base = len(arr) - halo
+    chunk = max(-(-base // D), 1)
+    padded = np.full(D * chunk + halo, arr[-1], arr.dtype)
+    padded[:len(arr)] = arr
+    rows = np.stack([padded[d * chunk: d * chunk + chunk + halo]
+                     for d in range(D)])
+    return jax.device_put(jnp.asarray(rows),
+                          NamedSharding(self.mesh, P('data', None)))
+
+  def _row_fetch(self, table, block, width):
+    """One [width] row of a block table, by (traced) block index.
+
+    Replicated tables use a plain dynamic_slice. Sharded tables go
+    through shard_map -- the owner shard slices locally and a
+    [width]-sized psum broadcasts the row. (A GSPMD dynamic_slice on
+    the sharded operand would all-gather the ENTIRE table per step --
+    verified on the virtual mesh -- which defeats the sharding.)
+    """
+    if self.table_sharding is None:
+      return jax.lax.dynamic_slice(table, (block, 0), (1, width))[0]
+    from jax.sharding import PartitionSpec as P
+
+    def local(chunk, blk):
+      per = chunk.shape[0]
+      idx = jax.lax.axis_index('data')
+      owner = blk // per
+      lb = jnp.where(owner == idx, blk - owner * per, 0)
+      row = jax.lax.dynamic_slice(chunk, (lb, 0), (1, width))
+      row = jnp.where(owner == idx, row, jnp.zeros_like(row))
+      return jax.lax.psum(row, 'data')
+
+    return self._shard_map(local, self.mesh,
+                           (P('data', None), P()), P())(table, block)[0]
+
+  def _csr_range(self, arr, start, width):
+    """``width`` contiguous elements of a flat CSR array starting at a
+    (traced) offset; sharded arrays resolve via the halo chunks."""
+    if self.table_sharding is None:
+      return jax.lax.dynamic_slice(arr, (start,), (width,))
+    from jax.sharding import PartitionSpec as P
+    chunk_len = arr.shape[1] - width
+
+    def local(chunk, st):
+      idx = jax.lax.axis_index('data')
+      owner = jnp.minimum(st // chunk_len, self._data_ways - 1)
+      ls = jnp.where(owner == idx, st - owner * chunk_len, 0)
+      seg = jax.lax.dynamic_slice(chunk[0], (ls,), (width,))
+      seg = jnp.where(owner == idx, seg, jnp.zeros_like(seg))
+      return jax.lax.psum(seg, 'data')
+
+    return self._shard_map(local, self.mesh,
+                           (P('data', None), P()), P())(arr, start)
 
   # -- passing the resident arrays as jit ARGUMENTS ---------------------
   # A jitted step that merely closes over the CSR + table arrays ships
@@ -631,11 +770,9 @@ class DeviceDataSource:
     if pre is not None and fd:
       # full-decode blocks mode: owner map from the tables, RAW cols
       # straight off the contiguous CSR range -- no union fetch at all
-      u_of_j = jax.lax.dynamic_slice(pre['u_rel'], (block, 0),
-                                     (1, M))[0]
+      u_of_j = self._row_fetch(pre['u_rel'], block, M)
       compressed = jnp.where(
-          valid, jax.lax.dynamic_slice(self.d_cols, (nnz_start,), (M,)),
-          sentinel)
+          valid, self._csr_range(self.d_cols, nnz_start, M), sentinel)
       items = None
       width_valid = jnp.int32(0)
       W = None
@@ -643,12 +780,9 @@ class DeviceDataSource:
       # epoch-invariant block tables (host-precomputed at init): three
       # contiguous row fetches replace the sort/unique/scatter union
       # build and the marks+cumsum owner map of the general path
-      u_of_j = jax.lax.dynamic_slice(pre['u_rel'], (block, 0),
-                                     (1, M))[0]
-      compressed = jax.lax.dynamic_slice(pre['cmp'], (block, 0),
-                                         (1, M))[0]
-      items = jax.lax.dynamic_slice(pre['unions'], (block, 0),
-                                    (1, self.union_width))[0]
+      u_of_j = self._row_fetch(pre['u_rel'], block, M)
+      compressed = self._row_fetch(pre['cmp'], block, M)
+      items = self._row_fetch(pre['unions'], block, self.union_width)
       width_valid = pre['widths'][block]
       W = self.union_width
     else:
@@ -660,9 +794,8 @@ class DeviceDataSource:
 
       if self.shuffle == 'blocks':
         cols_m = jnp.where(valid,
-                           jax.lax.dynamic_slice(self.d_cols,
-                                                 (nnz_start,),
-                                                 (M,)), sentinel)   # [M]
+                           self._csr_range(self.d_cols, nnz_start, M),
+                           sentinel)                                # [M]
       else:
         # flat gather indices for the mega-batch's nnz, budget M. The
         # per-slot CSR source index needs starts[u] - offsets[u];
@@ -727,8 +860,8 @@ class DeviceDataSource:
       vals_m = in_slice.astype(jnp.float32)
     elif self.shuffle == 'blocks':
       vals_m = jnp.where(in_slice,
-                         jax.lax.dynamic_slice(self.d_vals, (nnz_start,),
-                                               (M,)), 0.0)
+                         self._csr_range(self.d_vals, nnz_start, M),
+                         0.0)
     else:
       vals_m = jnp.where(in_slice, self.d_vals[src], 0.0)
 
@@ -881,10 +1014,9 @@ class DeviceDataSource:
     j = jnp.arange(Mt, dtype=jnp.int32)
     valid = j < total
 
-    u_of_j = jax.lax.dynamic_slice(pre['u_rel'], (block, 0), (1, Mt))[0]
-    compressed = jax.lax.dynamic_slice(pre['cmp'], (block, 0),
-                                       (1, Mt))[0]
-    items = jax.lax.dynamic_slice(pre['unions'], (block, 0), (1, Wt))[0]
+    u_of_j = self._row_fetch(pre['u_rel'], block, Mt)
+    compressed = self._row_fetch(pre['cmp'], block, Mt)
+    items = self._row_fetch(pre['unions'], block, Wt)
     width_valid = pre['widths'][block]
 
     start_s = offsets[lo_u]
@@ -897,7 +1029,7 @@ class DeviceDataSource:
       vals = in_slice.astype(jnp.float32)
     else:
       vals = jnp.where(in_slice,
-                       jax.lax.dynamic_slice(tgt['d_vals'],
-                                             (nnz_start,), (Mt,)), 0.0)
+                       self._csr_range(tgt['d_vals'], nnz_start, Mt),
+                       0.0)
     return {'tg_rows': rows, 'tg_cols': compressed, 'tg_vals': vals,
             'tg_items': items, 'tg_width_valid': width_valid}

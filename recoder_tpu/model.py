@@ -969,7 +969,7 @@ class Recoder:
             eval_num_users=None, metrics=None, eval_batch_size=None,
             profile_dir=None, profile_steps=(10, 30), shuffle='users',
             num_random_negatives=0, fused_steps_per_call='auto',
-            progress=False, full_decode='auto'):
+            progress=False, full_decode='auto', table_sharding='auto'):
     """Train the model (argument semantics mirror the reference
     model.py:256-347; see that docstring for parameter meanings).
 
@@ -1066,7 +1066,8 @@ class Recoder:
       # comparison cannot alias garbage-collected objects
       matrix = train_dataset.interactions_matrix
       src_cfg = (batch_size, num_sampling_users, self.mesh, shuffle,
-                 num_random_negatives, target_matrix is not None)
+                 num_random_negatives, target_matrix is not None,
+                 table_sharding)
       cached = getattr(self, '_fused_source_cache', None)
       if (cached is not None and cached[0] is matrix
           and cached[1] == src_cfg
@@ -1085,7 +1086,8 @@ class Recoder:
               num_items=self.num_items,
               union_width=union_width, mesh=self.mesh, shuffle=shuffle,
               num_random_negatives=num_random_negatives, seed=self.seed,
-              target_matrix=target_matrix)
+              target_matrix=target_matrix,
+              table_sharding=table_sharding)
           self._fused_source_cache = (matrix, src_cfg, fused_source,
                                       target_matrix)
         except FusedPipelineUnavailable as e:
@@ -1357,11 +1359,13 @@ class Recoder:
         union_width=new_width, mega_nnz_budget=new_budget, mesh=self.mesh,
         shuffle=fused_source.shuffle,
         num_random_negatives=fused_source.num_random_negatives,
-        seed=self.seed, target_matrix=target_matrix)
+        seed=self.seed, target_matrix=target_matrix,
+        table_sharding=fused_source._want_table_sharding)
     self._fused_source_cache = (
         train_dataset.interactions_matrix,
         (batch_size, num_sampling_users, self.mesh, fused_source.shuffle,
-         fused_source.num_random_negatives, target_matrix is not None),
+         fused_source.num_random_negatives, target_matrix is not None,
+         fused_source._want_table_sharding),
         fused_source, target_matrix)
     return fused_source
 

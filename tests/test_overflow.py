@@ -140,7 +140,8 @@ def test_trainer_detects_overflow_and_rebuilds(matrix, caplog):
                              num_items=tr.num_items, union_width=512,
                              mega_nnz_budget=64)
   tr._fused_source_cache = (ds.interactions_matrix,
-                            (30, 30, None, 'users', 0, False), starved)
+                            (30, 30, None, 'users', 0, False, 'auto'),
+                                starved)
 
   with caplog.at_level(logging.WARNING, logger='recoder_tpu'):
     tr.train(train_dataset=ds, batch_size=30, num_sampling_users=30,

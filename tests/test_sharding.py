@@ -176,3 +176,66 @@ def test_checkpoint_reload_preserves_mesh_sharding(tmp_path):
   tr2.train(train_dataset=ds, batch_size=16, num_epochs=3,
             negative_sampling=True)
   assert tr2.current_epoch == 3
+
+
+def test_sharded_tables_match_replicated():
+  """table_sharding='data': block tables + CSR live sharded over the
+  'data' axis (shard_map owner-slice + psum fetches) and training is
+  numerically identical to the replicated layout, for the union path,
+  full-decode, weighted values, and a dual-CSR target dataset."""
+  import scipy.sparse as sp
+
+  mesh = make_mesh(MeshConfig(data=4, model=2))
+  from jax.sharding import PartitionSpec as P
+
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  rng = np.random.default_rng(17)
+  n_users, n_items = 64, 300
+  nnz = 1500
+  m = sp.csr_matrix((rng.random(nnz).astype(np.float32) + 0.5,
+                     (rng.integers(0, n_users, nnz),
+                      rng.integers(0, n_items, nnz))),
+                    shape=(n_users, n_items))
+  m.sum_duplicates()
+  tgt = m.copy()
+  tgt.data[:] = 1.0
+
+  for dataset, fd in ((RecommendationDataset(m), False),
+                      (RecommendationDataset(m), True),
+                      (RecommendationDataset(tgt, m), False)):
+    def run(sharding):
+      tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8],
+                                            noise_prob=0.0),
+                   optimizer_type='adam', loss='mse', seed=4, mesh=mesh)
+      tr.train(train_dataset=dataset, batch_size=16, num_epochs=2,
+               negative_sampling=True, shuffle='blocks',
+               full_decode=fd)
+      src = tr._fused_source_cache[2]
+      return tr.model.params, src
+
+    # force sharding through the source the trainer builds
+    from recoder_tpu.data import device_pipeline as dp
+    orig = dp.DeviceDataSource.__init__
+
+    def forced(self, *a, **kw):
+      kw['table_sharding'] = 'data'
+      orig(self, *a, **kw)
+
+    dp.DeviceDataSource.__init__ = forced
+    try:
+      p_sharded, src = run('data')
+    finally:
+      dp.DeviceDataSource.__init__ = orig
+    assert src.table_sharding == 'data'
+    assert src._precomputed['u_rel'].sharding.spec == P('data', None)
+    assert src.d_cols.ndim == 2  # halo-chunked layout
+
+    p_repl, src_r = run(None)
+    assert src_r.table_sharding is None
+    for k in p_repl:
+      np.testing.assert_allclose(np.asarray(p_sharded[k]),
+                                 np.asarray(p_repl[k]), atol=2e-5,
+                                 err_msg=f'fd={fd} param {k}')
