@@ -8,7 +8,11 @@ background thread. The train loop enqueues device loss handles (no
 sync); the thread drains the queue to the newest handle and fetches
 only that one -- by the time it is fetched, steps dispatched after it
 have filled the pipeline, so the fetch overlaps compute instead of
-draining it. Measured zero throughput cost (docs/benchmarks.md).
+draining it. The epoch-end close is asynchronous for the same reason:
+joining the thread would stall the next epoch's dispatch behind the
+final-paint fetch (measured: synchronous close cost 0.31 vs 0.25
+s/epoch at ML-20M blocks shape on a 1-core host; with async close the
+A/B is 0.255 vs 0.256 -- zero measured cost).
 """
 
 import queue
@@ -65,18 +69,35 @@ class ProgressReporter:
     the device array ``loss_handle``. Returns immediately."""
     self._q.put((num_steps, loss_handle))
 
-  def close(self):
+  def close(self, wait=False):
+    """Finish the bar. By default this does NOT join: the final paint
+    fetches the last loss, which completes only when the device
+    drains the epoch's queued steps -- joining here would stall the
+    next epoch's dispatch behind that drain (measured 0.31 vs 0.25
+    s/epoch on a 1-core host). The reporter thread paints the final
+    state and closes the bar itself."""
     self._q.put(None)
-    self._thread.join(timeout=30)
-    self._bar.close()
+    if wait:
+      self._thread.join(timeout=30)
+
+  #: minimum seconds between paints: each paint costs a device fetch
+  #: (a ~5 ms tunnel round trip) plus terminal IO, which measurably
+  #: competes with the dispatch thread on small hosts (unthrottled:
+  #: 0.308 vs 0.252 s/epoch at ML-20M blocks shape on a 1-core host)
+  MIN_PAINT_INTERVAL = 0.25
 
   def _run(self):
+    import time
     done = False
+    pending = 0
+    last_paint = 0.0
+    handle = None
     while not done:
       item = self._q.get()
       if item is None:
-        return
-      n, handle = item
+        break
+      pending += item[0]
+      handle = item[1]
       # drain to the newest handle: a slow fetch must lag further
       # behind, not backlog the queue
       while True:
@@ -87,8 +108,18 @@ class ProgressReporter:
         if nxt is None:
           done = True
           break
-        n += nxt[0]
+        pending += nxt[0]
         handle = nxt[1]
+      now = time.time()
+      if not done and now - last_paint < self.MIN_PAINT_INTERVAL:
+        continue  # keep accumulating; skip the fetch entirely
+      last_paint = now
       loss = float(np.mean(np.asarray(handle)))
-      self._bar.update(n)
+      self._bar.update(pending)
+      pending = 0
       self._bar.set_postfix_str(f'loss={loss:.5f}')
+    if pending and handle is not None:  # final state before close
+      loss = float(np.mean(np.asarray(handle)))
+      self._bar.update(pending)
+      self._bar.set_postfix_str(f'loss={loss:.5f}')
+    self._bar.close()
