@@ -214,9 +214,12 @@ class DeviceDataSource:
     self.d_starts = put(jnp.asarray(starts_pad))
     # counts and starts interleaved: the epoch-table build reads both
     # per shuffled user, and one row-gather of [n, 2] costs about half
-    # of two element-gathers on the TPU scalar core
-    self.d_cs = put(jnp.asarray(
+    # of two element-gathers on the TPU scalar core. Only the
+    # users-mode epoch build consumes it -- blocks sources skip the
+    # duplicate storage
+    self.d_cs = (put(jnp.asarray(
         np.stack([counts_pad, starts_pad], axis=1)))
+        if shuffle == 'users' else None)
     if self.table_sharding is not None:
       self.d_cols = self._put_csr_chunks(cols)
       self.d_vals = None if binary else self._put_csr_chunks(vals)

@@ -650,11 +650,14 @@ class Recoder:
     return fn
 
   def _get_val_loss_fn(self):
-    if 'val' not in self._loss_fns:
+    # keyed by the resolved chunk: a later eval_item_chunk change must
+    # re-dispatch (recommend()'s cache is keyed the same way)
+    chunk = self._resolve_eval_chunk()
+    key = ('val', chunk)
+    if key not in self._loss_fns:
       def val_loss(params, batch):
         return self._forward_loss(params, batch, rng=None, training=False)
       dense_fn = jax.jit(val_loss)
-      chunk = self._resolve_eval_chunk()
       chunked_fn = None
       if chunk is not None and isinstance(self.loss, str):
         # custom Loss modules stay on the dense path: their semantics
@@ -670,8 +673,8 @@ class Recoder:
           return chunked_fn(params, batch)
         return dense_fn(params, batch)
 
-      self._loss_fns['val'] = dispatch
-    return self._loss_fns['val']
+      self._loss_fns[key] = dispatch
+    return self._loss_fns[key]
 
   def _chunked_val_loss(self, params, batch, chunk):
     """Full-catalog validation loss in O(B x chunk) memory.
@@ -1121,6 +1124,34 @@ class Recoder:
       self._iters_consumed = 0
       self._train_iterator_key = iter_key
 
+    self._progress_reporter = None
+    try:
+      self._train_epochs(
+          num_epochs, lr, lr_milestones, iters_per_epoch, num_batches,
+          fused_source, negative_sampling, sparse, fd, shuffle,
+          fused_steps_per_call, profile_dir, profile_steps,
+          train_dataset, train_dataloader, batch_size,
+          num_sampling_users, progress, val_dataloader, eval_freq,
+          metrics, eval_num_recommendations, eval_num_users,
+          eval_batch_size, model_checkpoint_prefix, checkpoint_freq)
+    finally:
+      if self._progress_reporter is not None:
+        self._progress_reporter.close()
+        self._progress_reporter = None
+
+    if self._profiling:  # window extended past the last step
+      jax.profiler.stop_trace()
+      self._profiling = False
+
+  def _train_epochs(self, num_epochs, lr, lr_milestones, iters_per_epoch,
+                    num_batches, fused_source, negative_sampling, sparse,
+                    fd, shuffle, fused_steps_per_call, profile_dir,
+                    profile_steps, train_dataset, train_dataloader,
+                    batch_size, num_sampling_users, progress,
+                    val_dataloader, eval_freq, metrics,
+                    eval_num_recommendations, eval_num_users,
+                    eval_batch_size, model_checkpoint_prefix,
+                    checkpoint_freq):
     for epoch in range(self.current_epoch, num_epochs + 1):
       self.current_epoch = epoch
       epoch_lr = _multistep_lr(lr, lr_milestones, epoch)
@@ -1131,14 +1162,31 @@ class Recoder:
       reporter = None
 
       def _start_progress(total):
+        # one reporter object serves the whole train() call: per-epoch
+        # objects would either leak concurrent bars or need a
+        # pipeline-draining join per epoch (recoder_tpu.progress)
         if not progress:
           return None
-        from recoder_tpu.progress import ProgressReporter
-        return ProgressReporter(total, f'Epoch {epoch}/{num_epochs}')
+        desc = f'Epoch {epoch}/{num_epochs}'
+        if self._progress_reporter is None:
+          from recoder_tpu.progress import ProgressReporter
+          self._progress_reporter = ProgressReporter(total, desc)
+        else:
+          self._progress_reporter.reset(total, desc)
+        return self._progress_reporter
 
       if fused_source is not None and self._overflow_rebuild is not None:
         fused_source = self._rebuild_fused_source(
             fused_source, train_dataset, batch_size, num_sampling_users)
+        if self._train_iterator is not None and self._iters_consumed:
+          # a retained partial-epoch iterator carries epoch state
+          # (permutation / per-epoch tables) shaped for the OLD
+          # budgets; feeding it to a step traced for the new ones
+          # fails at trace time. Restart the epoch instead.
+          log.info('budget rebuild mid-epoch: restarting the epoch '
+                   '(%d consumed batches re-run)', self._iters_consumed)
+        self._train_iterator = None
+        self._iters_consumed = 0
 
       if fused_source is not None:
         if (self._train_iterator is None
@@ -1154,9 +1202,13 @@ class Recoder:
             state = fused_source.epoch_permutation(perm_key)
           self._train_iterator = ('fused', state)
           self._iters_consumed = 0
+          # prefetch only when a fresh iterator was just drawn: a
+          # retained partial-epoch iterator means the next refill will
+          # ask for a LATER epoch's state, and unconditional per-epoch
+          # prefetches would pile unused table sets up in HBM
+          if negative_sampling and epoch < num_epochs:
+            fused_source.prefetch_epoch(epoch + 1, full_decode=fd)
         _, perm = self._train_iterator
-        if negative_sampling and epoch < num_epochs:
-          fused_source.prefetch_epoch(epoch + 1, full_decode=fd)
 
         iters_to_process = min(iters_per_epoch,
                                num_batches - self._iters_consumed)
@@ -1235,9 +1287,6 @@ class Recoder:
           if reporter is not None:
             reporter.put(1, loss)
 
-      if reporter is not None:
-        reporter.close()
-
       # mean loss reduced on device; the host fetch happens on a logger
       # thread so the next epoch's dispatch isn't blocked by the
       # round trip (the fetch would otherwise drain the whole pipeline)
@@ -1288,10 +1337,6 @@ class Recoder:
           ((checkpoint_freq > 0 and epoch % checkpoint_freq == 0)
            or epoch == num_epochs):
         self.save_state(model_checkpoint_prefix)
-
-    if self._profiling:  # window extended past the last step
-      jax.profiler.stop_trace()
-      self._profiling = False
 
   def reset_training_state(self):
     """Re-initialize model params and optimizer state in place.

@@ -24,6 +24,19 @@ _DISTRIBUTED_ENV_HINTS = ('JAX_COORDINATOR_ADDRESS',
                           'COORDINATOR_ADDRESS', 'JAX_NUM_PROCESSES',
                           'MEGASCALE_COORDINATOR_ADDRESS')
 
+#: pod metadata that lists the worker set: counts as a hint only when
+#: it names MORE THAN ONE host (single-host VMs set these too, with
+#: one entry -- auto-initializing then would hang; a real pod slice
+#: must still get gradient sync without explicit args)
+_WORKER_LIST_ENV_HINTS = ('TPU_WORKER_HOSTNAMES', 'TPU_PROCESS_ADDRESSES')
+
+
+def _multi_host_env():
+  if any(os.environ.get(k) for k in _DISTRIBUTED_ENV_HINTS):
+    return True
+  return any(',' in os.environ.get(k, '')
+             for k in _WORKER_LIST_ENV_HINTS)
+
 
 def initialize(coordinator_address=None, num_processes=None,
                process_id=None):
@@ -39,13 +52,13 @@ def initialize(coordinator_address=None, num_processes=None,
   ``jax.distributed.initialize()`` runs with its own auto-detection --
   an unconditional early return here would leave every pod host
   training the full dataset independently with no gradient sync.
-  Plain single-host runs (no args, no env hints) stay a no-op; pod
-  launchers that only export worker-id metadata must pass args or set
-  a coordinator env var explicitly.
+  Plain single-host runs (no args, no env hints, or worker lists
+  naming a single host) stay a no-op; pod slices are recognized by
+  coordinator env vars or multi-entry worker lists
+  (TPU_WORKER_HOSTNAMES / TPU_PROCESS_ADDRESSES).
   """
-  env_hint = any(os.environ.get(k) for k in _DISTRIBUTED_ENV_HINTS)
   if (num_processes in (None, 1) and coordinator_address is None
-      and not env_hint):
+      and not _multi_host_env()):
     return  # single process
   jax.distributed.initialize(coordinator_address=coordinator_address,
                              num_processes=num_processes,

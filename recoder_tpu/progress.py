@@ -53,12 +53,7 @@ class ProgressReporter:
 
   def __init__(self, total, desc):
     self._q = queue.SimpleQueue()
-    try:
-      from tqdm import tqdm
-      self._bar = tqdm(total=total, desc=desc, leave=False,
-                       dynamic_ncols=True, file=sys.stderr)
-    except ImportError:  # pragma: no cover - tqdm is baked in here
-      self._bar = _PlainBar(total, desc)
+    self._bar = self._new_bar(total, desc)
     self._thread = threading.Thread(target=self._run,
                                     name='progress-reporter',
                                     daemon=True)
@@ -68,6 +63,13 @@ class ProgressReporter:
     """Record ``num_steps`` dispatched steps whose (mean) loss is in
     the device array ``loss_handle``. Returns immediately."""
     self._q.put((num_steps, loss_handle))
+
+  def reset(self, total, desc):
+    """Start the next epoch's bar (the thread paints the old bar's
+    final state, closes it, and opens the new one -- a per-epoch
+    reporter object would either leak concurrent bars or force a
+    pipeline-draining join at every epoch boundary)."""
+    self._q.put(('reset', total, desc))
 
   def close(self, wait=False):
     """Finish the bar. By default this does NOT join: the final paint
@@ -86,6 +88,20 @@ class ProgressReporter:
   #: 0.308 vs 0.252 s/epoch at ML-20M blocks shape on a 1-core host)
   MIN_PAINT_INTERVAL = 0.25
 
+  def _new_bar(self, total, desc):
+    try:
+      from tqdm import tqdm
+      return tqdm(total=total, desc=desc, leave=False,
+                  dynamic_ncols=True, file=sys.stderr)
+    except ImportError:  # pragma: no cover - tqdm is baked in here
+      return _PlainBar(total, desc)
+
+  def _paint(self, pending, handle):
+    if pending and handle is not None:
+      loss = float(np.mean(np.asarray(handle)))
+      self._bar.update(pending)
+      self._bar.set_postfix_str(f'loss={loss:.5f}')
+
   def _run(self):
     import time
     done = False
@@ -96,30 +112,30 @@ class ProgressReporter:
       item = self._q.get()
       if item is None:
         break
-      pending += item[0]
-      handle = item[1]
       # drain to the newest handle: a slow fetch must lag further
       # behind, not backlog the queue
-      while True:
+      while item is not None:
+        if isinstance(item, tuple) and item[0] == 'reset':
+          self._paint(pending, handle)   # previous epoch's final state
+          pending, handle = 0, None
+          self._bar.close()
+          self._bar = self._new_bar(item[1], item[2])
+          last_paint = 0.0
+        else:
+          pending += item[0]
+          handle = item[1]
         try:
-          nxt = self._q.get_nowait()
+          item = self._q.get_nowait()
         except queue.Empty:
+          item = object()  # queue drained (None means shutdown)
           break
-        if nxt is None:
-          done = True
-          break
-        pending += nxt[0]
-        handle = nxt[1]
+      if item is None:
+        done = True
       now = time.time()
       if not done and now - last_paint < self.MIN_PAINT_INTERVAL:
         continue  # keep accumulating; skip the fetch entirely
       last_paint = now
-      loss = float(np.mean(np.asarray(handle)))
-      self._bar.update(pending)
+      self._paint(pending, handle)
       pending = 0
-      self._bar.set_postfix_str(f'loss={loss:.5f}')
-    if pending and handle is not None:  # final state before close
-      loss = float(np.mean(np.asarray(handle)))
-      self._bar.update(pending)
-      self._bar.set_postfix_str(f'loss={loss:.5f}')
+    self._paint(pending, handle)  # final state before close
     self._bar.close()

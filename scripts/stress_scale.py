@@ -32,6 +32,16 @@ def main():
   p.add_argument('--epochs', type=int, default=2)
   p.add_argument('--batch-size', type=int, default=500)
   p.add_argument('--sparse', action='store_true', default=True)
+  p.add_argument('--constrained', action='store_true',
+                 help='tie the decoder to the encoder (one table '
+                      'instead of two -- halves the table+moment HBM, '
+                      'the difference between 4M and 8M items fitting '
+                      'one v5e with adam)')
+  p.add_argument('--optimizer', default='adam',
+                 help="optimizer (the sparse path requires adam -- "
+                      "row-sparse SparseAdam parity -- so its 3 table "
+                      "copies bound one v5e at ~8M items x 128 "
+                      "constrained; 10M+ shards tables over 'model')")
   p.add_argument('--cpu', action='store_true',
                  help='force the CPU backend (virtual-device smoke)')
   p.add_argument('--ann-items', type=int, default=200_000,
@@ -66,17 +76,42 @@ def main():
 
   model = DynamicAutoencoder(hidden_layers=[args.dim],
                              activation_type='tanh',
+                             is_constrained=args.constrained,
                              sparse=args.sparse and mesh is None)
-  trainer = Recoder(model=model, optimizer_type='adam', loss='logistic',
-                    mesh=mesh)
-  t0 = time.time()
-  trainer.train(train_dataset=ds, batch_size=args.batch_size,
-                num_epochs=args.epochs, negative_sampling=True)
-  print(f'trained {args.epochs} epochs in {time.time() - t0:.1f}s '
-        f'(table {model.num_items_padded:,} x {args.dim})')
+  trainer = Recoder(model=model, optimizer_type=args.optimizer,
+                    loss='logistic', mesh=mesh)
+  def synced_train(num_epochs):
+    """train() then force completion: dispatch is async and
+    block_until_ready lies through the tunnel -- only a host fetch
+    proves the queued steps ran (see CLAUDE.md)."""
+    t0 = time.time()
+    trainer.train(train_dataset=ds, batch_size=args.batch_size,
+                  num_epochs=num_epochs, negative_sampling=True)
+    np.asarray(model.params['en_bias'])
+    return time.time() - t0
+
+  steps_per_epoch = -(-args.users // args.batch_size)
+  dt = synced_train(args.epochs)
+  print(f'warm train to epoch {args.epochs} in {dt:.1f}s '
+        f'(includes compile; table {model.num_items_padded:,} x '
+        f'{args.dim})')
+  # steady state: resume re-runs the last epoch, then runs new ones
+  timed = 3
+  dt = synced_train(args.epochs + timed - 1)
+  print(f'steady state: {timed} epochs x {steps_per_epoch} steps in '
+        f'{dt:.1f}s = {1000 * dt / (timed * steps_per_epoch):.1f} '
+        f'ms/step')
+  try:
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get('peak_bytes_in_use')
+    if peak:
+      print(f'peak HBM in use: {peak / 2**30:.2f} GiB')
+  except Exception:
+    pass
 
   n_index = min(args.ann_items, args.items)
-  table = np.asarray(model.params['de_embedding'][:n_index])
+  de_key = ('en_embedding' if args.constrained else 'de_embedding')
+  table = np.asarray(model.params[de_key][:n_index])
   t0 = time.time()
   index = AnnEmbeddingsIndex(embeddings=table, n_trees=10)
   index.build()

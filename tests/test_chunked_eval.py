@@ -204,8 +204,7 @@ def test_chunked_val_loss_matches_dense(loss, chunk):
                                 negative_sampling=False)
   dense = tr._validate(dl)
 
-  tr.eval_item_chunk = chunk
-  tr._loss_fns.pop('val', None)   # re-resolve the chunk
+  tr.eval_item_chunk = chunk     # re-resolved per call (cache key)
   chunked = tr._validate(dl)
   np.testing.assert_allclose(chunked, dense, rtol=2e-5)
 
@@ -227,7 +226,6 @@ def test_chunked_val_loss_target_dataset():
                                 negative_sampling=False)
   dense = tr._validate(dl)
   tr.eval_item_chunk = 128
-  tr._loss_fns.pop('val', None)
   chunked = tr._validate(dl)
   np.testing.assert_allclose(chunked, dense, rtol=2e-5)
 

@@ -155,3 +155,37 @@ def test_trainer_detects_overflow_and_rebuilds(matrix, caplog):
   rebuilt = tr._fused_source_cache[2]
   assert rebuilt.mega_nnz_budget > 64
   assert tr._overflow_rebuild is None or rebuilt.mega_nnz_budget >= matrix.nnz
+
+
+def test_rebuild_with_partial_epoch_iterator(matrix, caplog):
+  """A budget rebuild while a partial-epoch iterator is retained must
+  restart the epoch instead of feeding old-budget epoch tables to the
+  new-budget step trace (users-precompute mode + iters_per_epoch)."""
+  import logging
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(matrix)
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[16],
+                                        noise_prob=0.0),
+               optimizer_type='adam', loss='mse')
+  tr._init_training(ds, weight_decay=0.0)
+  starved = DeviceDataSource(ds.interactions_matrix, batch_size=10,
+                             num_sampling_users=10,
+                             num_items=tr.num_items, union_width=512,
+                             mega_nnz_budget=32, shuffle='users')
+  assert starved.users_precompute
+  tr._fused_source_cache = (ds.interactions_matrix,
+                            (10, 10, None, 'users', 0, False, 'auto'),
+                            starved)
+  with caplog.at_level(logging.INFO, logger='recoder_tpu'):
+    # partial epochs: 1 batch per train-loop epoch, several epochs --
+    # the overflow fires in epoch 1, the rebuild lands at epoch 2
+    # while the epoch-1 iterator is only partially consumed
+    tr.train(train_dataset=ds, batch_size=10, num_sampling_users=10,
+             num_epochs=4, iters_per_epoch=1, negative_sampling=True,
+             shuffle='users')
+  assert any('restarting the epoch' in r.message
+             for r in caplog.records)
+  for v in tr.model.params.values():
+    assert np.isfinite(np.asarray(v)).all()
