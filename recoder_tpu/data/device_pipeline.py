@@ -24,6 +24,7 @@ the rare oversized mega-batch tail); one compiled program serves the
 whole run.
 """
 
+import functools
 import math
 
 import jax
@@ -578,11 +579,22 @@ class DeviceDataSource:
          np.arange(self.num_users_total, self.n_pad, dtype=np.int32)])
     perm = self._put(jnp.asarray(perm))
     if self._epoch_build_fn is None:
+      # the CSR arrays enter as jit ARGUMENTS (same rule as the fused
+      # step, see device_arrays): closing over them bakes them into the
+      # program as constants -- a duplicate HBM copy at trace time
+      # (observed OOMing the epoch build at 8M items) and hundreds of
+      # serialized MB at MSD scale
+      def _build(perm, arrays, fd):
+        with self.bound(arrays):
+          return (self._build_epoch_tables_fd(perm) if fd
+                  else self._build_epoch_tables(perm))
       self._epoch_build_fn = {
-          False: jax.jit(self._build_epoch_tables),
-          True: jax.jit(self._build_epoch_tables_fd),
+          fd: jax.jit(functools.partial(_build, fd=fd))
+          for fd in (False, True)
       }
-    state = dict(self._epoch_build_fn[bool(full_decode)](perm))
+    arrays = {k: v for k, v in self.device_arrays().items()
+              if k in ('d_cs', 'd_cols', 'd_vals')}
+    state = dict(self._epoch_build_fn[bool(full_decode)](perm, arrays))
     state['perm'] = perm
     return state
 

@@ -675,3 +675,24 @@ def test_full_decode_sparse_model_falls_back(matrix):
            negative_sampling=True, full_decode=True)
   for v in tr.model.params.values():
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_epoch_build_takes_arrays_as_args(matrix):
+  """The users-mode per-epoch table build must take the resident CSR
+  arrays as jit ARGUMENTS, not closure constants: a captured device
+  array is baked into the compiled program (duplicate HBM at lowering
+  time -- observed OOMing the epoch build at 8M items -- and hundreds
+  of serialized MB through the remote-compile tunnel at MSD scale)."""
+  n_users, n_items = matrix.shape
+  source = DeviceDataSource(matrix, batch_size=8, num_sampling_users=16,
+                            num_items=n_items, union_width=128,
+                            shuffle='users')
+  assert source.users_precompute
+  for fd in (False, True):
+    state = source.epoch_state(0, full_decode=fd)
+    assert state is not None
+    arrays = {k: v for k, v in source.device_arrays().items()
+              if k in ('d_cs', 'd_cols', 'd_vals')}
+    traced = source._epoch_build_fn[fd].trace(state['perm'], arrays)
+    const_sizes = [np.asarray(c).size for c in traced.jaxpr.consts]
+    assert all(s <= 64 for s in const_sizes), const_sizes
