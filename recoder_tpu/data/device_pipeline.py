@@ -25,11 +25,14 @@ whole run.
 """
 
 import functools
+import logging
 import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 
 class FusedPipelineUnavailable(ValueError):
@@ -176,6 +179,22 @@ class DeviceDataSource:
     if binary is None:
       binary = bool(np.all(matrix.data == 1.0))
     self.binary = binary
+    # dense-slab cache eligibility (see maybe_cache_slabs): the mask
+    # recovered from a cached slab (any(slab != 0)) only matches the
+    # triplet-scatter mask when no stored value is an explicit zero,
+    # and bf16 storage is only used when every value round-trips
+    # exactly (binary data trivially satisfies both)
+    self.d_slab = None
+    self._slab_width = None
+    if binary:
+      self._vals_all_nonzero = True
+      self._vals_bf16_exact = True
+    else:
+      data_f32 = matrix.data.astype(np.float32)
+      self._vals_all_nonzero = bool(np.all(data_f32 != 0.0))
+      self._vals_bf16_exact = bool(
+          np.array_equal(data_f32.astype(jnp.bfloat16).astype(np.float32),
+                         data_f32))
 
     # pad user axis so any perm slice of length `mega` is valid;
     # sentinel users have zero interactions
@@ -479,7 +498,7 @@ class DeviceDataSource:
   # traced values while `build_batch` runs under trace.
 
   _ARRAY_ATTRS = ('d_counts', 'd_starts', 'd_cs', 'd_cols', 'd_vals',
-                  '_d_negkey', '_precomputed', '_tg')
+                  'd_slab', '_d_negkey', '_precomputed', '_tg')
 
   def device_arrays(self):
     """The device-resident pytree the fused step needs, for passing
@@ -540,6 +559,167 @@ class DeviceDataSource:
     pad = jnp.arange(self.num_users_total, self.n_pad, dtype=perm.dtype)
     return self._put(jnp.concatenate([perm, pad]).astype(jnp.int32))
 
+  # -- resident dense-slab cache (full-decode mode) ---------------------
+  # In full-decode mode a user's dense input row is [catalog]-wide raw
+  # column ids -- independent of which mega-batch the user lands in.
+  # The whole densified matrix [n_pad, catalog_pad] is therefore
+  # EPOCH-INVARIANT and can be cached in HBM once: each step then
+  # fetches its B rows with one contiguous dynamic_slice (blocks mode)
+  # or one row gather (users mode) instead of running the ~8 ns/element
+  # scalar-core triplet scatter (~0.43 ms of the 1.08 ms step at ML-20M
+  # shape), and the users-mode per-epoch table build disappears
+  # entirely. Storage is bf16 when every value round-trips exactly
+  # (binary data always does; the step upcasts to the compute dtype, so
+  # the slab values -- and hence the gradients -- are bit-identical to
+  # the scatter path's), else f32. The capacity trade is the point:
+  # ~4.7 GiB at ML-20M shape on a 16 GiB chip, auto-declined when it
+  # does not fit (or at MSD-class catalogs, where full decode is not
+  # selected anyway).
+
+  #: fraction of currently-free HBM the 'auto' cache may claim
+  SLAB_CACHE_HBM_FRACTION = 0.5
+
+  def maybe_cache_slabs(self, width, request='auto'):
+    """Build (or decline) the resident dense-slab cache for
+    full-decode steps at catalog width ``width``.
+
+    ``request``: 'auto' enables it when eligible and within the HBM
+    budget; True skips the budget check; False disables. Returns
+    whether the cache is active. Eligibility: single-slice mega
+    batches (the full-decode loss mask must span the whole mega, and
+    it is recovered from the slab), no 'data'-sharded CSR storage, and
+    no explicit zero values (an explicit zero cannot be represented in
+    a dense slab, so the recovered mask would differ)."""
+    if request is False:
+      self.d_slab = None
+      self._slab_width = None
+      return False
+    width = int(width)
+    if self.d_slab is not None and self._slab_width == width:
+      return True
+    reason = None
+    if self.slices_per_mega != 1:
+      reason = 'num_sampling_users > batch_size'
+    elif self.table_sharding is not None:
+      reason = "'data'-sharded CSR storage"
+    elif not self._vals_all_nonzero:
+      reason = 'matrix stores explicit zero values'
+    dtype = jnp.bfloat16 if self._vals_bf16_exact else jnp.float32
+    if reason is None:
+      nbytes = self.n_pad * width * jnp.dtype(dtype).itemsize
+      if request is not True and nbytes > self._slab_cache_budget():
+        reason = ('%.2f GiB exceeds the free-HBM budget '
+                  '(slab_cache=True forces it)' % (nbytes / 2**30))
+    if reason is not None:
+      log.info('dense-slab cache disabled: %s', reason)
+      self.d_slab = None
+      self._slab_width = None
+      return False
+    try:
+      slab = self._put(self._build_slab_cache(width, dtype))
+      # surface an allocator failure HERE, via a host fetch (the one
+      # sync that is reliable through the tunneled runtime)
+      np.asarray(jax.device_get(slab[:1, :1]))
+    except Exception as e:  # RESOURCE_EXHAUSTED etc.: fall back to
+      # the scatter path rather than failing the run -- the budget
+      # check is a heuristic (memory_stats is unavailable on some
+      # backends), so the build itself is the final arbiter
+      log.warning('dense-slab cache build failed (%s); falling back '
+                  'to the per-step scatter', e)
+      self.d_slab = None
+      self._slab_width = None
+      return False
+    self.d_slab = slab
+    self._slab_width = width
+    # per-epoch fd table states are superseded by the cache
+    for k in [k for k in self._epoch_states if k[1]]:
+      del self._epoch_states[k]
+    log.info('dense-slab cache enabled: [%d, %d] %s (%.2f GiB)',
+             self.n_pad, width, jnp.dtype(dtype).name,
+             self.n_pad * width * jnp.dtype(dtype).itemsize / 2**30)
+    return True
+
+  def _slab_cache_budget(self):
+    try:
+      stats = jax.local_devices()[0].memory_stats() or {}
+      limit = stats.get('bytes_limit')
+      if limit:
+        free = limit - stats.get('bytes_in_use', 0)
+        return max(0, int(self.SLAB_CACHE_HBM_FRACTION * free))
+    except Exception:  # backends without memory stats
+      pass
+    # no stats (axon/CPU): assume a 16 GiB-class chip with half kept
+    # free for the working set; a wrong guess is recoverable -- the
+    # build itself OOM-falls-back in maybe_cache_slabs
+    return 8 << 30
+
+  def _build_slab_cache(self, width, out_dtype):
+    """One batched on-device densify of the whole resident CSR into
+    [n_pad, width] (storage dtype cast at the end). The owner map
+    comes from scatter-marks + cumsum over the flat nnz axis -- the
+    same formulation the per-step build uses (build_batch)."""
+    def build(arrays):
+      with self.bound(arrays):
+        cols = self.d_cols
+        n = cols.shape[0]
+        # starts of empty users coincide with their successor's: the
+        # stacked marks make the cumsum skip them, which is correct
+        # (no flat slot belongs to an empty user). Only REAL users'
+        # starts participate -- sentinel pad users carry start 0
+        # (_padded_counts_starts), which would shift the whole owner
+        # map; their slab rows stay zero because no slot maps to them.
+        starts = jax.lax.slice(self.d_starts, (0,),
+                               (self.num_users_total,))
+        marks = jnp.zeros((n,), jnp.int32).at[starts].add(
+            1, mode='drop')
+        u = jnp.cumsum(marks) - 1
+        vals = (jnp.ones((n,), jnp.float32) if self.binary
+                else self.d_vals)
+        vals = jnp.where(cols < self.num_items, vals, 0.0)
+        # scatter straight in the storage dtype: each cell receives at
+        # most ONE add (tocsr() canonicalizes duplicates), and bf16
+        # storage is only chosen when every value is exactly
+        # representable, so 0 + v is exact -- and the build's peak HBM
+        # is the final cache size, not f32-slab + cast copy
+        slab = jnp.zeros((self.n_pad, width), out_dtype)
+        return slab.at[u, cols].add(vals.astype(out_dtype), mode='drop')
+
+    arrays = {k: v for k, v in self.device_arrays().items()
+              if k in ('d_counts', 'd_starts', 'd_cols', 'd_vals')}
+    return jax.jit(build)(arrays)
+
+  def _build_fd_from_cache(self, perm, step_idx, neg_step=None):
+    """Full-decode step payload straight off the dense-slab cache: one
+    B-row fetch, no triplet scatter, no overflow possible."""
+    B, S, W = self.batch_size, self.mega, self._slab_width
+    m = step_idx  # slices_per_mega == 1 enforced at cache build
+    if self.shuffle == 'blocks':
+      block = perm[m]
+      ustart = block * S
+      slab = jax.lax.dynamic_slice(self.d_slab, (ustart, 0), (B, W))
+      slice_users = ustart + jnp.arange(B, dtype=jnp.int32)
+    else:
+      slice_users = jax.lax.dynamic_slice(perm, (m * B,), (B,))
+      # pad users index zero rows of the cache (rows >= num_users_total)
+      slab = jnp.take(self.d_slab,
+                      jnp.minimum(slice_users, self.n_pad - 1), axis=0)
+    num_users = jnp.sum(slice_users < self.num_users_total)
+    slice_users = jnp.minimum(slice_users, self.num_users_total)
+    out = {
+        'slab': slab, 'users': slice_users,
+        'num_users': jnp.maximum(num_users, 1).astype(jnp.float32),
+        'items': None, 'width_valid': jnp.int32(0), 'union_width': None,
+        'overflow': jnp.zeros((2,), jnp.int32),
+        'fd': True, 'fd_mask_from_slab': True,
+    }
+    if self.num_random_negatives:
+      key = jax.random.fold_in(
+          self._d_negkey, step_idx if neg_step is None else neg_step)
+      out['fd_rand_ids'] = jax.random.randint(
+          key, (self.num_random_negatives,), 0, self.num_items,
+          jnp.int32)
+    return out
+
   # -- per-epoch precomputed tables ('users' mode) ----------------------
 
   def prefetch_epoch(self, epoch, full_decode=False):
@@ -550,6 +730,8 @@ class DeviceDataSource:
     if not self.users_precompute or (epoch, full_decode) in \
         self._epoch_states:
       return
+    if full_decode and self.d_slab is not None:
+      return  # the dense-slab cache serves fd steps without tables
     self._epoch_states[(epoch, full_decode)] = \
         self._users_epoch_state(epoch, full_decode)
 
@@ -563,13 +745,18 @@ class DeviceDataSource:
     (caller falls back to :meth:`epoch_permutation`)."""
     if not self.users_precompute:
       return None
+    if full_decode and self.d_slab is not None:
+      # cache mode needs no tables -- but it draws the SAME host
+      # permutation the table build would, so toggling the cache never
+      # changes the epoch's user order (trajectories stay comparable)
+      return {'perm': self._host_epoch_perm(epoch)}
     self.prefetch_epoch(epoch, full_decode)
     state = self._epoch_states[(epoch, full_decode)]
     for k in [k for k in self._epoch_states if k[0] < epoch]:
       del self._epoch_states[k]  # free the previous epoch's tables
     return state
 
-  def _users_epoch_state(self, epoch, full_decode=False):
+  def _host_epoch_perm(self, epoch):
     # the permutation comes from host numpy: ~1 ms + a 4*n-byte upload
     # vs ~70 ms for jax.random.permutation on device (a single-row
     # 100k+-key sort badly underutilizes the TPU sort unit)
@@ -577,7 +764,10 @@ class DeviceDataSource:
     perm = np.concatenate(
         [rng.permutation(self.num_users_total).astype(np.int32),
          np.arange(self.num_users_total, self.n_pad, dtype=np.int32)])
-    perm = self._put(jnp.asarray(perm))
+    return self._put(jnp.asarray(perm))
+
+  def _users_epoch_state(self, epoch, full_decode=False):
+    perm = self._host_epoch_perm(epoch)
     if self._epoch_build_fn is None:
       # the CSR arrays enter as jit ARGUMENTS (same rule as the fused
       # step, see device_arrays): closing over them bakes them into the
@@ -744,6 +934,9 @@ class DeviceDataSource:
     experiments/coo_forward.py). The trainer auto-selects it when the
     padded catalog is at most ~2x the union width.
     """
+    if full_decode and negative_sampling and self.d_slab is not None:
+      p = perm['perm'] if isinstance(perm, dict) else perm
+      return self._build_fd_from_cache(p, step_idx, neg_step)
     if isinstance(perm, dict):
       if 'cols_raw' in perm:
         assert full_decode and negative_sampling

@@ -413,8 +413,20 @@ class Recoder:
     in_items = batch.get('in_items', None)
     in_width = (in_items.shape[0] if in_items is not None
                 else model.num_items_padded)
-    input_dense = self._densify(batch['in_rows'], batch['in_cols'],
-                                batch['in_vals'], B, in_width)
+    if 'in_slab' in batch:
+      # dense-slab cache (device_pipeline.maybe_cache_slabs): the slab
+      # arrives pre-built; the storage dtype only ever holds exactly-
+      # representable values, so the upcast reproduces the scatter
+      # path's slab bit-for-bit
+      dtype = getattr(model, 'compute_dtype', None) or jnp.float32
+      input_dense = batch['in_slab'].astype(dtype)
+      if self.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        input_dense = jax.lax.with_sharding_constraint(
+            input_dense, NamedSharding(self.mesh, P('data', None)))
+    else:
+      input_dense = self._densify(batch['in_rows'], batch['in_cols'],
+                                  batch['in_vals'], B, in_width)
 
     if 'tg_rows' in batch:
       tg_items = batch.get('tg_items', None)
@@ -456,9 +468,9 @@ class Recoder:
       else:
         present = jnp.zeros((tg_width,), bool) \
             .at[batch['in_cols']].set(True, mode='drop')
-        if 'fd_rand_ids' in batch:
-          present = present.at[batch['fd_rand_ids']].set(True,
-                                                         mode='drop')
+      if 'fd_rand_ids' in batch:
+        present = present.at[batch['fd_rand_ids']].set(True,
+                                                       mode='drop')
       col_mask = jnp.logical_and(
           present, jnp.arange(tg_width) < model.num_items) \
           .astype(jnp.float32)
@@ -561,8 +573,11 @@ class Recoder:
     small hosts (measured: 438 -> 457 batches/s on a 1-core host;
     within noise on many-core hosts, docs/benchmarks.md)."""
     # keyed by the source object too: the compiled fn closes over the
-    # source's device arrays, so a new source needs a fresh trace
-    cache_key = ('fused', negative_sampling, sparse, steps, full_decode)
+    # source's device arrays, so a new source needs a fresh trace.
+    # The slab-cache flag changes the traced program (slab fetch vs
+    # triplet scatter), so it keys the trace as well.
+    cache_key = ('fused', negative_sampling, sparse, steps, full_decode,
+                 source.d_slab is not None)
     cached = self._step_fns.get(cache_key)
     if cached is not None and cached[0] is source:
       return cached[1]
@@ -574,11 +589,15 @@ class Recoder:
                                neg_step=global_step,
                                full_decode=full_decode)
       d = {
-          'in_rows': b['rows'], 'in_cols': b['cols'], 'in_vals': b['vals'],
           'in_users': b['users'], 'in_items': b['items'],
           'in_valid_users': b['num_users'],
           'in_valid_width': b['width_valid'],
       }
+      if 'slab' in b:  # dense-slab cache: the input arrives pre-built
+        d['in_slab'] = b['slab']
+      else:
+        d.update({'in_rows': b['rows'], 'in_cols': b['cols'],
+                  'in_vals': b['vals']})
       for k in ('fd', 'fd_mask_from_slab', 'fd_rand_ids'):
         if k in b:
           d[k] = b[k]
@@ -972,7 +991,8 @@ class Recoder:
             eval_num_users=None, metrics=None, eval_batch_size=None,
             profile_dir=None, profile_steps=(10, 30), shuffle='users',
             num_random_negatives=0, fused_steps_per_call='auto',
-            progress=False, full_decode='auto', table_sharding='auto'):
+            progress=False, full_decode='auto', slab_cache='auto',
+            table_sharding='auto'):
     """Train the model (argument semantics mirror the reference
     model.py:256-347; see that docstring for parameter meanings).
 
@@ -1006,7 +1026,15 @@ class Recoder:
     (experiments/coo_forward.py). 'auto' selects it when the padded
     catalog is at most 2x the union width (the slab passes grow with
     catalog width, so union gathering wins again on MSD-class
-    catalogs where union << catalog)."""
+    catalogs where union << catalog).
+    ``slab_cache`` ('auto' | True | False): with full decode, cache
+    the densified matrix [num_users_padded, num_items_padded] in HBM
+    once (bf16 when every value round-trips exactly, else f32) and
+    fetch each step's rows from it instead of scattering the CSR
+    triplets -- identical slab values, hence identical gradients.
+    'auto' enables it when eligible and within half the free HBM
+    (~4.7 GiB at ML-20M shape); True skips the budget check; False
+    disables. See DeviceDataSource.maybe_cache_slabs."""
     backend = jax.default_backend()
     log.info('%s Mode', backend.upper())
     for param, value in self.model.model_params().items():
@@ -1112,13 +1140,22 @@ class Recoder:
         # union gathers with the union width -- break-even ~2x
         fd = (self.model.num_items_padded
               <= 2 * fused_source.union_width)
+    if fd:
+      # trade HBM capacity for the per-step triplet scatter: cache the
+      # (epoch-invariant) densified matrix once and fetch B rows per
+      # step (device_pipeline.maybe_cache_slabs; 'auto' declines past
+      # the free-HBM budget)
+      fused_source.maybe_cache_slabs(self.model.num_items_padded,
+                                     request=slab_cache)
 
     # a partially-consumed iterator only carries over into a train()
     # call with the same dataset and batching config (resuming the
     # reference's partial-epoch semantics); anything else restarts it
     iter_key = (train_dataset, batch_size, num_sampling_users,
                 negative_sampling, shuffle, num_random_negatives,
-                fused_source is not None, fd)
+                fused_source is not None, fd,
+                fused_source is not None and fused_source.d_slab
+                is not None)
     if getattr(self, '_train_iterator_key', None) != iter_key:
       self._train_iterator = None
       self._iters_consumed = 0
@@ -1152,8 +1189,20 @@ class Recoder:
                     eval_num_recommendations, eval_num_users,
                     eval_batch_size, model_checkpoint_prefix,
                     checkpoint_freq):
+    # async epoch-log threads (loss fetch + overflow note) joined with
+    # bounded staleness: the thread from two epochs back is joined at
+    # each epoch start, so an overflow noted in epoch e deterministically
+    # triggers its rebuild by epoch e+2 (the device is at most ~1 epoch
+    # behind the host there, so the join adds no pipeline bubble, while
+    # an unjoined thread could otherwise lag past the end of a short run
+    # and silently drop the rebuild)
+    pending_logs = []
     for epoch in range(self.current_epoch, num_epochs + 1):
       self.current_epoch = epoch
+      for ep, th in list(pending_logs):
+        if ep <= epoch - 2:
+          th.join()
+          pending_logs.remove((ep, th))
       epoch_lr = _multistep_lr(lr, lr_milestones, epoch)
       lr_arr = jnp.float32(epoch_lr)
       epoch_losses = []
@@ -1223,6 +1272,7 @@ class Recoder:
         # (242 vs 306 batches/s, docs/benchmarks.md)
         if fused_steps_per_call in (None, 'auto'):
           table_step = (shuffle == 'blocks'
+                        or fused_source.d_slab is not None
                         or (negative_sampling
                             and fused_source.users_precompute))
           fused_steps_per_call = 16 if table_step else 1
@@ -1316,7 +1366,9 @@ class Recoder:
           if ov is not None:
             self._note_overflow(np.asarray(ov))
 
-        _threading.Thread(target=_log_epoch, daemon=True).start()
+        _th = _threading.Thread(target=_log_epoch, daemon=True)
+        _th.start()
+        pending_logs.append((epoch, _th))
         msg = None
 
       if eval_freq > 0 and epoch % eval_freq == 0 and val_dataloader is not None:
@@ -1337,6 +1389,8 @@ class Recoder:
           ((checkpoint_freq > 0 and epoch % checkpoint_freq == 0)
            or epoch == num_epochs):
         self.save_state(model_checkpoint_prefix)
+    for _, th in pending_logs:  # deterministic post-train state
+      th.join()
 
   def reset_training_state(self):
     """Re-initialize model params and optimizer state in place.

@@ -696,3 +696,160 @@ def test_epoch_build_takes_arrays_as_args(matrix):
     traced = source._epoch_build_fn[fd].trace(state['perm'], arrays)
     const_sizes = [np.asarray(c).size for c in traced.jaxpr.consts]
     assert all(s <= 64 for s in const_sizes), const_sizes
+
+
+# -- dense-slab cache (full-decode) -------------------------------------
+
+
+def _slab_source(matrix, shuffle, **kw):
+  n_users, n_items = matrix.shape
+  return DeviceDataSource(matrix, batch_size=8, num_sampling_users=8,
+                          num_items=n_items, union_width=128,
+                          shuffle=shuffle, **kw)
+
+
+@pytest.mark.parametrize('shuffle', ['users', 'blocks'])
+def test_slab_cache_batch_matches_scatter(matrix, shuffle):
+  """The cached-slab fd payload must reproduce the scatter path's slab
+  (same rows, same values) and user metadata for every step."""
+  n_users, n_items = matrix.shape
+  W = n_items + 6  # a padded catalog width, like num_items_padded
+  src_a = _slab_source(matrix, shuffle)
+  src_b = _slab_source(matrix, shuffle)
+  assert src_a.maybe_cache_slabs(W, request=True)
+
+  if shuffle == 'blocks':
+    perm = jnp.arange(src_a.n_blocks, dtype=jnp.int32)
+    n_steps = src_a.n_blocks
+  else:
+    perm = jnp.asarray(np.random.default_rng(3).permutation(
+        src_a.n_pad).astype(np.int32))
+    n_steps = src_a.n_pad // 8
+  for step in range(n_steps):
+    a = src_a.build_batch(perm, jnp.int32(step), negative_sampling=True,
+                          full_decode=True)
+    b = src_b.build_batch(perm, jnp.int32(step), negative_sampling=True,
+                          full_decode=True)
+    assert 'slab' in a and 'slab' not in b
+    dense_b = np.zeros((8, W), np.float32)
+    rows = np.asarray(b['rows'])
+    cols = np.asarray(b['cols'])
+    vals = np.asarray(b['vals'])
+    keep = (rows < 8) & (cols < W)
+    np.add.at(dense_b, (rows[keep], cols[keep]), vals[keep])
+    np.testing.assert_array_equal(
+        np.asarray(a['slab']).astype(np.float32), dense_b)
+    np.testing.assert_array_equal(np.asarray(a['users']),
+                                  np.asarray(b['users']))
+    assert float(a['num_users']) == float(b['num_users'])
+    assert np.all(np.asarray(a['overflow']) == 0)
+
+
+@pytest.mark.parametrize('shuffle', ['users', 'blocks'])
+def test_slab_cache_training_matches_scatter(matrix, shuffle):
+  """slab_cache=True trains to the same parameters as slab_cache=False
+  (both full-decode): the cached slab is bit-identical to the
+  scattered one, so the gradients are too."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(matrix)
+
+  def run(cache):
+    tr = Recoder(model=DynamicAutoencoder(hidden_layers=[16],
+                                          noise_prob=0.0),
+                 optimizer_type='adam', loss='logloss', seed=9)
+    tr.train(train_dataset=ds, batch_size=8, num_epochs=2,
+             negative_sampling=True, shuffle=shuffle,
+             full_decode=True, slab_cache=cache)
+    return tr.model.params
+
+  a, b = run(True), run(False)
+  for k in a:
+    np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                               atol=1e-6,
+                               err_msg=f'{shuffle}: param {k} diverged')
+
+
+def test_slab_cache_random_negatives(matrix):
+  """Random extra negatives fold the same key in cache mode, so the
+  loss mask -- and the trajectory -- matches the scatter path."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(matrix)
+
+  def run(cache):
+    tr = Recoder(model=DynamicAutoencoder(hidden_layers=[16],
+                                          noise_prob=0.0),
+                 optimizer_type='adam', loss='mse', seed=4)
+    tr.train(train_dataset=ds, batch_size=8, num_epochs=1,
+             negative_sampling=True, shuffle='users',
+             num_random_negatives=16, full_decode=True,
+             slab_cache=cache)
+    return tr.model.params
+
+  a, b = run(True), run(False)
+  for k in a:
+    np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                               atol=1e-6, err_msg=f'param {k} diverged')
+
+
+def test_slab_cache_gating(matrix):
+  n_users, n_items = matrix.shape
+  W = n_items + 6
+
+  # multi-slice megas: the fd mask must span the whole mega
+  src = DeviceDataSource(matrix, batch_size=8, num_sampling_users=16,
+                         num_items=n_items, union_width=128)
+  assert not src.maybe_cache_slabs(W, request=True)
+
+  # explicit zeros: unrepresentable in a dense slab
+  m0 = matrix.copy()
+  m0.data[0] = 0.0
+  src = _slab_source(m0, 'users')
+  assert not src._vals_all_nonzero
+  assert not src.maybe_cache_slabs(W, request=True)
+
+  # request=False clears an existing cache
+  src = _slab_source(matrix, 'users')
+  assert src.maybe_cache_slabs(W, request=True)
+  assert src.d_slab is not None
+  assert not src.maybe_cache_slabs(W, request=False)
+  assert src.d_slab is None
+
+
+def test_slab_cache_dtype_selection(matrix):
+  """Integer-valued data stores bf16 (exact); values that do not
+  round-trip bf16 fall back to f32 -- and still train identically to
+  the scatter path."""
+  n_users, n_items = matrix.shape
+  W = n_items + 6
+  src = _slab_source(matrix, 'users')  # integer values 1..4
+  assert src._vals_bf16_exact
+  assert src.maybe_cache_slabs(W, request=True)
+  assert src.d_slab.dtype == jnp.bfloat16
+
+  m = matrix.copy()
+  m.data = m.data + 0.01  # not bf16-representable
+  src = _slab_source(m, 'users')
+  assert not src._vals_bf16_exact
+  assert src.maybe_cache_slabs(W, request=True)
+  assert src.d_slab.dtype == jnp.float32
+
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+  ds = RecommendationDataset(m)
+
+  def run(cache):
+    tr = Recoder(model=DynamicAutoencoder(hidden_layers=[16],
+                                          noise_prob=0.0),
+                 optimizer_type='adam', loss='mse', seed=6)
+    tr.train(train_dataset=ds, batch_size=8, num_epochs=1,
+             negative_sampling=True, full_decode=True, slab_cache=cache)
+    return tr.model.params
+
+  a, b = run(True), run(False)
+  for k in a:
+    np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                               atol=1e-6, err_msg=f'param {k} diverged')

@@ -144,14 +144,16 @@ def test_trainer_detects_overflow_and_rebuilds(matrix, caplog):
                                 starved)
 
   with caplog.at_level(logging.WARNING, logger='recoder_tpu'):
+    # slab_cache off: the dense-slab cache serves fd steps without a
+    # nnz budget at all, so no overflow is possible on that path
     tr.train(train_dataset=ds, batch_size=30, num_sampling_users=30,
-             num_epochs=1, negative_sampling=True)
+             num_epochs=1, negative_sampling=True, slab_cache=False)
   assert tr._overflow_rebuild is not None
   assert any('overflow' in r.message for r in caplog.records)
 
   # next train call rebuilds with grown budget and trains clean
   tr.train(train_dataset=ds, batch_size=30, num_sampling_users=30,
-           num_epochs=2, negative_sampling=True)
+           num_epochs=2, negative_sampling=True, slab_cache=False)
   rebuilt = tr._fused_source_cache[2]
   assert rebuilt.mega_nnz_budget > 64
   assert tr._overflow_rebuild is None or rebuilt.mega_nnz_budget >= matrix.nnz
@@ -184,7 +186,7 @@ def test_rebuild_with_partial_epoch_iterator(matrix, caplog):
     # while the epoch-1 iterator is only partially consumed
     tr.train(train_dataset=ds, batch_size=10, num_sampling_users=10,
              num_epochs=4, iters_per_epoch=1, negative_sampling=True,
-             shuffle='users')
+             shuffle='users', slab_cache=False)
   assert any('restarting the epoch' in r.message
              for r in caplog.records)
   for v in tr.model.params.values():
