@@ -83,8 +83,14 @@ def main():
                   help="sampling mode (users: reference semantics, "
                        "fresh co-batch groups each epoch; blocks: "
                        "faster step, measured quality-neutral)")
-  ap.add_argument('--dtype', choices=['float32', 'bfloat16'],
-                  default='float32', help='matmul compute dtype')
+  ap.add_argument('--dtype', choices=['auto', 'float32', 'bfloat16'],
+                  default='auto',
+                  help="matmul compute dtype. 'auto' = bfloat16 for "
+                       "the ml20m config (quality gate-tested at the "
+                       "reference-pinned metrics: tests/test_model.py "
+                       "bf16 row + bench_quality.py --dtype bfloat16) "
+                       "and float32 for msd (sparse path not yet "
+                       "quality-gated at bf16)")
   ap.add_argument('--dataset', choices=['ml20m', 'msd'], default='ml20m',
                   help="workload shape: ml20m (MSE headline config) or "
                        "msd (BASELINE config 3: multinomial NLL "
@@ -100,6 +106,8 @@ def main():
   from recoder_tpu.model import Recoder
   from recoder_tpu.models import DynamicAutoencoder
 
+  if args.dtype == 'auto':
+    args.dtype = 'bfloat16' if args.dataset == 'ml20m' else 'float32'
   cd = None if args.dtype == 'float32' else args.dtype
   if args.dataset == 'msd':
     matrix = synthesize(MSD_USERS, MSD_ITEMS, MSD_MEAN_ITEMS_PER_USER)

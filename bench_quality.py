@@ -177,6 +177,10 @@ def main():
                   help="sampling mode (blocks: faster step, fixed "
                        "co-batch groups, quality gate-tested; users: "
                        "reference semantics)")
+  ap.add_argument('--dtype', choices=['float32', 'bfloat16'],
+                  default='float32',
+                  help='matmul compute dtype: the quality run is the '
+                       'gate for adopting bfloat16 in bench.py')
   args = ap.parse_args()
 
   import jax
@@ -185,10 +189,12 @@ def main():
   from recoder_tpu.model import Recoder
   from recoder_tpu.models import DynamicAutoencoder
 
+  cd = None if args.dtype == 'float32' else args.dtype
   if args.fixture == 'real':
     train_ds, val_ds = load_real_fixture()
     model = DynamicAutoencoder(hidden_layers=[200],
-                               activation_type='tanh', noise_prob=0.5)
+                               activation_type='tanh', noise_prob=0.5,
+                               compute_dtype=cd)
     trainer = Recoder(model=model, optimizer_type='adam',
                       loss='logloss')
     metrics = [Recall(k=20, normalize=True), Recall(k=50, normalize=True),
@@ -202,7 +208,8 @@ def main():
     train_ds = RecommendationDataset(train_m)
     val_ds = RecommendationDataset(val_tr_m, val_te_m)
     model = DynamicAutoencoder(hidden_layers=[200],
-                               activation_type='tanh', noise_prob=0.5)
+                               activation_type='tanh', noise_prob=0.5,
+                               compute_dtype=cd)
     trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
                       loss_params={'confidence': 3})
     metrics = [Recall(k=20, normalize=True), NDCG(k=100)]

@@ -131,13 +131,19 @@ class DynamicAutoencoder(FactorizationModel):
     return params
 
   def model_params(self):
-    return {
+    # the 5 reference keys (reference autoencoder.py:81-88) plus the
+    # compute dtype, so a checkpoint reloads with the numerics it was
+    # trained/evaluated with
+    p = {
         'hidden_layers': self.hidden_layers,
         'activation_type': self.activation_type,
         'is_constrained': self.is_constrained,
         'dropout_prob': self.dropout_prob,
         'noise_prob': self.noise_prob,
     }
+    if self.compute_dtype is not None:
+      p['compute_dtype'] = jnp.dtype(self.compute_dtype).name
+    return p
 
   def load_model_params(self, model_params):
     self.hidden_layers = model_params['hidden_layers']
@@ -145,6 +151,11 @@ class DynamicAutoencoder(FactorizationModel):
     self.is_constrained = model_params['is_constrained']
     self.dropout_prob = model_params['dropout_prob']
     self.noise_prob = model_params['noise_prob']
+    # restore the checkpoint's compute dtype unless the user chose one
+    # at construction (params_dtype inference configs set their own);
+    # absent key = older checkpoint or f32 run
+    if self.compute_dtype is None and 'compute_dtype' in model_params:
+      self.compute_dtype = jnp.dtype(model_params['compute_dtype'])
 
   def param_axes(self):
     axes = {'en_embedding': ('item', 'embed'), 'en_bias': ('embed',),

@@ -79,16 +79,23 @@ class MatrixFactorization(FactorizationModel):
     return self.params
 
   def model_params(self):
-    return {
+    p = {
         'embedding_size': self.embedding_size,
         'activation_type': self.activation_type,
         'dropout_prob': self.dropout_prob,
     }
+    if self.compute_dtype is not None:
+      p['compute_dtype'] = jnp.dtype(self.compute_dtype).name
+    return p
 
   def load_model_params(self, model_params):
     self.embedding_size = model_params['embedding_size']
     self.activation_type = model_params['activation_type']
     self.dropout_prob = model_params['dropout_prob']
+    # restore the checkpoint's compute dtype unless the user chose one
+    # at construction (see DynamicAutoencoder.load_model_params)
+    if self.compute_dtype is None and 'compute_dtype' in model_params:
+      self.compute_dtype = jnp.dtype(model_params['compute_dtype'])
 
   def param_axes(self):
     return {'user_embedding': ('user', 'embed'),

@@ -56,17 +56,25 @@ REFERENCE_PINNED = {'recall_20': 0.1417, 'recall_50': 0.2393,
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize('sparse,exp_recall_20,exp_recall_50,exp_ndcg_100', [
-    (False, REFERENCE_PINNED['recall_20'], REFERENCE_PINNED['recall_50'],
-     REFERENCE_PINNED['ndcg_100']),
-    (True, REFERENCE_PINNED['recall_20'], REFERENCE_PINNED['recall_50'],
-     REFERENCE_PINNED['ndcg_100']),
+@pytest.mark.parametrize(
+    'sparse,compute_dtype,exp_recall_20,exp_recall_50,exp_ndcg_100', [
+    (False, None, REFERENCE_PINNED['recall_20'],
+     REFERENCE_PINNED['recall_50'], REFERENCE_PINNED['ndcg_100']),
+    (True, None, REFERENCE_PINNED['recall_20'],
+     REFERENCE_PINNED['recall_50'], REFERENCE_PINNED['ndcg_100']),
+    # bfloat16 matmul compute must reach the same reference-pinned
+    # quality (within the reference's own atol): the gate that lets
+    # bench.py run the ml20m headline in bf16
+    (False, 'bfloat16', REFERENCE_PINNED['recall_20'],
+     REFERENCE_PINNED['recall_50'], REFERENCE_PINNED['ndcg_100']),
 ])
-def test_model(sparse, exp_recall_20, exp_recall_50, exp_ndcg_100, tmp_path):
+def test_model(sparse, compute_dtype, exp_recall_20, exp_recall_50,
+               exp_ndcg_100, tmp_path):
   train_dataset, val_dataset = _load_datasets()
 
   model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
-                             noise_prob=0.5, sparse=sparse)
+                             noise_prob=0.5, sparse=sparse,
+                             compute_dtype=compute_dtype)
   trainer = Recoder(model=model, optimizer_type='adam', loss='logloss')
 
   trainer.train(train_dataset=train_dataset, val_dataset=val_dataset,

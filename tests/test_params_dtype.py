@@ -77,3 +77,38 @@ def test_f32_default_unchanged():
   model.init_model(num_items=50, num_users=10)
   assert all(v.dtype == jnp.float32 for v in model.params.values())
   assert model.compute_dtype is None
+
+
+def test_compute_dtype_roundtrips_through_checkpoint(tmp_path):
+  """A bf16-compute training checkpoint reloads with bf16 compute (so
+  eval numerics match the saving trainer) -- unless the loader chose a
+  dtype at construction, which wins."""
+  matrix = _random_matrix(seed=23)
+  ds = RecommendationDataset(matrix)
+  model = DynamicAutoencoder(hidden_layers=[32], activation_type='tanh',
+                             compute_dtype='bfloat16')
+  tr = Recoder(model, optimizer_type='adam', loss='mse')
+  tr.train(ds, batch_size=20, num_epochs=1, lr=0.01)
+  ck = tr.save_state(str(tmp_path / 'ck'))
+
+  re = DynamicAutoencoder()
+  tr2 = Recoder(re, optimizer_type='adam', loss='mse')
+  tr2.init_from_model_file(ck)
+  assert re.compute_dtype == jnp.bfloat16
+  assert re.params['en_embedding'].dtype == jnp.float32  # storage stays
+
+  # explicit construction dtype wins over the checkpoint's
+  override = DynamicAutoencoder(compute_dtype='float32')
+  tr3 = Recoder(override, optimizer_type='adam', loss='mse')
+  tr3.init_from_model_file(ck)
+  assert override.compute_dtype == jnp.float32
+
+  # f32 checkpoints don't grow the key (and still load)
+  model_f = DynamicAutoencoder(hidden_layers=[32])
+  trf = Recoder(model_f, optimizer_type='adam', loss='mse')
+  trf.train(ds, batch_size=20, num_epochs=1, lr=0.01)
+  ckf = trf.save_state(str(tmp_path / 'ckf'))
+  ref = DynamicAutoencoder()
+  trf2 = Recoder(ref, optimizer_type='adam', loss='mse')
+  trf2.init_from_model_file(ckf)
+  assert ref.compute_dtype is None
