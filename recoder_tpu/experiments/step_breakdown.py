@@ -1,0 +1,157 @@
+"""Experiment: stage-ablated timing of the slab-cached training step.
+
+After the dense-slab cache (docs/benchmarks.md r3) the fused
+blocks-mode step runs ~0.73 ms f32 / ~0.66 ms bf16 at ML-20M bench
+shape. This harness locates the residual: each stage is timed as a
+separate jitted ``lax.scan(K)`` program (tunnel latency amortized over
+K iterations; one scalar fetched at the end), cumulative so
+consecutive differences are stage costs:
+
+  fetch      dynamic_slice B rows off the resident slab + upcast
+  forward    + normalize, denoising dropout, encode/decode matmuls
+  loss       + confidence-weighted masked MSE over the score slab
+  backward   + jax.grad through all of it
+  adam       + full-table Adam update (p, m, v donated)
+
+Shapes default to the bench config: B=500 users, W=20224 padded
+catalog, d=200, cache 117k rows (the slab cache's real row count so
+the slice reads the same layout). Run on the TPU:
+
+  python -m recoder_tpu.experiments.step_breakdown [--dtype bfloat16]
+"""
+
+import time
+
+import numpy as np
+
+
+def run(B=500, W=20224, d=200, K=64, n_cache=117000, confidence=3.0,
+        noise_prob=0.5, compute_dtype=None, seed=0, reps=3):
+  import jax
+  import jax.numpy as jnp
+
+  jax.config.update('jax_default_prng_impl', 'rbg')
+  rng = np.random.default_rng(seed)
+  cd = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
+
+  # resident slab cache (bf16, binary data) + params + Adam state
+  slab_cache = jnp.asarray(
+      (rng.random((n_cache, W)) < 0.004).astype(np.float32),
+      dtype=jnp.bfloat16)
+  params = {
+      'en': jnp.asarray(rng.standard_normal((W, d)) * 0.01,
+                        jnp.float32),
+      'de': jnp.asarray(rng.standard_normal((W, d)) * 0.01,
+                        jnp.float32),
+      'en_b': jnp.zeros((d,), jnp.float32),
+      'de_b': jnp.zeros((W,), jnp.float32),
+  }
+  adam = {
+      'm': jax.tree_util.tree_map(jnp.zeros_like, params),
+      'v': jax.tree_util.tree_map(jnp.zeros_like, params),
+      't': jnp.int32(0),
+  }
+  col_mask = (jnp.arange(W) < W - 116).astype(jnp.float32)
+  base_key = jax.random.PRNGKey(seed)
+
+  def fetch(cache, i):
+    sl = jax.lax.dynamic_slice(cache, (i * B, 0), (B, W))
+    return sl.astype(cd)
+
+  def forward(cache, p, i, key):
+    x = fetch(cache, i)
+    nrm = jnp.maximum(jnp.linalg.norm(
+        x.astype(jnp.float32), axis=1, keepdims=True), 1e-12)
+    z = (x / nrm.astype(cd))
+    keep = jax.random.bernoulli(key, 1 - noise_prob, (B, W))
+    z = jnp.where(keep, z / (1 - noise_prob), 0.0)
+    h = jnp.tanh(z @ p['en'].astype(cd) + p['en_b'].astype(cd))
+    scores = h @ p['de'].astype(cd).T + p['de_b'].astype(cd)
+    return x, scores
+
+  def loss_fn(cache, p, i, key):
+    x, scores = forward(cache, p, i, key)
+    xf = x.astype(jnp.float32)
+    sf = scores.astype(jnp.float32)
+    w = 1.0 + confidence * (xf > 0)
+    return jnp.sum(w * jnp.square(sf - xf) * col_mask[None, :]) / B
+
+  def adam_update(p, st, g, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8):
+    t = st['t'] + 1
+    m = jax.tree_util.tree_map(
+        lambda m_, g_: b1 * m_ + (1 - b1) * g_, st['m'], g)
+    v = jax.tree_util.tree_map(
+        lambda v_, g_: b2 * v_ + (1 - b2) * g_ * g_, st['v'], g)
+    tf = t.astype(jnp.float32)
+    c1 = 1 - jnp.power(jnp.float32(b1), tf)
+    c2 = 1 - jnp.power(jnp.float32(b2), tf)
+    newp = jax.tree_util.tree_map(
+        lambda p_, m_, v_: p_ - lr * (m_ / c1) /
+        (jnp.sqrt(v_ / c2) + eps), p, m, v)
+    return newp, {'m': m, 'v': v, 't': t}
+
+  n_steps = n_cache // B
+
+  def make_scan(stage):
+    # the slab cache enters as a jit ARGUMENT (closure capture would
+    # bake 4.7 GB into the serialized program -- decision record #24)
+    def body(cache, carry, k):
+      p, st = carry
+      i = jax.lax.rem(k, n_steps)
+      key = jax.random.fold_in(base_key, k)
+      if stage == 'fetch':
+        out = jnp.sum(fetch(cache, i).astype(jnp.float32))
+        return (p, st), out
+      if stage == 'forward':
+        x, scores = forward(cache, p, i, key)
+        return (p, st), jnp.sum(scores.astype(jnp.float32))
+      if stage == 'loss':
+        return (p, st), loss_fn(cache, p, i, key)
+      l, g = jax.value_and_grad(loss_fn, argnums=1)(cache, p, i, key)
+      if stage == 'backward':
+        return (p, st), l + sum(
+            jnp.sum(x[:1, :1].astype(jnp.float32))
+            for x in jax.tree_util.tree_leaves(g) if x.ndim == 2)
+      newp, newst = adam_update(p, st, g)
+      return (newp, newst), l
+
+    def prog(cache, p, st):
+      (p, st), outs = jax.lax.scan(
+          lambda c, k: body(cache, c, k), (p, st),
+          jnp.arange(K, dtype=jnp.int32))
+      return p, st, outs[-1]
+
+    return jax.jit(prog, donate_argnums=(1, 2))
+
+  results = {}
+  for stage in ('fetch', 'forward', 'loss', 'backward', 'adam'):
+    fn = make_scan(stage)
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    st = jax.tree_util.tree_map(jnp.copy, adam)
+    p, st, out = fn(slab_cache, p, st)   # compile + warm
+    float(out)                       # host fetch = the only real sync
+    times = []
+    for _ in range(reps):
+      t0 = time.time()
+      p, st, out = fn(slab_cache, p, st)
+      float(out)
+      times.append((time.time() - t0) / K * 1e3)
+    results[stage] = sorted(times)[len(times) // 2]
+    del p, st
+
+  prev = 0.0
+  print(f'dtype={cd.name} B={B} W={W} d={d} K={K}')
+  for stage, ms in results.items():
+    print(f'  {stage:9s} cum {ms:6.3f} ms   stage {ms - prev:+6.3f} ms')
+    prev = ms
+  return results
+
+
+if __name__ == '__main__':
+  import argparse
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--dtype', default=None,
+                  choices=[None, 'float32', 'bfloat16'], nargs='?')
+  args = ap.parse_args()
+  cd = args.dtype if args.dtype not in (None, 'float32') else None
+  run(compute_dtype=cd)
