@@ -190,11 +190,14 @@ class DeviceDataSource:
       self._vals_all_nonzero = True
       self._vals_bf16_exact = True
     else:
-      data_f32 = matrix.data.astype(np.float32)
-      self._vals_all_nonzero = bool(np.all(data_f32 != 0.0))
-      self._vals_bf16_exact = bool(
-          np.array_equal(data_f32.astype(jnp.bfloat16).astype(np.float32),
-                         data_f32))
+      # computed lazily on the first maybe_cache_slabs call: the two
+      # full-nnz host passes would otherwise tax every non-binary
+      # source construction (incl. MSD-scale and overflow rebuilds)
+      # that never uses the cache. matrix.data is held by reference,
+      # not copied.
+      self._vals_all_nonzero = None
+      self._vals_bf16_exact = None
+      self._host_vals = matrix.data
 
     # pad user axis so any perm slice of length `mega` is valid;
     # sentinel users have zero interactions
@@ -602,8 +605,14 @@ class DeviceDataSource:
       reason = 'num_sampling_users > batch_size'
     elif self.table_sharding is not None:
       reason = "'data'-sharded CSR storage"
-    elif not self._vals_all_nonzero:
-      reason = 'matrix stores explicit zero values'
+    else:
+      if self._vals_all_nonzero is None:  # deferred from __init__
+        data_f32 = self._host_vals.astype(np.float32)
+        self._vals_all_nonzero = bool(np.all(data_f32 != 0.0))
+        self._vals_bf16_exact = bool(np.array_equal(
+            data_f32.astype(jnp.bfloat16).astype(np.float32), data_f32))
+      if not self._vals_all_nonzero:
+        reason = 'matrix stores explicit zero values'
     dtype = jnp.bfloat16 if self._vals_bf16_exact else jnp.float32
     if reason is None:
       nbytes = self.n_pad * width * jnp.dtype(dtype).itemsize
@@ -748,7 +757,11 @@ class DeviceDataSource:
     if full_decode and self.d_slab is not None:
       # cache mode needs no tables -- but it draws the SAME host
       # permutation the table build would, so toggling the cache never
-      # changes the epoch's user order (trajectories stay comparable)
+      # changes the epoch's user order (trajectories stay comparable).
+      # Run the stale-epoch sweep here too: a prior non-cached run's
+      # final table set would otherwise stay resident beside the slab.
+      for k in [k for k in self._epoch_states if k[0] < epoch]:
+        del self._epoch_states[k]
       return {'perm': self._host_epoch_perm(epoch)}
     self.prefetch_epoch(epoch, full_decode)
     state = self._epoch_states[(epoch, full_decode)]

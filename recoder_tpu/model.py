@@ -378,15 +378,21 @@ class Recoder:
         raise payload
       yield payload
 
-  def _densify(self, rows, cols, vals, batch_pad, width):
-    dtype = getattr(self.model, 'compute_dtype', None) or jnp.float32
-    dense = jnp.zeros((batch_pad, width), dtype)
-    dense = dense.at[rows, cols].add(vals.astype(dtype), mode='drop')
+  def _shard_batch(self, dense):
+    """Constrain a [batch, width] operand to the mesh's data axis (the
+    one batch layout both the scatter and slab input paths must agree
+    on)."""
     if self.mesh is not None:
       from jax.sharding import NamedSharding, PartitionSpec as P
       dense = jax.lax.with_sharding_constraint(
           dense, NamedSharding(self.mesh, P('data', None)))
     return dense
+
+  def _densify(self, rows, cols, vals, batch_pad, width):
+    dtype = getattr(self.model, 'compute_dtype', None) or jnp.float32
+    dense = jnp.zeros((batch_pad, width), dtype)
+    dense = dense.at[rows, cols].add(vals.astype(dtype), mode='drop')
+    return self._shard_batch(dense)
 
   def _apply_extra_kwargs(self):
     """Optional kwargs for model.apply, filtered by its signature
@@ -419,11 +425,7 @@ class Recoder:
       # representable values, so the upcast reproduces the scatter
       # path's slab bit-for-bit
       dtype = getattr(model, 'compute_dtype', None) or jnp.float32
-      input_dense = batch['in_slab'].astype(dtype)
-      if self.mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        input_dense = jax.lax.with_sharding_constraint(
-            input_dense, NamedSharding(self.mesh, P('data', None)))
+      input_dense = self._shard_batch(batch['in_slab'].astype(dtype))
     else:
       input_dense = self._densify(batch['in_rows'], batch['in_cols'],
                                   batch['in_vals'], B, in_width)
@@ -581,6 +583,12 @@ class Recoder:
     cached = self._step_fns.get(cache_key)
     if cached is not None and cached[0] is source:
       return cached[1]
+    # a new source supersedes ALL fused entries, not just this key's:
+    # an entry under a key this run never requests again (e.g. the
+    # d_slab flag flipped) would otherwise pin the old source -- and
+    # its multi-GiB slab/CSR arrays -- for the trainer's lifetime
+    self._step_fns = {k: v for k, v in self._step_fns.items()
+                      if k[0] != 'fused' or v[0] is source}
 
     def build(perm, step_idx, global_step, src):
       with source.bound(src):
@@ -1147,6 +1155,11 @@ class Recoder:
       # the free-HBM budget)
       fused_source.maybe_cache_slabs(self.model.num_items_padded,
                                      request=slab_cache)
+    elif fused_source is not None:
+      # a slab left by a previous full-decode run is dead HBM weight
+      # on any non-fd path (and would force the scan-dispatch
+      # heuristic onto the general users-mode step) -- drop it
+      fused_source.maybe_cache_slabs(0, request=False)
 
     # a partially-consumed iterator only carries over into a train()
     # call with the same dataset and batching config (resuming the
@@ -1429,7 +1442,13 @@ class Recoder:
         'device pipeline overflow this epoch: %d interactions truncated, '
         '%d union items dropped; growing budgets and rebuilding the '
         'on-device source', nnz_dropped, union_dropped)
-    self._overflow_rebuild = (int(overflow[2]), int(overflow[3]))
+    # elementwise max with any pending note: the async epoch-log
+    # threads may deliver epochs out of order, and a late small
+    # overflow must not shrink the budget a larger one already asked
+    # for (that would force a second warn+rebuild cycle)
+    prev = self._overflow_rebuild or (0, 0)
+    self._overflow_rebuild = (max(prev[0], int(overflow[2])),
+                              max(prev[1], int(overflow[3])))
 
   def _rebuild_fused_source(self, fused_source, train_dataset, batch_size,
                             num_sampling_users):
@@ -1451,6 +1470,14 @@ class Recoder:
     log.info('rebuilding device source: mega_nnz_budget %d -> %d, '
              'union_width %d -> %d', fused_source.mega_nnz_budget,
              new_budget, fused_source.union_width, new_width)
+    # carry the dense-slab cache across the rebuild: free the old
+    # source's slab FIRST (both resident at once could not fit), purge
+    # fused step fns still referencing the old source, then re-request
+    # on the new source below
+    slab_width = fused_source._slab_width
+    fused_source.maybe_cache_slabs(0, request=False)
+    self._step_fns = {k: v for k, v in self._step_fns.items()
+                      if k[0] != 'fused'}
     target_matrix = train_dataset.target_interactions_matrix
     fused_source = DeviceDataSource(
         train_dataset.interactions_matrix, batch_size=batch_size,
@@ -1466,6 +1493,10 @@ class Recoder:
          fused_source.num_random_negatives, target_matrix is not None,
          fused_source._want_table_sharding),
         fused_source, target_matrix)
+    if slab_width is not None and \
+        not fused_source.maybe_cache_slabs(slab_width, request='auto'):
+      log.warning('dense-slab cache not re-established after the '
+                  'overflow rebuild; continuing on the scatter path')
     return fused_source
 
   def _maybe_profile(self, profile_dir, profile_steps):

@@ -808,8 +808,8 @@ def test_slab_cache_gating(matrix):
   m0 = matrix.copy()
   m0.data[0] = 0.0
   src = _slab_source(m0, 'users')
-  assert not src._vals_all_nonzero
   assert not src.maybe_cache_slabs(W, request=True)
+  assert src._vals_all_nonzero is False  # computed lazily, then gated
 
   # request=False clears an existing cache
   src = _slab_source(matrix, 'users')
@@ -826,15 +826,15 @@ def test_slab_cache_dtype_selection(matrix):
   n_users, n_items = matrix.shape
   W = n_items + 6
   src = _slab_source(matrix, 'users')  # integer values 1..4
-  assert src._vals_bf16_exact
   assert src.maybe_cache_slabs(W, request=True)
+  assert src._vals_bf16_exact  # computed lazily by the call above
   assert src.d_slab.dtype == jnp.bfloat16
 
   m = matrix.copy()
   m.data = m.data + 0.01  # not bf16-representable
   src = _slab_source(m, 'users')
-  assert not src._vals_bf16_exact
   assert src.maybe_cache_slabs(W, request=True)
+  assert not src._vals_bf16_exact
   assert src.d_slab.dtype == jnp.float32
 
   from recoder_tpu.model import Recoder
@@ -853,3 +853,40 @@ def test_slab_cache_dtype_selection(matrix):
   for k in a:
     np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                atol=1e-6, err_msg=f'param {k} diverged')
+
+
+def test_slab_cache_dropped_on_non_fd_train(matrix):
+  """A later non-full-decode train() on the same cached source must
+  drop the slab (dead HBM weight on the union path) and purge fused
+  step fns referencing superseded sources."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(matrix)
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[16],
+                                        noise_prob=0.0),
+               optimizer_type='adam', loss='mse', seed=3)
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=1,
+           negative_sampling=True, full_decode=True, slab_cache=True)
+  src = tr._fused_source_cache[2]
+  assert src.d_slab is not None
+
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=2,
+           negative_sampling=True, full_decode=False)
+  assert src.d_slab is None
+  # every fused step fn must reference the CURRENT source only
+  cur = tr._fused_source_cache[2]
+  for k, v in tr._step_fns.items():
+    if k[0] == 'fused':
+      assert v[0] is cur
+
+
+def test_slab_eligibility_stats_lazy(matrix):
+  """Non-binary sources defer the full-nnz eligibility passes until a
+  cache is actually requested."""
+  m = matrix.copy()
+  m.data = m.data + 0.25  # non-binary
+  src = _slab_source(m, 'users')
+  assert src._vals_all_nonzero is None  # not computed at init
+  assert src.maybe_cache_slabs(m.shape[1] + 6, request=True)
+  assert src._vals_all_nonzero is True  # computed on demand

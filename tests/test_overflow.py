@@ -191,3 +191,42 @@ def test_rebuild_with_partial_epoch_iterator(matrix, caplog):
              for r in caplog.records)
   for v in tr.model.params.values():
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_note_overflow_takes_elementwise_max(matrix):
+  """Out-of-order async epoch notes must not shrink a pending rebuild
+  request (elementwise max, not overwrite)."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8]),
+               optimizer_type='adam', loss='mse')
+  tr._note_overflow(np.asarray([10, 2, 5000, 64]))
+  tr._note_overflow(np.asarray([1, 1, 50, 8]))  # late, smaller
+  assert tr._overflow_rebuild == (5000, 64)
+
+
+def test_rebuild_preserves_slab_cache(matrix, caplog):
+  """An overflow-triggered source rebuild must re-establish the
+  dense-slab cache on the new source (the fd path itself cannot
+  overflow, but a pending note from an earlier config can force a
+  rebuild mid-slab-run)."""
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(matrix)
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8],
+                                        noise_prob=0.0),
+               optimizer_type='adam', loss='mse', seed=1)
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=1,
+           negative_sampling=True, full_decode=True, slab_cache=True)
+  assert tr._fused_source_cache[2].d_slab is not None
+
+  tr._overflow_rebuild = (16, 8)  # pending note from elsewhere
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=3,
+           negative_sampling=True, full_decode=True, slab_cache=True)
+  rebuilt = tr._fused_source_cache[2]
+  assert rebuilt.d_slab is not None, \
+      'slab cache lost across the overflow rebuild'
+  for v in tr.model.params.values():
+    assert np.isfinite(np.asarray(v)).all()
