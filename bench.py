@@ -86,11 +86,19 @@ def main():
   ap.add_argument('--dtype', choices=['auto', 'float32', 'bfloat16'],
                   default='auto',
                   help="matmul compute dtype. 'auto' = bfloat16 for "
-                       "the ml20m config (quality gate-tested at the "
+                       "dense models (quality gate-tested at the "
                        "reference-pinned metrics: tests/test_model.py "
                        "bf16 row + bench_quality.py --dtype bfloat16) "
-                       "and float32 for msd (sparse path not yet "
-                       "quality-gated at bf16)")
+                       "and float32 for --sparse (sparse path not "
+                       "quality-gated at bf16; measured neutral "
+                       "anyway, docs/benchmarks.md)")
+  ap.add_argument('--sparse', action='store_true',
+                  help="msd only: use sparse embedding tables "
+                       "(row-sparse Adam over gathered unions), the "
+                       "reference script's configuration. Default is "
+                       "dense + full-decode, measured 2.1x faster at "
+                       "MSD shape (docs/benchmarks.md) with the same "
+                       "gate-tested quality")
   ap.add_argument('--dataset', choices=['ml20m', 'msd'], default='ml20m',
                   help="workload shape: ml20m (MSE headline config) or "
                        "msd (BASELINE config 3: multinomial NLL "
@@ -106,15 +114,20 @@ def main():
   from recoder_tpu.model import Recoder
   from recoder_tpu.models import DynamicAutoencoder
 
+  sparse = args.sparse and args.dataset == 'msd'
   if args.dtype == 'auto':
-    args.dtype = 'bfloat16' if args.dataset == 'ml20m' else 'float32'
+    args.dtype = 'float32' if sparse else 'bfloat16'
   cd = None if args.dtype == 'float32' else args.dtype
   if args.dataset == 'msd':
     matrix = synthesize(MSD_USERS, MSD_ITEMS, MSD_MEAN_ITEMS_PER_USER)
     num_users = MSD_USERS
+    # default dense: at MSD's catalog/union ratio (~2.9x) the
+    # full-decode dense step beats the sparse union path 2.1x (the
+    # row-scatters cost full-table passes anyway, docs/benchmarks.md);
+    # --sparse measures the reference script's sparse=True config
     model = DynamicAutoencoder(hidden_layers=[200],
                                activation_type='tanh', noise_prob=0.5,
-                               sparse=True, compute_dtype=cd)
+                               sparse=sparse, compute_dtype=cd)
     trainer = Recoder(model=model, optimizer_type='adam',
                       loss='logloss')
     metric_name = 'msd_user_batches_per_sec'

@@ -945,7 +945,7 @@ class DeviceDataSource:
     wider slab for zero union build, zero table-row gathers, and a
     pure-matmul backward (measured 1.73x on fwd+bwd at ML-20M shape,
     experiments/coo_forward.py). The trainer auto-selects it when the
-    padded catalog is at most ~2x the union width.
+    padded catalog is at most ~4x the union width.
     """
     if full_decode and negative_sampling and self.d_slab is not None:
       p = perm['perm'] if isinstance(perm, dict) else perm

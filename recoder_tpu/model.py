@@ -1032,7 +1032,7 @@ class Recoder:
     same values); the backward becomes pure MXU matmuls instead of
     table scatter-adds -- measured 1.73x on fwd+bwd at ML-20M shape
     (experiments/coo_forward.py). 'auto' selects it when the padded
-    catalog is at most 2x the union width (the slab passes grow with
+    catalog is at most 4x the union width (the slab passes grow with
     catalog width, so union gathering wins again on MSD-class
     catalogs where union << catalog).
     ``slab_cache`` ('auto' | True | False): with full decode, cache
@@ -1145,9 +1145,11 @@ class Recoder:
       if full_decode is True:
         fd = True
       else:  # 'auto': slab passes scale with the catalog width, the
-        # union gathers with the union width -- break-even ~2x
+        # union gathers/scatters with the table size -- break-even
+        # bracketed by measurement (docs/benchmarks.md): fd wins 1.7x
+        # at ratios 1.26x (ML-20M) and 2.9x (MSD), loses 1.8x at 6.3x
         fd = (self.model.num_items_padded
-              <= 2 * fused_source.union_width)
+              <= 4 * fused_source.union_width)
     if fd:
       # trade HBM capacity for the per-step triplet scatter: cache the
       # (epoch-invariant) densified matrix once and fetch B rows per
