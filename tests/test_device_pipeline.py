@@ -890,3 +890,48 @@ def test_slab_eligibility_stats_lazy(matrix):
   assert src._vals_all_nonzero is None  # not computed at init
   assert src.maybe_cache_slabs(m.shape[1] + 6, request=True)
   assert src._vals_all_nonzero is True  # computed on demand
+
+
+def _fd_engaged(tr):
+  keys = [k for k in tr._step_fns if k[0] == 'fused']
+  assert keys, 'no fused step traced'
+  flags = {k[4] for k in keys}
+  assert len(flags) == 1, flags
+  return flags.pop()
+
+
+def test_full_decode_auto_threshold():
+  """'auto' engages full decode up to 4x the union width (break-even
+  bracketed by measurement, docs/benchmarks.md: wins at 2.9x, loses
+  at 6.3x) and falls back to the union path beyond it."""
+  from scipy import sparse as sp
+
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  rng = np.random.default_rng(11)
+
+  def run(n_items, items_per_user):
+    rows = np.repeat(np.arange(48), items_per_user)
+    cols = rng.integers(0, min(60, n_items), rows.shape[0])  # narrow union
+    m = sp.csr_matrix(
+        (np.ones(rows.shape[0], np.float32), (rows, cols)),
+        shape=(48, n_items))
+    m.sum_duplicates(); m.data[:] = 1.0
+    ds = RecommendationDataset(m)
+    tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8],
+                                          noise_prob=0.0),
+                 optimizer_type='adam', loss='mse', seed=7)
+    tr.train(train_dataset=ds, batch_size=8, num_epochs=1,
+             negative_sampling=True)
+    src = tr._fused_source_cache[2]
+    fd = _fd_engaged(tr)
+    ratio = tr.model.num_items_padded / src.union_width
+    assert fd == (ratio <= 4), (fd, ratio)
+    return fd, ratio
+
+  fd_small, r_small = run(n_items=200, items_per_user=12)
+  fd_big, r_big = run(n_items=4000, items_per_user=12)
+  # the two shapes must actually straddle the threshold
+  assert fd_small and r_small <= 4, r_small
+  assert not fd_big and r_big > 4, r_big
