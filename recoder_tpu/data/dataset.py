@@ -28,6 +28,15 @@ class UsersInteractions:
 def _take_rows(matrix, index):
   """Extract rows ``index`` of a CSR matrix as a new CSR matrix, fast."""
   index = np.asarray(index).reshape(-1)
+  # python-style negative row indices (scipy fancy-indexing supports
+  # them; the raw indptr arithmetic below would compute a negative nnz)
+  if index.size and index.min() < 0:
+    n_rows = matrix.shape[0]
+    bad = index[index < -n_rows]
+    if bad.size:
+      raise IndexError(f'row index {int(bad[0])} out of range for '
+                       f'{n_rows} rows')
+    index = np.where(index < 0, index + n_rows, index)
   indptr = matrix.indptr
   counts = indptr[index + 1] - indptr[index]
   out_indptr = np.zeros(len(index) + 1, dtype=indptr.dtype)

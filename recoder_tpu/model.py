@@ -22,6 +22,7 @@ Parity with reference recoder/model.py:22-559, re-architected for TPU:
 """
 
 import logging
+import threading
 import time
 
 import jax
@@ -167,6 +168,9 @@ class Recoder:
     self._iters_consumed = 0
     self._profiling = False
     self._overflow_rebuild = None
+    # guards the read-modify-write below: overflow notes arrive from
+    # concurrent async epoch-log threads (only epochs <= e-2 are joined)
+    self._overflow_note_lock = threading.Lock()
 
   # ------------------------------------------------------------------
   # initialization
@@ -225,7 +229,15 @@ class Recoder:
                           for p in sparse_paths}
 
     if prev_opt_state is not None:
-      self.opt_state = prev_opt_state
+      if (jax.tree_util.tree_structure(prev_opt_state)
+          == jax.tree_util.tree_structure(self.opt_state)):
+        self.opt_state = prev_opt_state
+      else:
+        # optimizer_type changed on a live instance (directly or via
+        # init_from_model_file): carried-over moments belong to the
+        # old update rule's state tree
+        log.warning('optimizer state structure changed '
+                    '(optimizer_type switch); optimizer state reset')
     if prev_sparse_states:
       self.sparse_states = prev_sparse_states
 
@@ -243,7 +255,12 @@ class Recoder:
       except ValueError:
         # checkpoint saved under the other optimizer split (sparse vs
         # dense model instantiation): weights still load; moments
-        # restart fresh
+        # restart fresh. Re-init explicitly -- the failed adapt may
+        # have landed partially, and the pre-adapt value could be a
+        # carried-over previous state rather than a fresh init.
+        self.opt_state = self.optimizer.init(dense_params)
+        self.sparse_states = {p: self.sparse_adam.init(self.model.params[p])
+                              for p in sparse_paths}
         log.warning('checkpoint optimizer state does not match this '
                     "model's sparse/dense split; optimizer state reset")
       self._pending_opt_arrays = None
@@ -293,7 +310,12 @@ class Recoder:
     # gc'd module's id can be reused by a new one, silently matching
     # the stale trace. Custom modules compare by identity (default
     # __eq__), strings by value -- both are the right invalidation.
-    trace_key = (float(weight_decay), self.loss)
+    # optimizer_type and loss_params are keyed too: init_from_model_file
+    # can swap both on a live instance, and the compiled step baked the
+    # old update rule / loss constants at trace time.
+    trace_key = (float(weight_decay), self.loss,
+                 self.optimizer_type,
+                 tuple(sorted(self.loss_params.items())))
     if getattr(self, '_step_trace_key', None) not in (None, trace_key):
       self._step_fns = {}
       self._loss_fns = {}
@@ -356,27 +378,46 @@ class Recoder:
         yield self._to_device(staged), target_batch is not None
       return
     import queue as _queue
-    import threading as _threading
     q = _queue.Queue(maxsize=depth)
+    # an abandoned consumer (train() switching datasets/batch_size drops
+    # the persistent iterator) must release the producer: a bare
+    # q.put() would block forever, leaking the thread plus up to
+    # depth+1 device-resident staged batches
+    stop = threading.Event()
+
+    def _put(item):
+      while not stop.is_set():
+        try:
+          q.put(item, timeout=0.2)
+          return True
+        except _queue.Full:
+          continue
+      return False
 
     def producer():
       try:
         for input_batch, target_batch in dataloader:
+          if stop.is_set():
+            return
           staged = self._stage_batch(input_batch, target_batch)
           staged = self._to_device(staged)
-          q.put(('ok', (staged, target_batch is not None)))
-        q.put(('done', None))
+          if not _put(('ok', (staged, target_batch is not None))):
+            return
+        _put(('done', None))
       except BaseException as e:  # propagate into the training loop
-        q.put(('err', e))
+        _put(('err', e))
 
-    _threading.Thread(target=producer, daemon=True).start()
-    while True:
-      kind, payload = q.get()
-      if kind == 'done':
-        return
-      if kind == 'err':
-        raise payload
-      yield payload
+    threading.Thread(target=producer, daemon=True).start()
+    try:
+      while True:
+        kind, payload = q.get()
+        if kind == 'done':
+          return
+        if kind == 'err':
+          raise payload
+        yield payload
+    finally:
+      stop.set()  # runs on close()/GC of the generator too
 
   def _shard_batch(self, dense):
     """Constrain a [batch, width] operand to the mesh's data axis (the
@@ -1448,16 +1489,18 @@ class Recoder:
     # threads may deliver epochs out of order, and a late small
     # overflow must not shrink the budget a larger one already asked
     # for (that would force a second warn+rebuild cycle)
-    prev = self._overflow_rebuild or (0, 0)
-    self._overflow_rebuild = (max(prev[0], int(overflow[2])),
-                              max(prev[1], int(overflow[3])))
+    with self._overflow_note_lock:
+      prev = self._overflow_rebuild or (0, 0)
+      self._overflow_rebuild = (max(prev[0], int(overflow[2])),
+                                max(prev[1], int(overflow[3])))
 
   def _rebuild_fused_source(self, fused_source, train_dataset, batch_size,
                             num_sampling_users):
     """Replace the on-device source with grown budgets after overflow."""
     from recoder_tpu.data.device_pipeline import DeviceDataSource
-    max_nnz_dropped, max_union_dropped = self._overflow_rebuild
-    self._overflow_rebuild = None
+    with self._overflow_note_lock:
+      max_nnz_dropped, max_union_dropped = self._overflow_rebuild
+      self._overflow_rebuild = None
     new_budget = fused_source.mega_nnz_budget
     new_width = fused_source.union_width
     if max_nnz_dropped:

@@ -16,8 +16,17 @@ def unzip(l):
 
 
 def normalize(x, axis=None):
-  """L2-normalize ``x`` along ``axis`` (rows reshaped for broadcasting)."""
-  return x / np.linalg.norm(x, axis=axis).reshape(-1, 1)
+  """L2-normalize ``x`` along ``axis``.
+
+  Deviation from reference utils.py:15 (documented in SURVEY.md §7):
+  the reference's unconditional ``.reshape(-1, 1)`` silently
+  normalizes along the wrong axis for ``axis=0`` and returns shape
+  ``(1, n)`` for 1-D input; ``keepdims`` broadcasting is correct for
+  every axis and preserves the input's shape. Identical results for
+  the reference's own working cases (``axis=1`` / ``axis=None`` on
+  2-D input).
+  """
+  return x / np.linalg.norm(x, axis=axis, keepdims=True)
 
 
 def dataframe_to_csr_matrix(dataframe, user_col, item_col,

@@ -81,6 +81,21 @@ def test_RecommendationDataset(input_dataframe):
   assert len(replica) == 0
 
 
+def test_RecommendationDataset_negative_index(input_dataframe):
+  """Python-style negative row indices behave like scipy fancy
+  indexing (the raw indptr arithmetic used to compute a negative nnz
+  and crash on np.empty)."""
+  matrix, _, _ = dataframe_to_csr_matrix(
+      input_dataframe, user_col='user', item_col='item', inter_col='inter')
+  dataset = RecommendationDataset(matrix)
+  n = len(dataset)
+  neg, _ = dataset[[-1, -n]]
+  pos, _ = dataset[[n - 1, 0]]
+  assert (neg.interactions_matrix != pos.interactions_matrix).nnz == 0
+  with pytest.raises(IndexError):
+    dataset[[-n - 1]]
+
+
 def test_RecommendationDataset_target(input_dataframe, target_dataframe):
   common_users = np.intersect1d(input_dataframe.user.unique(),
                                 target_dataframe.user.unique())

@@ -133,8 +133,12 @@ def test_matrix_factorization_trains():
 
 
 def test_checkpoint_resume_continues_epochs(tmp_path):
-  """Resume semantics: training continues from last_epoch + 1 with
-  optimizer state restored (reference model.py:166-191,327-330)."""
+  """Resume semantics: the epoch loop restarts AT last_epoch (the
+  reference re-runs the last completed epoch on resume,
+  range(current_epoch, num_epochs+1) at reference model.py:360 with
+  current_epoch = last_epoch from model.py:178) with optimizer state
+  restored (reference model.py:166-191,327-330). bench.py accounts
+  for the extra epoch via current_epoch, not assumptions."""
   rng = np.random.default_rng(0)
   df = pd.DataFrame({'uid': rng.integers(0, 40, 400),
                      'sid': rng.integers(0, 60, 400),

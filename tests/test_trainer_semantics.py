@@ -182,3 +182,73 @@ def test_blocks_mode_trains_mf_and_values_data():
   ui = UsersInteractions(users=np.arange(5), interactions_matrix=m[:5])
   out = np.asarray(tr.predict(ui))
   assert np.all(np.isfinite(out))
+
+
+def test_optimizer_swap_via_checkpoint_retraces(tmp_path):
+  """init_from_model_file can change optimizer_type on a live,
+  already-trained instance: the compiled step must retrace with the
+  new update rule and the carried-over state of the OLD rule must be
+  dropped, not silently reused (review r3: stale-trace finding)."""
+  ds = _dataset()
+  adam = Recoder(model=DynamicAutoencoder(hidden_layers=[32]),
+                 optimizer_type='adam', loss='mse')
+  adam.train(train_dataset=ds, batch_size=16, num_epochs=1,
+             negative_sampling=True,
+             model_checkpoint_prefix=str(tmp_path / 'ck'))
+
+  sgd = Recoder(model=DynamicAutoencoder(hidden_layers=[32]),
+                optimizer_type='sgd', loss='mse')
+  sgd.train(train_dataset=ds, batch_size=16, num_epochs=1,
+            negative_sampling=True)
+  assert set(sgd.opt_state) == {'step', 'momentum'}
+
+  sgd.init_from_model_file(str(tmp_path / 'ck_epoch_1.model'))
+  assert sgd.optimizer_type == 'adam'
+  sgd.train(train_dataset=ds, batch_size=16, num_epochs=2,
+            negative_sampling=True)
+  # continued training ran the ADAM update rule on adam-structured state
+  assert set(sgd.opt_state) == {'step', 'm', 'v'}
+  assert int(sgd.opt_state['step']) > 0
+
+
+def test_note_overflow_concurrent_keeps_max(caplog):
+  """_note_overflow is called from concurrent async epoch-log threads;
+  a lost update must not shrink the budget a larger overflow already
+  asked for."""
+  import logging as _logging
+  import threading
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8]),
+               optimizer_type='adam', loss='mse')
+  with caplog.at_level(_logging.ERROR, logger='recoder_tpu'):
+    def note(v):
+      for _ in range(100):
+        tr._note_overflow(np.array([1, 1, v, v]))
+    threads = [threading.Thread(target=note, args=(v,))
+               for v in (7, 5000, 123)]
+    for t in threads:
+      t.start()
+    for t in threads:
+      t.join()
+  assert tr._overflow_rebuild == (5000, 5000)
+
+
+def test_abandoned_device_iter_releases_producer_thread():
+  """Dropping a partially-consumed _device_batch_iter (train() with a
+  new dataset/batch_size discards the persistent iterator) must stop
+  the staging thread instead of leaking it blocked on a full queue."""
+  import threading
+  import time
+  from recoder_tpu.data import RecommendationDataLoader
+  ds = _dataset(users=120)
+  loader = RecommendationDataLoader(ds, batch_size=4,
+                                    negative_sampling=True)
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8]),
+               optimizer_type='adam', loss='mse')
+  before = threading.active_count()
+  it = tr._device_batch_iter(loader, depth=2)
+  next(it)   # producer thread is now alive and filling the queue
+  it.close()
+  deadline = time.time() + 5.0
+  while threading.active_count() > before and time.time() < deadline:
+    time.sleep(0.05)
+  assert threading.active_count() <= before

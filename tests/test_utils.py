@@ -15,6 +15,21 @@ def test_normalize_rows():
   np.testing.assert_allclose(np.linalg.norm(out, axis=1), [1.0, 1.0])
 
 
+def test_normalize_axis0_and_1d():
+  """Deviation from the reference's reshape(-1, 1) quirk: axis=0
+  normalizes COLUMNS and 1-D input keeps its shape (SURVEY.md §7)."""
+  x = np.array([[3.0, 4.0], [4.0, 3.0]])
+  out = normalize(x, axis=0)
+  np.testing.assert_allclose(np.linalg.norm(out, axis=0), [1.0, 1.0])
+  # non-square would raise a broadcast error under the old reshape
+  y = np.arange(6, dtype=float).reshape(2, 3) + 1
+  np.testing.assert_allclose(np.linalg.norm(normalize(y, axis=0), axis=0),
+                             np.ones(3))
+  v = normalize(np.array([3.0, 4.0]))
+  assert v.shape == (2,)
+  np.testing.assert_allclose(np.linalg.norm(v), 1.0)
+
+
 def test_dataframe_to_csr_matrix_roundtrip():
   df = pd.DataFrame({
       'user': [10, 10, 20, 30, 30, 30],
