@@ -43,12 +43,21 @@ def log(*a):
   print(*a, file=sys.stderr, flush=True)
 
 
-def synthesize(num_users, num_items, mean_items, seed=0):
-  """CSR matrix with the given shape and a Zipf popularity profile."""
+def synthesize(num_users, num_items, mean_items, seed=0,
+               mean_factor=0.683):
+  """CSR matrix with the given shape and a Zipf popularity profile.
+
+  ``mean_factor`` calibrates the lognormal location so the POST-dedup
+  nnz matches ``mean_items`` per user (a lognormal with sigma=0.9 has
+  mean e^{sigma^2/2} ~= 1.5x its median, and duplicate (user, item)
+  draws collapse): 0.683 lands ML-20M at 9,988,862 nnz / 85.6
+  items-per-user (target ~9.99M) and 0.68 lands MSD at 59.2
+  (measured; an uncalibrated 0.6 ran ~12% light).
+  """
   from scipy.sparse import csr_matrix
   rng = np.random.default_rng(seed)
   # per-user interaction counts: lognormal, clipped to [5, 1000]
-  counts = np.clip(rng.lognormal(mean=np.log(mean_items * 0.6),
+  counts = np.clip(rng.lognormal(mean=np.log(mean_items * mean_factor),
                                  sigma=0.9, size=num_users),
                    5, 1000).astype(np.int64)
   total = int(counts.sum())
@@ -114,12 +123,17 @@ def main():
   from recoder_tpu.model import Recoder
   from recoder_tpu.models import DynamicAutoencoder
 
-  sparse = args.sparse and args.dataset == 'msd'
+  if args.sparse and args.dataset != 'msd':
+    ap.error('--sparse applies to --dataset msd only (the ml20m MSE '
+             'headline config is dense in the reference script too, '
+             'scripts/ml-20m/train.py)')
+  sparse = args.sparse
   if args.dtype == 'auto':
     args.dtype = 'float32' if sparse else 'bfloat16'
   cd = None if args.dtype == 'float32' else args.dtype
   if args.dataset == 'msd':
-    matrix = synthesize(MSD_USERS, MSD_ITEMS, MSD_MEAN_ITEMS_PER_USER)
+    matrix = synthesize(MSD_USERS, MSD_ITEMS, MSD_MEAN_ITEMS_PER_USER,
+                        mean_factor=0.68)
     num_users = MSD_USERS
     # default dense: at MSD's catalog/union ratio (~2.9x) the
     # full-decode dense step beats the sparse union path 2.1x (the
@@ -171,11 +185,17 @@ def main():
       f'{timed_epochs * num_users / dt:,.0f}  '
       f'full-train(10ep) projection={10 * epoch_time:.1f}s')
 
+  # the K80 baseline is derived from the reference's ML-20M "<60 s"
+  # claim only; no published MSD baseline exists (BASELINE.json
+  # 'published' is empty), so an MSD ratio against it would be
+  # meaningless accounting -- emit null instead
+  vs_baseline = (round(batches_per_sec / K80_BASELINE_BATCHES_PER_SEC, 3)
+                 if args.dataset == 'ml20m' else None)
   print(json.dumps({
       'metric': metric_name,
       'value': round(batches_per_sec, 2),
       'unit': 'batches/s',
-      'vs_baseline': round(batches_per_sec / K80_BASELINE_BATCHES_PER_SEC, 3),
+      'vs_baseline': vs_baseline,
   }))
 
 

@@ -116,7 +116,10 @@ def load_real_fixture():
   from recoder_tpu.data import RecommendationDataset
   from recoder_tpu.utils import dataframe_to_csr_matrix
 
-  data_dir = 'tests/data'
+  # anchor on this file, not the CWD (tests/test_model.py does the
+  # same with its own __file__)
+  data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'tests', 'data')
   train_df = pd.read_csv(os.path.join(data_dir, 'train.csv.gz'))
   val_df = pd.read_csv(os.path.join(data_dir, 'val.csv.gz'))
   val_df = val_df[val_df.sid.isin(train_df.sid.unique())]

@@ -1072,7 +1072,9 @@ class DeviceDataSource:
     # slice s of the mega-batch
     lo_u, hi_u = s * B, s * B + B
     start_s = offsets[lo_u]
-    end_s = jnp.where(hi_u - 1 < S, cum[hi_u - 1], total)
+    # hi_u = s*B + B <= spm*B = S always (mega % batch_size == 0 is
+    # asserted at construction), so cum[hi_u - 1] is always in range
+    end_s = cum[hi_u - 1]
     rows_m = u_of_j - lo_u
     in_slice = jnp.logical_and(j >= start_s, j < end_s)
     in_slice = jnp.logical_and(in_slice, valid)
@@ -1241,7 +1243,9 @@ class DeviceDataSource:
     width_valid = pre['widths'][block]
 
     start_s = offsets[lo_u]
-    end_s = jnp.where(hi_u - 1 < S, cum[hi_u - 1], total)
+    # hi_u = s*B + B <= spm*B = S always (mega % batch_size == 0 is
+    # asserted at construction), so cum[hi_u - 1] is always in range
+    end_s = cum[hi_u - 1]
     rows = u_of_j - lo_u
     in_slice = jnp.logical_and(jnp.logical_and(j >= start_s, j < end_s),
                                valid)
