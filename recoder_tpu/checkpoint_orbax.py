@@ -26,6 +26,7 @@ and :func:`load_checkpoint_orbax` finishes an interrupted swap
 both the old and the new checkpoint).
 """
 
+import atexit
 import json
 import os
 import shutil
@@ -40,6 +41,10 @@ _META_KEY = '__recoder_meta__'
 _PENDING = None        # in-flight async save thread (at most one)
 _PENDING_ERROR = None  # exception raised by the last async save
 _CHECKPOINTER = None   # long-lived orbax checkpointer (owns threads)
+_LOCK = threading.Lock()   # guards _PENDING/_PENDING_ERROR variables only
+_SAVE_SERIAL = threading.Lock()  # serializes save API calls; never
+                                 # taken by the worker thread (holding
+                                 # it across join() is safe)
 
 
 def _checkpointer():
@@ -56,17 +61,33 @@ def wait_for_pending_saves():
   Re-raises, once, any exception the background save hit.
   """
   global _PENDING, _PENDING_ERROR
-  if _PENDING is not None:
-    _PENDING.join()
-    _PENDING = None
-  if _PENDING_ERROR is not None:
+  with _LOCK:
+    pending = _PENDING
+  if pending is not None:
+    pending.join()
+    with _LOCK:
+      if _PENDING is pending:
+        _PENDING = None
+  with _LOCK:
     err, _PENDING_ERROR = _PENDING_ERROR, None
+  if err is not None:
     raise err
+
+
+# an async save error is otherwise only surfaced by a LATER save/load/
+# wait call; make sure a run whose final checkpoint failed does not
+# exit silently successful
+atexit.register(wait_for_pending_saves)
 
 
 def _save_and_swap(path, arrays_tree):
   tmp, old = path + '.tmp-save', path + '.old'
-  for leftover in (tmp, old):   # stale debris from a crashed run
+  if not os.path.isdir(path):
+    # a crash mid-swap can leave the ONLY complete checkpoint in
+    # tmp/old with ``path`` absent -- restore it rather than deleting
+    # it, so a failure in THIS save still leaves a checkpoint behind
+    _recover_interrupted_swap(path)
+  for leftover in (tmp, old):   # genuinely stale debris
     if os.path.isdir(leftover):
       shutil.rmtree(leftover)
   ckptr = _checkpointer()
@@ -97,28 +118,32 @@ def save_checkpoint_orbax(path, arrays_tree, metadata, async_save=True):
   """
   global _PENDING
   path = os.path.abspath(path)
-  wait_for_pending_saves()  # at most one in-flight save
-  arrays_tree = jax.tree_util.tree_map(np.asarray, arrays_tree)
-  arrays_tree = dict(arrays_tree)
-  if _META_KEY in arrays_tree:
-    raise ValueError(f'{_META_KEY!r} is a reserved checkpoint key')
-  arrays_tree[_META_KEY] = np.frombuffer(
-      json.dumps(metadata).encode('utf-8'), dtype=np.uint8)
+  with _SAVE_SERIAL:  # concurrent savers: at most one in-flight save
+    wait_for_pending_saves()
+    arrays_tree = jax.tree_util.tree_map(np.asarray, arrays_tree)
+    arrays_tree = dict(arrays_tree)
+    if _META_KEY in arrays_tree:
+      raise ValueError(f'{_META_KEY!r} is a reserved checkpoint key')
+    arrays_tree[_META_KEY] = np.frombuffer(
+        json.dumps(metadata).encode('utf-8'), dtype=np.uint8)
 
-  if not async_save:
-    _save_and_swap(path, arrays_tree)
-    return
-
-  def work():
-    global _PENDING_ERROR
-    try:
+    if not async_save:
       _save_and_swap(path, arrays_tree)
-    except BaseException as e:  # surfaced by wait_for_pending_saves
-      _PENDING_ERROR = e
+      return
 
-  _PENDING = threading.Thread(target=work, name='orbax-save',
+    def work():
+      global _PENDING_ERROR
+      try:
+        _save_and_swap(path, arrays_tree)
+      except BaseException as e:  # surfaced by wait_for_pending_saves
+        with _LOCK:
+          _PENDING_ERROR = e
+
+    thread = threading.Thread(target=work, name='orbax-save',
                               daemon=False)
-  _PENDING.start()
+    with _LOCK:
+      _PENDING = thread
+    thread.start()
 
 
 def _recover_interrupted_swap(path):

@@ -548,7 +548,20 @@ class Recoder:
     sparse_paths = tuple(sorted(model.sparse_param_paths()))
     in_items = batch.get('in_items', None)
     tg_items = batch.get('tg_items', in_items)
-    entries = model.sparse_entries(input_users=batch['in_users'],
+    in_users = batch['in_users']
+    if in_users is not None and getattr(model, 'num_users', None):
+      # host-loader batches pad the users vector with user id 0
+      # (loader.py); a sparse user-table update must not write row 0's
+      # moments from those slots (zero grads still decay m/v and race
+      # a genuine row-0 update). Redirect pad slots to the sentinel
+      # row `num_users` (always present: pad_dim is strictly greater),
+      # whose moments stay exactly zero -- same convention as the item
+      # unions' sentinel padding. The fused pipeline already pads with
+      # the sentinel; this mask is a no-op there.
+      B = in_users.shape[0]
+      valid = jnp.arange(B) < batch['in_valid_users']
+      in_users = jnp.where(valid, in_users, model.num_users)
+    entries = model.sparse_entries(input_users=in_users,
                                    input_items=in_items,
                                    target_items=tg_items)
     from recoder_tpu.ops.gather_matmul import take_rows
@@ -573,11 +586,42 @@ class Recoder:
     new_params = dict(new_dense)
     new_sparse_states = dict(sparse_states)
     tables = {p: params[p] for p in sparse_paths}
+    by_path = {}
     for name, path, ids in entries:
-      tables[path], new_sparse_states[path] = (
-          self.sparse_adam.update_rows(tables[path],
-                                       new_sparse_states[path],
-                                       ids, gathered_grads[name], lr))
+      by_path.setdefault(path, []).append((name, ids))
+    for path, uses in by_path.items():
+      if len(uses) == 2:
+        # one table used by two row sets (tied decoder + a separate
+        # target union): torch coalesces every use of a tied parameter
+        # into ONE sparse grad and takes ONE SparseAdam step -- two
+        # sequential update_rows calls would advance the step counter
+        # twice and double-decay the moments of overlapping rows. Fold
+        # the second use's grads into the first where the unions
+        # overlap, park the folded slots on a spare pad row with zero
+        # grads, and update once. Both unions are sorted unique
+        # (sentinel-padded at the tail), so searchsorted finds overlaps.
+        (n1, ids1), (n2, ids2) = uses
+        assert ids1 is not None and ids2 is not None, \
+            'tied full-table uses must collapse in sparse_entries'
+        g1, g2 = gathered_grads[n1], gathered_grads[n2]
+        pos = jnp.clip(jnp.searchsorted(ids1, ids2), 0,
+                       ids1.shape[0] - 1)
+        hit = ids1[pos] == ids2
+        g1 = g1.at[pos].add(jnp.where(hit[:, None], g2, 0.0))
+        spare = tables[path].shape[0] - 1  # pad row: pad_dim is strict
+        ids_cat = jnp.concatenate([ids1, jnp.where(hit, spare, ids2)])
+        grads_cat = jnp.concatenate([g1,
+                                     jnp.where(hit[:, None], 0.0, g2)])
+        tables[path], new_sparse_states[path] = (
+            self.sparse_adam.update_rows(tables[path],
+                                         new_sparse_states[path],
+                                         ids_cat, grads_cat, lr))
+      else:
+        (name, ids), = uses
+        tables[path], new_sparse_states[path] = (
+            self.sparse_adam.update_rows(tables[path],
+                                         new_sparse_states[path],
+                                         ids, gathered_grads[name], lr))
     new_params.update(tables)
     return new_params, new_opt_state, new_sparse_states, loss
 

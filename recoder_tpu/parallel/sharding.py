@@ -62,7 +62,23 @@ def batch_pspecs(batch):
 
 
 def shard_batch(batch, mesh):
-  """Place a staged batch dict onto the mesh."""
+  """Place a staged batch dict onto the mesh.
+
+  Single-process meshes only: ``jax.device_put`` treats each leaf as
+  the GLOBAL array and keeps this process's addressable shards, so on
+  a multi-process mesh each host would silently contribute only a
+  slice of its own (different) local batch and the replicated leaves
+  (unions, valid counts) would disagree across processes. Multi-host
+  training runs on the fused device pipeline instead, whose resident
+  CSR/table arrays are replicated and whose batches are built in-jit
+  (SPMD-coherent by construction).
+  """
+  if jax.process_count() > 1:
+    raise NotImplementedError(
+        'host-staged batches cannot be placed coherently on a '
+        'multi-process mesh (per-host loaders hold different batches); '
+        'use the fused device pipeline (plain train matrices, or '
+        "shuffle='blocks' for target datasets) for multi-host training")
   specs = batch_pspecs(batch)
   out = {}
   for k, v in batch.items():

@@ -262,3 +262,48 @@ def test_orbax_legacy_sidecar_load(tmp_path):
   arrays, meta = co.load_checkpoint_orbax(path)
   assert meta == {'epoch': 4}
   np.testing.assert_array_equal(arrays['x'], np.arange(6))
+
+
+def test_orbax_save_after_interrupted_swap_preserves_checkpoint(
+    tmp_path, monkeypatch):
+  """A save that starts while an interrupted swap's recovery trees are
+  the ONLY surviving checkpoint must not destroy them: if this save
+  then crashes, the recovered checkpoint must still load (review r3:
+  _save_and_swap used to rmtree .tmp-save/.old as 'stale debris'
+  before committing anything)."""
+  import os
+
+  import pytest
+
+  from recoder_tpu import checkpoint_orbax as co
+
+  class DyingCkptr:
+    def save(self, p, tree):
+      raise OSError('simulated crash mid-save')
+
+  # window A: path absent, .old holds the only complete checkpoint
+  path = str(tmp_path / 'a.orbax')
+  co.save_checkpoint_orbax(path, {'x': np.arange(3)}, {'epoch': 1},
+                           async_save=False)
+  os.rename(path, path + '.old')
+  monkeypatch.setattr(co, '_checkpointer', lambda: DyingCkptr())
+  with pytest.raises(OSError, match='simulated crash'):
+    co.save_checkpoint_orbax(path, {'x': np.arange(9)}, {'epoch': 2},
+                             async_save=False)
+  monkeypatch.undo()
+  arrays, meta = co.load_checkpoint_orbax(path)
+  assert meta == {'epoch': 1}
+
+  # window B: path absent, a COMMITTED .tmp-save holds the newest
+  path_b = str(tmp_path / 'b.orbax')
+  co.save_checkpoint_orbax(path_b + '.stage', {'x': np.arange(7)},
+                           {'epoch': 5}, async_save=False)
+  os.rename(path_b + '.stage', path_b + '.tmp-save')
+  monkeypatch.setattr(co, '_checkpointer', lambda: DyingCkptr())
+  with pytest.raises(OSError, match='simulated crash'):
+    co.save_checkpoint_orbax(path_b, {'x': np.arange(9)}, {'epoch': 6},
+                             async_save=False)
+  monkeypatch.undo()
+  arrays, meta = co.load_checkpoint_orbax(path_b)
+  assert meta == {'epoch': 5}
+  np.testing.assert_array_equal(arrays['x'], np.arange(7))

@@ -239,3 +239,25 @@ def test_sharded_tables_match_replicated():
       np.testing.assert_allclose(np.asarray(p_sharded[k]),
                                  np.asarray(p_repl[k]), atol=2e-5,
                                  err_msg=f'fd={fd} param {k}')
+
+
+def test_shard_batch_rejects_multiprocess_mesh(monkeypatch):
+  """Host-staged batches are per-process and cannot be placed
+  coherently on a multi-process mesh (each host would keep only a
+  slice of its own, different, batch and 'replicated' leaves would
+  disagree); shard_batch must fail loudly instead of silently
+  dropping data (review r3 finding). Multi-host training uses the
+  fused device pipeline."""
+  from recoder_tpu.parallel import shard_batch
+  from recoder_tpu.parallel import sharding as sharding_mod
+
+  mesh = make_mesh(MeshConfig(data=1, model=1),
+                   devices=jax.devices()[:1])
+  batch = {'in_users': np.arange(4, dtype=np.int32)}
+  # single-process: fine
+  out = shard_batch(batch, mesh)
+  np.testing.assert_array_equal(np.asarray(out['in_users']),
+                                batch['in_users'])
+  monkeypatch.setattr(sharding_mod.jax, 'process_count', lambda: 2)
+  with pytest.raises(NotImplementedError, match='multi-process'):
+    shard_batch(batch, mesh)

@@ -252,3 +252,113 @@ def test_abandoned_device_iter_releases_producer_thread():
   while threading.active_count() > before and time.time() < deadline:
     time.sleep(0.05)
   assert threading.active_count() <= before
+
+
+def test_sparse_user_pad_slots_leave_row0_untouched():
+  """Host-loader batches pad the users vector with user id 0
+  (loader.py); the sparse user-table Adam step must not write row 0
+  from those pad slots -- zero grads still decay m/v and race a
+  genuine row-0 update (review r3: optim finding). Pad slots redirect
+  to the sentinel row instead."""
+  import jax.numpy as jnp
+  from recoder_tpu.models import MatrixFactorization
+
+  ds = _dataset(users=24, items=40)
+  model = MatrixFactorization(embedding_size=16, sparse=True)
+  tr = Recoder(model=model, optimizer_type='adam', loss='mse', seed=0)
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=1,
+           negative_sampling=True)
+
+  # doctor row 0's moments nonzero so a spurious pad-slot write (which
+  # decays m and moves the param) would be visible
+  st = dict(tr.sparse_states)
+  ue = dict(st['user_embedding'])
+  ue['m'] = ue['m'].at[0].set(0.25)
+  ue['v'] = ue['v'].at[0].set(0.5)
+  st['user_embedding'] = ue
+
+  sent = model.num_items
+  batch = {
+      'in_rows': jnp.array([0, 0, 1], jnp.int32),
+      'in_cols': jnp.array([0, 1, 2], jnp.int32),
+      'in_vals': jnp.ones((3,), jnp.float32),
+      # 2 valid users + 2 pad slots carrying the loader's pad id 0
+      'in_users': jnp.array([3, 4, 0, 0], jnp.int32),
+      'in_items': jnp.array([1, 5, 9, sent], jnp.int32),
+      'in_valid_users': np.float32(2),
+      'in_valid_width': np.int32(3),
+  }
+  params = dict(tr.model.params)
+  new_params, _, new_st, _ = tr._sparse_step_math(
+      params, tr.opt_state, st, batch, lr=0.01,
+      rng=jax.random.PRNGKey(0))
+
+  np.testing.assert_array_equal(
+      np.asarray(new_params['user_embedding'][0]),
+      np.asarray(params['user_embedding'][0]))
+  np.testing.assert_array_equal(
+      np.asarray(new_st['user_embedding']['m'][0]),
+      np.asarray(ue['m'][0]))
+  np.testing.assert_array_equal(
+      np.asarray(new_st['user_embedding']['v'][0]),
+      np.asarray(ue['v'][0]))
+  # the valid users DID update
+  assert not np.allclose(np.asarray(new_params['user_embedding'][3]),
+                         np.asarray(params['user_embedding'][3]))
+  assert int(new_st['user_embedding']['step']) == \
+      int(st['user_embedding']['step']) + 1
+
+
+def test_tied_sparse_dual_union_matches_shared_single_step():
+  """A tied (is_constrained) sparse decoder fed a SEPARATE target
+  union must coalesce both uses of the tied table into ONE SparseAdam
+  step (torch coalesces the sparse grad of a tied parameter; two
+  sequential update_rows calls would advance the step counter twice
+  and double-decay overlapping rows -- review r3 finding). With a
+  target union equal in content to the input union the result must
+  match the shared-entry fast path."""
+  import jax.numpy as jnp
+
+  ds = _dataset()
+  model = DynamicAutoencoder(hidden_layers=[16], sparse=True,
+                             is_constrained=True, noise_prob=0.0)
+  tr = Recoder(model=model, optimizer_type='adam', loss='mse', seed=0)
+  tr.train(train_dataset=ds, batch_size=16, num_epochs=1,
+           negative_sampling=True)
+
+  sent = model.num_items
+  in_items = jnp.array([2, 7, 11, sent], jnp.int32)
+  base = {
+      'in_rows': jnp.array([0, 1, 1], jnp.int32),
+      'in_cols': jnp.array([0, 1, 2], jnp.int32),
+      'in_vals': jnp.ones((3,), jnp.float32),
+      'in_users': jnp.array([0, 1, 2], jnp.int32),
+      'in_items': in_items,
+      'in_valid_users': np.float32(3),
+      'in_valid_width': np.int32(3),
+  }
+  dual = dict(base)
+  dual.update(tg_rows=base['in_rows'], tg_cols=base['in_cols'],
+              tg_vals=base['in_vals'],
+              # equal content, DISTINCT object: forces the two-entry path
+              tg_items=jnp.array(np.asarray(in_items)),
+              tg_valid_width=np.int32(3))
+
+  rng = jax.random.PRNGKey(1)
+  params = dict(tr.model.params)
+  p_shared, _, s_shared, l_shared = tr._sparse_step_math(
+      params, tr.opt_state, tr.sparse_states, base, 0.01, rng)
+  p_dual, _, s_dual, l_dual = tr._sparse_step_math(
+      params, tr.opt_state, tr.sparse_states, dual, 0.01, rng)
+
+  np.testing.assert_allclose(float(l_shared), float(l_dual), rtol=1e-6)
+  assert int(s_dual['en_embedding']['step']) == \
+      int(s_shared['en_embedding']['step'])  # ONE step, not two
+  for k in p_shared:
+    np.testing.assert_allclose(np.asarray(p_dual[k]),
+                               np.asarray(p_shared[k]),
+                               rtol=1e-6, atol=1e-7,
+                               err_msg=f'param {k} diverged')
+  np.testing.assert_allclose(
+      np.asarray(s_dual['en_embedding']['m']),
+      np.asarray(s_shared['en_embedding']['m']), rtol=1e-6, atol=1e-7)

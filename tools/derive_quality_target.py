@@ -44,28 +44,38 @@ def main():
                              noise_prob=0.5, sparse=False)
   trainer = Recoder(model=model, use_cuda=False, optimizer_type='adam',
                     loss='mse', loss_params={'confidence': 3})
-  t0 = time.time()
-  trainer.train(train_dataset=RecommendationDataset(train_m),
-                batch_size=BATCH_SIZE, lr=1e-3, weight_decay=2e-5,
-                num_epochs=NUM_EPOCHS, negative_sampling=True)
-  train_s = time.time() - t0
-
   val_ds = RecommendationDataset(val_tr_m, val_te_m)
-  res = trainer._evaluate(eval_dataset=val_ds, num_recommendations=100,
-                          metrics=[Recall(k=20, normalize=True),
-                                   NDCG(k=100)],
-                          batch_size=BATCH_SIZE)
-  out = {str(k): round(float(np.mean(v)), 5) for k, v in res.items()}
-  out['train_seconds_cpu'] = round(train_s, 1)
-  out['epochs'] = NUM_EPOCHS
-  out['seed'] = TRAIN_SEED
-  out['heldout_users'] = HELDOUT_USERS
-  print(json.dumps(out))
-  # NOTE: bench_quality pins the reference's PEAK quality across the
-  # budget, not this endpoint -- on the synthetic data the reference
-  # peaks at epoch 1 and declines; re-derive the per-epoch curve
-  # (train num_epochs=e incrementally, evaluating each e) when the
-  # synthesizer changes.
+  train_ds = RecommendationDataset(train_m)
+
+  # bench_quality pins the reference's PEAK quality across the budget,
+  # not the endpoint (on this synthetic data the curve peaks at epoch 1
+  # and declines) -- evaluate after EVERY epoch and report the curve.
+  peak = {}
+  for e in range(1, NUM_EPOCHS + 1):
+    t0 = time.time()
+    trainer.train(train_dataset=train_ds, batch_size=BATCH_SIZE, lr=1e-3,
+                  weight_decay=2e-5, num_epochs=e, negative_sampling=True)
+    # the reference re-runs the last completed epoch on resume
+    # (reference model.py:360); advance past it so each epoch trains
+    # exactly once
+    trainer.current_epoch = e + 1
+    train_s = time.time() - t0
+    res = trainer._evaluate(eval_dataset=val_ds, num_recommendations=100,
+                            metrics=[Recall(k=20, normalize=True),
+                                     NDCG(k=100)],
+                            batch_size=BATCH_SIZE)
+    out = {str(k): round(float(np.mean(v)), 5) for k, v in res.items()}
+    for k, v in out.items():
+      peak[k] = max(peak.get(k, 0.0), v)
+    out.update(epoch=e, epoch_seconds=round(train_s, 1))
+    print(json.dumps(out), flush=True)
+    # the curves on this data decline monotonically after their peak;
+    # stop once both metrics have fallen 10% off it (saves most of the
+    # 10-epoch budget on a 1-core host)
+    if all(out[k] < 0.9 * peak[k] for k in ('Recall@20', 'NDCG@100')):
+      break
+  print(json.dumps({'peak': peak, 'seed': TRAIN_SEED,
+                    'heldout_users': HELDOUT_USERS}))
 
 
 if __name__ == '__main__':
