@@ -76,8 +76,28 @@ def wait_for_pending_saves():
 
 # an async save error is otherwise only surfaced by a LATER save/load/
 # wait call; make sure a run whose final checkpoint failed does not
-# exit silently successful
-atexit.register(wait_for_pending_saves)
+# exit successful. A plain atexit re-raise only prints a traceback --
+# CPython still exits 0 -- so exit-code-gated production runs need the
+# explicit os._exit(1). By atexit time the non-daemon save thread has
+# already been joined (threading._shutdown runs first), so this never
+# blocks; registered at import = runs near the END of the LIFO atexit
+# stack, after orbax's own handlers.
+def _surface_pending_error_at_exit():
+  try:
+    wait_for_pending_saves()
+  except BaseException:
+    import sys
+    import traceback
+    traceback.print_exc()
+    sys.stderr.write(
+        'recoder_tpu: a background checkpoint save FAILED (see '
+        'traceback above); exiting with status 1\n')
+    sys.stderr.flush()
+    sys.stdout.flush()
+    os._exit(1)
+
+
+atexit.register(_surface_pending_error_at_exit)
 
 
 def _save_and_swap(path, arrays_tree):

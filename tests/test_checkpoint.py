@@ -307,3 +307,30 @@ def test_orbax_save_after_interrupted_swap_preserves_checkpoint(
   arrays, meta = co.load_checkpoint_orbax(path_b)
   assert meta == {'epoch': 5}
   np.testing.assert_array_equal(arrays['x'], np.arange(7))
+
+
+def test_failed_async_save_fails_the_process_exit(tmp_path):
+  """A run whose FINAL async orbax save fails must not exit 0: the
+  atexit hook re-raises the pending error and forces exit status 1 (a
+  bare atexit re-raise only prints a traceback -- CPython still exits
+  0, which green-lights exit-code-gated production runs that lost
+  their last checkpoint)."""
+  import subprocess
+  import sys
+
+  prog = (
+      "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+      "import numpy as np\n"
+      "from recoder_tpu import checkpoint_orbax as co\n"
+      "class DyingCkptr:\n"
+      "  def save(self, p, tree): raise OSError('simulated save crash')\n"
+      "co._checkpointer = lambda: DyingCkptr()\n"
+      f"co.save_checkpoint_orbax({str(tmp_path / 'ck')!r},"
+      " {'x': np.arange(3)}, {'epoch': 1}, async_save=True)\n"
+      "print('MAIN DONE')\n")
+  res = subprocess.run([sys.executable, '-c', prog], capture_output=True,
+                       text=True, timeout=180)
+  assert 'MAIN DONE' in res.stdout  # the failure surfaced at exit, not before
+  assert res.returncode == 1, (res.returncode, res.stderr[-2000:])
+  assert 'checkpoint save FAILED' in res.stderr
+  assert 'simulated save crash' in res.stderr
