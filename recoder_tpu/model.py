@@ -592,26 +592,16 @@ class Recoder:
     for path, uses in by_path.items():
       if len(uses) == 2:
         # one table used by two row sets (tied decoder + a separate
-        # target union): torch coalesces every use of a tied parameter
-        # into ONE sparse grad and takes ONE SparseAdam step -- two
-        # sequential update_rows calls would advance the step counter
-        # twice and double-decay the moments of overlapping rows. Fold
-        # the second use's grads into the first where the unions
-        # overlap, park the folded slots on a spare pad row with zero
-        # grads, and update once. Both unions are sorted unique
-        # (sentinel-padded at the tail), so searchsorted finds overlaps.
+        # target union): coalesce into ONE SparseAdam step like torch
+        # (see optim.fold_dual_union); both unions are sorted unique
+        # with sentinel tail padding
         (n1, ids1), (n2, ids2) = uses
         assert ids1 is not None and ids2 is not None, \
             'tied full-table uses must collapse in sparse_entries'
-        g1, g2 = gathered_grads[n1], gathered_grads[n2]
-        pos = jnp.clip(jnp.searchsorted(ids1, ids2), 0,
-                       ids1.shape[0] - 1)
-        hit = ids1[pos] == ids2
-        g1 = g1.at[pos].add(jnp.where(hit[:, None], g2, 0.0))
+        from recoder_tpu.optim import fold_dual_union
         spare = tables[path].shape[0] - 1  # pad row: pad_dim is strict
-        ids_cat = jnp.concatenate([ids1, jnp.where(hit, spare, ids2)])
-        grads_cat = jnp.concatenate([g1,
-                                     jnp.where(hit[:, None], 0.0, g2)])
+        ids_cat, grads_cat = fold_dual_union(
+            ids1, gathered_grads[n1], ids2, gathered_grads[n2], spare)
         tables[path], new_sparse_states[path] = (
             self.sparse_adam.update_rows(tables[path],
                                          new_sparse_states[path],

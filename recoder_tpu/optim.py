@@ -116,6 +116,33 @@ class Optimizer:
       return new_params, {'step': step, 'sq': new_sq, 'buf': new_buf}
 
 
+def fold_dual_union(ids1, g1, ids2, g2, spare):
+  """Coalesce two row-grad sets over one table into one update set.
+
+  torch coalesces every use of a tied parameter into ONE sparse grad
+  and takes ONE SparseAdam step; two sequential :meth:`update_rows`
+  calls would advance the step counter twice and double-decay the
+  moments of overlapping rows. Where ``ids2`` overlaps ``ids1``, the
+  second use's grads fold into the first's slots; the folded slots are
+  re-pointed at ``spare`` (a padding row, receives exactly-zero grads)
+  so the concatenated index set stays duplicate-free on real rows.
+
+  Requires both id vectors sorted with unique real ids (sentinel
+  padding repeated at the tail is fine: repeated slots carry zero
+  grads, so every duplicate write is value-identical and the
+  scatter's unique-indices promise stays safe).
+
+  Returns ``(ids_cat [R1+R2], grads_cat [R1+R2, d])`` for one
+  :meth:`SparseRowAdam.update_rows` call.
+  """
+  pos = jnp.clip(jnp.searchsorted(ids1, ids2), 0, ids1.shape[0] - 1)
+  hit = ids1[pos] == ids2
+  g1 = g1.at[pos].add(jnp.where(hit[:, None], g2, 0.0))
+  ids_cat = jnp.concatenate([ids1, jnp.where(hit, spare, ids2)])
+  grads_cat = jnp.concatenate([g1, jnp.where(hit[:, None], 0.0, g2)])
+  return ids_cat, grads_cat
+
+
 class SparseRowAdam:
   """Row-sparse Adam over a 2-D embedding table (torch SparseAdam).
 

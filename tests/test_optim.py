@@ -153,3 +153,58 @@ def test_weight_decay_tree_bias_free_paths():
   assert tree['w'] == 1e-2
   assert tree['scale'] == 0.0
   assert tree['de_bias'] == 0.0
+
+
+@pytest.mark.parametrize('overlap', ['none', 'partial', 'full'])
+def test_fold_dual_union_matches_dense_coalesced_step(overlap):
+  """fold_dual_union + one update_rows call must equal a dense
+  scatter-add of BOTH grad sets followed by ONE Adam step over the
+  touched rows -- exactly torch's coalesced sparse grad of a tied
+  parameter used twice. Covers sentinel tail padding (duplicate ids
+  with zero grads) and every overlap regime."""
+  from recoder_tpu.optim import fold_dual_union
+
+  rng = np.random.default_rng(hash(overlap) % 2**32)
+  N, d, sent = 12, 4, 9  # logical rows 0..8, sentinel 9, spare N-1
+  table0 = rng.normal(size=(N, d)).astype(np.float32)
+  m0 = rng.normal(size=(N, d)).astype(np.float32) * 0.1
+  v0 = np.abs(rng.normal(size=(N, d))).astype(np.float32) * 0.1
+  adam = SparseRowAdam()
+  state = {'step': jnp.asarray(3, jnp.int32),
+           'm': jnp.asarray(m0), 'v': jnp.asarray(v0)}
+
+  reals2 = {'none': [5, 7], 'partial': [2, 5], 'full': [1, 2]}[overlap]
+  ids1 = np.array([1, 2, 4, sent, sent], np.int32)   # sorted + tail pads
+  ids2 = np.array(sorted(reals2) + [sent], np.int32)
+  g1 = rng.normal(size=(len(ids1), d)).astype(np.float32)
+  g2 = rng.normal(size=(len(ids2), d)).astype(np.float32)
+  g1[ids1 == sent] = 0.0  # padding slots carry exactly-zero grads
+  g2[ids2 == sent] = 0.0
+
+  ids_cat, grads_cat = fold_dual_union(
+      jnp.asarray(ids1), jnp.asarray(g1), jnp.asarray(ids2),
+      jnp.asarray(g2), spare=N - 1)
+  new_table, new_state = adam.update_rows(jnp.asarray(table0), state,
+                                          ids_cat, grads_cat, lr=0.01)
+
+  # dense reference: accumulate both grad sets, one Adam step on the
+  # touched rows (incl. zero-grad sentinel/spare slots: moments decay)
+  G = np.zeros((N, d), np.float32)
+  np.add.at(G, ids1, g1)
+  np.add.at(G, ids2, g2)
+  touched = sorted(set(ids1.tolist()) | set(ids2.tolist()) | {N - 1})
+  b1, b2, eps, lr, step = 0.9, 0.999, 1e-8, 0.01, 4
+  exp_t, exp_m, exp_v = table0.copy(), m0.copy(), v0.copy()
+  for r in touched:
+    exp_m[r] = b1 * m0[r] + (1 - b1) * G[r]
+    exp_v[r] = b2 * v0[r] + (1 - b2) * G[r] * G[r]
+    ss = lr * np.sqrt(1 - b2 ** step) / (1 - b1 ** step)
+    exp_t[r] = table0[r] - ss * exp_m[r] / (np.sqrt(exp_v[r]) + eps)
+
+  assert int(new_state['step']) == 4  # ONE step, not two
+  np.testing.assert_allclose(np.asarray(new_table), exp_t,
+                             rtol=2e-6, atol=2e-7)
+  np.testing.assert_allclose(np.asarray(new_state['m']), exp_m,
+                             rtol=2e-6, atol=2e-7)
+  np.testing.assert_allclose(np.asarray(new_state['v']), exp_v,
+                             rtol=2e-6, atol=2e-7)
