@@ -1,0 +1,118 @@
+"""EASE model tests: closed-form exactness vs a numpy reference,
+recommend semantics, checkpoint roundtrip, and a slow-tier quality
+floor on the real fixture.
+
+EASE is a beyond-parity addition (the reference ships no linear
+model); quality here is pinned to what the 118k-nnz fixture supports
+-- EASE's headline numbers need ML-20M-scale density, see
+docs/benchmarks.md.
+"""
+
+import numpy as np
+import pytest
+from scipy.sparse import csr_matrix
+
+from recoder_tpu.data import RecommendationDataset, UsersInteractions
+from recoder_tpu.models import EASE
+
+
+def _binary_matrix(users=60, items=35, density=0.15, seed=0):
+  rng = np.random.default_rng(seed)
+  m = (rng.random((users, items)) < density).astype(np.float32)
+  m[:, 0] = 1.0  # no empty columns (keeps the Gram well-conditioned)
+  return csr_matrix(m)
+
+
+def test_ease_closed_form_matches_numpy():
+  m = _binary_matrix()
+  lam = 7.5
+  model = EASE(lam=lam).fit(m)
+
+  x = np.asarray(m.todense(), np.float64)
+  g = x.T @ x + lam * np.eye(x.shape[1])
+  p = np.linalg.inv(g)
+  b = -p / np.diag(p)[None, :]
+  np.fill_diagonal(b, 0.0)
+
+  got = np.asarray(model.item_weights, np.float64)
+  np.testing.assert_allclose(got, b, rtol=5e-4, atol=5e-5)
+  np.testing.assert_array_equal(np.diag(got), 0.0)
+
+
+def test_ease_recommend_masks_seen_and_trims():
+  m = _binary_matrix(users=20, items=12, density=0.6, seed=1)
+  model = EASE(lam=5.0).fit(m)
+  ui = UsersInteractions(users=np.arange(20), interactions_matrix=m)
+  recs = model.recommend(ui, num_recommendations=8)
+  assert len(recs) == 20
+  dense = np.asarray(m.todense())
+  for u, r in enumerate(recs):
+    seen = set(np.flatnonzero(dense[u]))
+    assert not (set(int(i) for i in r) & seen), f'user {u} got seen items'
+    # dense users have < 8 unseen items: list trimmed, never padded
+    assert len(r) <= min(8, 12 - len(seen))
+    assert len(r) == min(8, 12 - len(seen))
+
+
+def test_ease_predict_shape_validation():
+  m = _binary_matrix()
+  model = EASE(lam=5.0).fit(m)
+  wrong = _binary_matrix(items=17)
+  ui = UsersInteractions(users=np.arange(wrong.shape[0]),
+                         interactions_matrix=wrong)
+  with pytest.raises(ValueError, match='items'):
+    model.predict(ui)
+
+
+def test_ease_checkpoint_roundtrip(tmp_path):
+  m = _binary_matrix(seed=3)
+  model = EASE(lam=42.0).fit(m)
+  path = str(tmp_path / 'ease.model')
+  model.save(path)
+
+  loaded = EASE().load(path)
+  assert loaded.lam == 42.0
+  assert loaded.num_items == m.shape[1]
+  np.testing.assert_array_equal(np.asarray(loaded.item_weights),
+                                np.asarray(model.item_weights))
+  ui = UsersInteractions(users=np.arange(5),
+                         interactions_matrix=m[:5])
+  for a, b in zip(model.recommend(ui, 5), loaded.recommend(ui, 5)):
+    np.testing.assert_array_equal(a, b)
+
+  # non-EASE checkpoints are rejected loudly
+  from recoder_tpu.checkpoint import save_checkpoint
+  other = str(tmp_path / 'other.model')
+  save_checkpoint(other, {'x': np.arange(3)}, {'model': 'autoencoder'})
+  with pytest.raises(ValueError, match='not an EASE checkpoint'):
+    EASE().load(other)
+
+
+@pytest.mark.slow
+def test_ease_fixture_quality():
+  """Quality floor on the real fixture through the standard evaluator
+  stack (InferenceRecommender + RecommenderEvaluator). Measured
+  2026-08-18: lam=500 -> Recall@20 0.0671 / NDCG@100 0.1027 (rises
+  toward the co-occurrence asymptote 0.0812/0.1233 as lam grows -- the
+  118k-nnz fixture is too sparse for the learned inverse to beat
+  co-occurrence; at real ML-20M density EASE is the stronger model,
+  arXiv:1905.03375 table 2)."""
+  import pandas as pd
+
+  from recoder_tpu.metrics import NDCG, Recall, RecommenderEvaluator
+  from recoder_tpu.recommender import InferenceRecommender
+  from recoder_tpu.utils import dataframe_to_csr_matrix
+
+  train_df = pd.read_csv('tests/data/train.csv.gz')
+  val_df = pd.read_csv('tests/data/val.csv.gz')
+  train_m, imap, umap = dataframe_to_csr_matrix(train_df, 'uid', 'sid',
+                                                'watched')
+  val_m, _, _ = dataframe_to_csr_matrix(val_df, 'uid', 'sid', 'watched',
+                                        item_id_map=imap, user_id_map=umap)
+  model = EASE(lam=500.0).fit(train_m)
+  ev = RecommenderEvaluator(InferenceRecommender(model, 100),
+                            [Recall(k=20), NDCG(k=100)])
+  res = ev.evaluate(RecommendationDataset(val_m, train_m), batch_size=500)
+  means = {str(k): float(np.mean(v)) for k, v in res.items()}
+  assert means['Recall@20'] > 0.060, means
+  assert means['NDCG@100'] > 0.095, means
