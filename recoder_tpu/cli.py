@@ -11,7 +11,7 @@ Config schema (JSON):
 {
   "data": {"train": "pro_sg/train.csv", "val_tr": "...", "val_te": "...",
            "user_col": "uid", "item_col": "sid", "inter_col": "watched"},
-  "model": {"type": "autoencoder" | "mf", ...constructor kwargs...},
+  "model": {"type": "autoencoder" | "mf" | "ease", ...constructor kwargs...},
   "trainer": {"optimizer_type": "adam", "loss": "logistic",
               "loss_params": {}, "seed": 42,
               "mesh_model": 0,
@@ -100,6 +100,15 @@ def _build_model(model_cfg):
   raise ValueError(f'unknown model type {kind}')
 
 
+def _is_ease(cfg):
+  return cfg.get('model', {}).get('type') == 'ease'
+
+
+def _load_ease(cfg, model_file):
+  from recoder_tpu.models import EASE
+  return EASE().load(model_file)
+
+
 def _build_trainer(cfg, model):
   tr_cfg = dict(cfg.get('trainer', {}))
   mesh = None
@@ -112,6 +121,21 @@ def _build_trainer(cfg, model):
 
 def cmd_train(cfg):
   train_dataset, val_dataset, _, _ = _load_datasets(cfg['data'])
+  if _is_ease(cfg):
+    # EASE trains in one closed-form solve: fit, save, report
+    from recoder_tpu.models import EASE
+    model_cfg = dict(cfg.get('model', {})); model_cfg.pop('type')
+    train_cfg = dict(cfg.get('train', {}))
+    prefix = train_cfg.get('model_checkpoint_prefix')
+    model = EASE(**model_cfg).fit(train_dataset.interactions_matrix)
+    if prefix:
+      print(f'saved EASE model to {model.save(prefix + ".model")}')
+    if val_dataset is not None:
+      _evaluate_ease(model, val_dataset,
+                     parse_metrics(train_cfg.get('metrics')
+                                   or ['recall@20', 'ndcg@100']),
+                     batch_size=train_cfg.get('eval_batch_size', 500))
+    return
   model = _build_model(cfg.get('model', {}))
   trainer = _build_trainer(cfg, model)
   train_kwargs = dict(cfg.get('train', {}))
@@ -121,17 +145,33 @@ def cmd_train(cfg):
                 **train_kwargs)
 
 
+def _evaluate_ease(model, val_dataset, metrics, batch_size=500,
+                   num_recommendations=100):
+  from recoder_tpu.metrics import RecommenderEvaluator
+  from recoder_tpu.recommender import InferenceRecommender
+  ev = RecommenderEvaluator(
+      InferenceRecommender(model, num_recommendations), metrics)
+  results = ev.evaluate(val_dataset, batch_size=batch_size)
+  for m in results:
+    print(f'{m}: {np.mean(results[m])}')
+
+
 def cmd_evaluate(cfg, model_file, num_recommendations, batch_size,
                  metric_specs=None):
   _, val_dataset, _, _ = _load_datasets(cfg['data'])
   assert val_dataset is not None, 'config needs val_tr/val_te for evaluate'
-  model = _build_model(cfg.get('model', {}))
-  trainer = _build_trainer(cfg, model)
-  trainer.init_from_model_file(model_file)
   specs = (metric_specs
            or cfg.get('evaluate', {}).get('metrics')
            or ['recall@20', 'recall@50', 'ndcg@100'])
   metrics = parse_metrics(specs)
+  if _is_ease(cfg):
+    _evaluate_ease(_load_ease(cfg, model_file), val_dataset, metrics,
+                   batch_size=batch_size,
+                   num_recommendations=num_recommendations)
+    return
+  model = _build_model(cfg.get('model', {}))
+  trainer = _build_trainer(cfg, model)
+  trainer.init_from_model_file(model_file)
   results = trainer.evaluate(val_dataset,
                              num_recommendations=num_recommendations,
                              metrics=metrics, batch_size=batch_size)
@@ -152,9 +192,12 @@ def cmd_recommend(cfg, model_file, num_recommendations, batch_size, out):
       cfg['data'], load_val=False)
   inv_user = {v: k for k, v in user_id_map.items()}
   inv_item = {v: k for k, v in item_id_map.items()}
-  model = _build_model(cfg.get('model', {}))
-  trainer = _build_trainer(cfg, model)
-  trainer.init_from_model_file(model_file)
+  if _is_ease(cfg):
+    trainer = _load_ease(cfg, model_file)  # same recommend() contract
+  else:
+    model = _build_model(cfg.get('model', {}))
+    trainer = _build_trainer(cfg, model)
+    trainer.init_from_model_file(model_file)
 
   matrix = train_dataset.interactions_matrix
   fh = open(out, 'w') if out else sys.stdout
@@ -197,9 +240,12 @@ def make_server(cfg, model_file, host='127.0.0.1', port=8321):
   from recoder_tpu.data import UsersInteractions
   from scipy.sparse import csr_matrix
 
-  model = _build_model(cfg.get('model', {}))
-  trainer = _build_trainer(cfg, model)
-  trainer.init_from_model_file(model_file)
+  if _is_ease(cfg):
+    trainer = _load_ease(cfg, model_file)  # same recommend() contract
+  else:
+    model = _build_model(cfg.get('model', {}))
+    trainer = _build_trainer(cfg, model)
+    trainer.init_from_model_file(model_file)
   num_items = trainer.num_items
   lock = threading.Lock()
 

@@ -254,6 +254,14 @@ class RecommenderEvaluator:
     use_async = hasattr(self.recommender, 'recommend_async')
     pending = collections.deque()
 
+    def fetch(result):
+      # recommend_async returns either a rectangular [B, k] device
+      # array (the model-based recommender) or an already-ragged list
+      # of per-user id arrays (trimmed recommenders, e.g. EASE)
+      if isinstance(result, (list, tuple)):
+        return [np.asarray(r).tolist() for r in result]
+      return np.asarray(result).tolist()
+
     processed = 0
     if use_async:
       # batch staging + dispatch runs on one worker thread (host->device
@@ -270,13 +278,13 @@ class RecommenderEvaluator:
                relevant))
           if len(pending) > 3:
             fut, rel = pending.popleft()
-            score(np.asarray(fut.result()).tolist(), rel)
+            score(fetch(fut.result()), rel)
           processed += len(target.users)
           if num_users is not None and processed >= num_users:
             break
         while pending:
           fut, rel = pending.popleft()
-          score(np.asarray(fut.result()).tolist(), rel)
+          score(fetch(fut.result()), rel)
       return results
 
     for input, target in dataloader:

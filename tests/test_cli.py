@@ -220,3 +220,58 @@ def test_cli_recommend_k_exceeds_unseen(tmp_path):
   assert recs.sid.between(50, 55).all()   # never a pad column id
   assert (recs.groupby('uid')['rank'].apply(
       lambda r: list(r) == list(range(1, len(r) + 1)))).all()
+
+
+def test_cli_ease_train_evaluate_recommend_serve(workspace, capsys):
+  """model.type='ease' routes every subcommand through the closed-form
+  model: train = one fit + save, evaluate/recommend/serve load the
+  EASE checkpoint and reuse the shared scoring plumbing."""
+  import json as _json
+  import threading
+  import urllib.request
+
+  tmp_path, _ = workspace
+  cfg = _json.loads((tmp_path / 'run.json').read_text())
+  cfg['model'] = {'type': 'ease', 'lam': 50.0}
+  cfg['train'] = {'model_checkpoint_prefix': str(tmp_path / 'ease'),
+                  'metrics': ['recall@10']}
+  cfg_path = tmp_path / 'ease.json'
+  cfg_path.write_text(_json.dumps(cfg))
+
+  _run_cli(['train', '--config', str(cfg_path)])
+  out = capsys.readouterr().out
+  ckpt = str(tmp_path / 'ease.model')
+  assert os.path.exists(ckpt)
+  assert 'Recall@10' in out  # val metrics printed after the fit
+
+  _run_cli(['evaluate', '--config', str(cfg_path), '--model-file', ckpt,
+            '--num-recommendations', '10', '--batch-size', '20',
+            '--metrics', 'ndcg@10'])
+  out = capsys.readouterr().out
+  assert 'NDCG@10' in out
+
+  out_csv = str(tmp_path / 'ease_recs.csv')
+  _run_cli(['recommend', '--config', str(cfg_path), '--model-file', ckpt,
+            '--num-recommendations', '5', '--batch-size', '30',
+            '--out', out_csv])
+  recs = pd.read_csv(out_csv)
+  assert recs.uid.nunique() == 60
+  assert recs.groupby('uid')['rank'].max().eq(5).all()
+
+  server = cli.make_server(cfg, ckpt, port=0)
+  thread = threading.Thread(target=server.serve_forever, daemon=True)
+  thread.start()
+  try:
+    port = server.server_address[1]
+    body = _json.dumps({'interactions': [[1, 2, 3]], 'k': 5}).encode()
+    req = urllib.request.Request(f'http://127.0.0.1:{port}/recommend',
+                                 data=body,
+                                 headers={'Content-Type': 'application/json'})
+    with urllib.request.urlopen(req, timeout=30) as r:
+      payload = _json.loads(r.read())
+    assert len(payload['recommendations']) == 1
+    assert len(payload['recommendations'][0]) == 5
+    assert not ({1, 2, 3} & set(payload['recommendations'][0]))
+  finally:
+    server.shutdown()
+    thread.join(timeout=10)
