@@ -11,7 +11,7 @@ Config schema (JSON):
 {
   "data": {"train": "pro_sg/train.csv", "val_tr": "...", "val_te": "...",
            "user_col": "uid", "item_col": "sid", "inter_col": "watched"},
-  "model": {"type": "autoencoder" | "mf" | "ease", ...constructor kwargs...},
+  "model": {"type": "autoencoder" | "mf" | "multvae" | "ease", ...kwargs...},
   "trainer": {"optimizer_type": "adam", "loss": "logistic",
               "loss_params": {}, "seed": 42,
               "mesh_model": 0,
@@ -97,6 +97,9 @@ def _build_model(model_cfg):
     return DynamicAutoencoder(**cfg)
   if kind == 'mf':
     return MatrixFactorization(**cfg)
+  if kind == 'multvae':
+    from recoder_tpu.models import MultVAE
+    return MultVAE(**cfg)
   raise ValueError(f'unknown model type {kind}')
 
 

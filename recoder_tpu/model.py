@@ -453,9 +453,16 @@ class Recoder:
       self._apply_extra = extra
     return extra
 
-  def _forward_loss(self, params, batch, rng, training, gathered=None):
-    """Pure loss for one staged batch (used by train, validate)."""
+  def _forward_loss(self, params, batch, rng, training, gathered=None,
+                    step=None):
+    """Pure loss for one staged batch (used by train, validate).
+
+    ``step`` is the traced global-step counter, passed to aux-loss
+    models (``model.has_aux``, e.g. MultVAE's KL annealing) during
+    training.
+    """
     model = self.model
+    has_aux = training and getattr(model, 'has_aux', False)
     B = batch['in_users'].shape[0]
     in_items = batch.get('in_items', None)
     in_width = (in_items.shape[0] if in_items is not None
@@ -492,10 +499,15 @@ class Recoder:
     kwargs = dict(input_users=batch['in_users'], input_items=in_items,
                   target_items=tg_items, rng=rng, training=training,
                   **self._apply_extra_kwargs())
+    if has_aux:
+      kwargs['step'] = step
     if gathered is None:
       out = model.apply(params, input_dense, **kwargs)
     else:
       out = model.apply_gathered(params, gathered, input_dense, **kwargs)
+    aux_vec = None
+    if has_aux:
+      out, aux_vec = out  # per-user aux loss (e.g. beta-scaled KL)
 
     row_mask = (jnp.arange(B) < batch['in_valid_users']).astype(jnp.float32)
     if batch.get('fd', False):
@@ -524,16 +536,19 @@ class Recoder:
 
     loss = self.loss_module(out, target_dense,
                             row_mask=row_mask, col_mask=col_mask)
+    if aux_vec is not None:
+      loss = loss + jnp.sum(aux_vec * row_mask)
     return loss / batch['in_valid_users']
 
   # ------------------------------------------------------------------
   # jitted steps
   # ------------------------------------------------------------------
 
-  def _dense_step_math(self, params, opt_state, batch, lr, rng):
+  def _dense_step_math(self, params, opt_state, batch, lr, rng,
+                       step=None):
     """One dense-optimizer update (pure; traced inside jit)."""
     def loss_fn(p):
-      return self._forward_loss(p, batch, rng, training=True)
+      return self._forward_loss(p, batch, rng, training=True, step=step)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
     new_params, new_opt_state = self.optimizer.update(
@@ -541,7 +556,7 @@ class Recoder:
     return new_params, new_opt_state, loss
 
   def _sparse_step_math(self, params, opt_state, sparse_states, batch,
-                        lr, rng):
+                        lr, rng, step=None):
     """One sparse-path update: grads w.r.t. gathered rows, row-sparse
     Adam scatter into the tables (pure; traced inside jit)."""
     model = self.model
@@ -575,7 +590,7 @@ class Recoder:
 
     def loss_fn(dp, g):
       return self._forward_loss({**dp}, batch, rng, training=True,
-                                gathered=g)
+                                gathered=g, step=step)
 
     loss, (dense_grads, gathered_grads) = jax.value_and_grad(
         loss_fn, argnums=(0, 1))(dense_params, gathered)
@@ -623,14 +638,15 @@ class Recoder:
     if not sparse:
       def step(params, opt_state, batch, lr, step_idx):
         rng = jax.random.fold_in(self._base_rng, step_idx)
-        return self._dense_step_math(params, opt_state, batch, lr, rng)
+        return self._dense_step_math(params, opt_state, batch, lr, rng,
+                                     step=step_idx)
 
       fn = jax.jit(step, donate_argnums=(0, 1))
     else:
       def step(params, opt_state, sparse_states, batch, lr, step_idx):
         rng = jax.random.fold_in(self._base_rng, step_idx)
         return self._sparse_step_math(params, opt_state, sparse_states,
-                                      batch, lr, rng)
+                                      batch, lr, rng, step=step_idx)
 
       fn = jax.jit(step, donate_argnums=(0, 1, 2))
 
@@ -704,7 +720,7 @@ class Recoder:
         rng = jax.random.fold_in(self._base_rng, carry[1])
         batch, overflow = build(perm, carry[0], carry[1], src)
         new_params, new_opt_state, loss = self._dense_step_math(
-            params, opt_state, batch, lr, rng)
+            params, opt_state, batch, lr, rng, step=carry[1])
         return new_params, new_opt_state, loss, roll(carry, overflow)
 
       if steps == 1:
@@ -727,7 +743,7 @@ class Recoder:
         batch, overflow = build(perm, carry[0], carry[1], src)
         new_params, new_opt_state, new_sparse, loss = (
             self._sparse_step_math(params, opt_state, sparse_states,
-                                   batch, lr, rng))
+                                   batch, lr, rng, step=carry[1]))
         return (new_params, new_opt_state, new_sparse, loss,
                 roll(carry, overflow))
 
