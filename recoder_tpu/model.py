@@ -35,7 +35,8 @@ from recoder_tpu.data import (BatchCollator, RecommendationDataLoader)
 from recoder_tpu.metrics import RecommenderEvaluator
 from recoder_tpu.models.base import FactorizationModel
 from recoder_tpu.ops import losses as losses_lib
-from recoder_tpu.optim import Optimizer, SparseRowAdam, make_weight_decay_tree
+from recoder_tpu.optim import (Optimizer, SparseRowAdam, fold_dual_union,
+                               make_weight_decay_tree)
 
 log = logging.getLogger('recoder_tpu')
 if not log.handlers:
@@ -613,7 +614,6 @@ class Recoder:
         (n1, ids1), (n2, ids2) = uses
         assert ids1 is not None and ids2 is not None, \
             'tied full-table uses must collapse in sparse_entries'
-        from recoder_tpu.optim import fold_dual_union
         spare = tables[path].shape[0] - 1  # pad row: pad_dim is strict
         ids_cat, grads_cat = fold_dual_union(
             ids1, gathered_grads[n1], ids2, gathered_grads[n2], spare)

@@ -81,7 +81,12 @@ class EASE:
   # -- inference ---------------------------------------------------------
 
   def predict(self, users_interactions, return_input=False):
-    """Dense reconstruction scores [B, num_items] for a batch of users."""
+    """Dense reconstruction scores [B, num_items] for a batch of users.
+
+    ``return_input=True`` returns the device copy of the input slab so
+    callers (the seen-item mask below) don't re-upload it — per-batch
+    host->device transfers dominate EASE inference on high-latency
+    tunnels."""
     assert self.item_weights is not None, 'call fit() or load() first'
     x = np.asarray(
         users_interactions.interactions_matrix.todense(),
@@ -89,12 +94,13 @@ class EASE:
     if x.shape[1] != self.num_items:
       raise ValueError(f'input has {x.shape[1]} items, model was fit '
                        f'on {self.num_items}')
-    scores = jnp.asarray(x) @ self.item_weights
-    return (scores, x) if return_input else scores
+    xd = jnp.asarray(x)
+    scores = xd @ self.item_weights
+    return (scores, xd) if return_input else scores
 
   def _topk_unseen(self, users_interactions, num_recommendations):
-    scores, x = self.predict(users_interactions, return_input=True)
-    scores = jnp.where(jnp.asarray(x) > 0, -jnp.inf, scores)
+    scores, xd = self.predict(users_interactions, return_input=True)
+    scores = jnp.where(xd > 0, -jnp.inf, scores)
     k = min(int(num_recommendations), self.num_items)
     vals, idx = jax.lax.top_k(scores, k)
     vals, idx = np.asarray(vals), np.asarray(idx)

@@ -15,8 +15,8 @@ dropped-out) input -> gathered encode layer [union -> hidden] -> tanh
 -> mu/logvar heads [hidden -> latent] -> reparameterized sample ->
 decode layer [latent -> hidden] -> tanh -> gathered output layer
 [hidden -> union]. Per-user KL(q(z|x) || N(0, I)) is scaled by the
-annealed beta (0 -> anneal_cap over total_anneal_steps global steps,
-the paper's beta-annealing) and returned as the aux vector.
+annealed beta (vae_cf's ``min(anneal_cap, step / total_anneal_steps)``)
+and returned as the aux vector.
 
 Like the DynamicAutoencoder, the first/last layers gather only the
 batch's item-union rows, so Mult-VAE trains with mini-batch negative
@@ -43,8 +43,11 @@ class MultVAE(FactorizationModel):
     activation_type (str): hidden activation ('tanh' in the paper).
     dropout_prob (float): input dropout rate (the paper uses 0.5).
     anneal_cap (float): final KL weight beta (paper sweet spot 0.2).
-    total_anneal_steps (int): global steps over which beta ramps
-      linearly from 0 to ``anneal_cap``; 0 = constant ``anneal_cap``.
+    total_anneal_steps (int): anneal denominator, vae_cf semantics:
+      ``beta = min(anneal_cap, step / total_anneal_steps)``, i.e. the
+      cap is reached after ``anneal_cap * total_anneal_steps`` global
+      steps (40k at the defaults, matching the paper's code); 0 =
+      constant ``anneal_cap``.
     compute_dtype (str, optional): matmul compute dtype.
   """
 
@@ -85,12 +88,12 @@ class MultVAE(FactorizationModel):
             fan_in=h, fan_out=self.num_items),
         'en_bias': jnp.zeros((h,), jnp.float32),
         'w_mu': xavier_uniform(next(keys), (h, d), fan_in=h, fan_out=d),
-        'b_mu': jnp.zeros((d,), jnp.float32),
+        'mu_bias': jnp.zeros((d,), jnp.float32),
         'w_logvar': xavier_uniform(next(keys), (h, d),
                                    fan_in=h, fan_out=d),
-        'b_logvar': jnp.zeros((d,), jnp.float32),
+        'logvar_bias': jnp.zeros((d,), jnp.float32),
         'w_dec': xavier_uniform(next(keys), (d, h), fan_in=d, fan_out=h),
-        'b_dec': jnp.zeros((h,), jnp.float32),
+        'dec_bias': jnp.zeros((h,), jnp.float32),
         # gathered output layer [h -> items]
         'de_embedding': xavier_uniform(
             next(keys), (self.num_items_padded, h),
@@ -101,7 +104,7 @@ class MultVAE(FactorizationModel):
     return params
 
   def model_params(self):
-    return {
+    p = {
         'hidden_dim': self.hidden_dim,
         'latent_dim': self.latent_dim,
         'activation_type': self.activation_type,
@@ -109,6 +112,9 @@ class MultVAE(FactorizationModel):
         'anneal_cap': self.anneal_cap,
         'total_anneal_steps': self.total_anneal_steps,
     }
+    if self.compute_dtype is not None:
+      p['compute_dtype'] = jnp.dtype(self.compute_dtype).name
+    return p
 
   def load_model_params(self, model_params):
     self.hidden_dim = int(model_params['hidden_dim'])
@@ -117,21 +123,27 @@ class MultVAE(FactorizationModel):
     self.dropout_prob = model_params['dropout_prob']
     self.anneal_cap = float(model_params['anneal_cap'])
     self.total_anneal_steps = int(model_params['total_anneal_steps'])
+    # restore the checkpoint's compute dtype unless the user chose one
+    # at construction (same rule as DynamicAutoencoder)
+    if self.compute_dtype is None and 'compute_dtype' in model_params:
+      self.compute_dtype = jnp.dtype(model_params['compute_dtype'])
 
   def param_axes(self):
     return {'en_embedding': ('item', 'embed'), 'en_bias': ('embed',),
-            'w_mu': (None, None), 'b_mu': (None,),
-            'w_logvar': (None, None), 'b_logvar': (None,),
-            'w_dec': (None, None), 'b_dec': (None,),
+            'w_mu': (None, None), 'mu_bias': (None,),
+            'w_logvar': (None, None), 'logvar_bias': (None,),
+            'w_dec': (None, None), 'dec_bias': (None,),
             'de_embedding': ('item', 'embed'), 'de_bias': ('item',)}
 
   # -- forward -----------------------------------------------------------
 
   def _beta(self, step):
+    # vae_cf's schedule: min(cap, step/total) -- the cap is hit at
+    # cap * total steps, NOT at total steps
     if self.total_anneal_steps <= 0 or step is None:
       return jnp.float32(self.anneal_cap)
     frac = step.astype(jnp.float32) / self.total_anneal_steps
-    return self.anneal_cap * jnp.minimum(1.0, frac)
+    return jnp.minimum(jnp.float32(self.anneal_cap), frac)
 
   def _encode_mu_logvar(self, params, z, cd):
     z = activation(z, self.activation_type)
@@ -139,16 +151,16 @@ class MultVAE(FactorizationModel):
       z32 = lambda a, w: (a.astype(cd) @ w.astype(cd)).astype(jnp.float32)
     else:
       z32 = lambda a, w: a @ w
-    mu = z32(z, params['w_mu']) + params['b_mu']
-    logvar = z32(z, params['w_logvar']) + params['b_logvar']
+    mu = z32(z, params['w_mu']) + params['mu_bias']
+    logvar = z32(z, params['w_logvar']) + params['logvar_bias']
     return mu, logvar
 
   def _decode_hidden(self, params, zlat, cd):
     if cd is not None:
       h = (zlat.astype(cd) @ params['w_dec'].astype(cd)) \
-          .astype(jnp.float32) + params['b_dec']
+          .astype(jnp.float32) + params['dec_bias']
     else:
-      h = zlat @ params['w_dec'] + params['b_dec']
+      h = zlat @ params['w_dec'] + params['dec_bias']
     return activation(h, self.activation_type)
 
   def apply(self, params, input, input_users=None, input_items=None,

@@ -5,7 +5,7 @@ slow-tier quality gate on the real fixture.
 MultVAE is a beyond-parity addition: the canonical model (Liang et
 al., WWW'18) for the vae_cf protocol this package's preprocessing
 implements. Measured 2026-08-18 on the fixture: 8 epochs reach
-Recall@20 0.1454 / NDCG@100 0.1726 -- above the 30-epoch DynAE
+Recall@20 0.1440 / NDCG@100 0.1703 -- above the 30-epoch DynAE
 reference-pinned values (0.1417/0.1684, tests/test_model.py)."""
 
 import jax
@@ -58,6 +58,9 @@ def test_multvae_eval_is_deterministic_plain_scores():
 
 
 def test_multvae_beta_anneals_with_step():
+  """vae_cf schedule: beta = min(anneal_cap, step / total_anneal_steps)
+  -- the cap is reached after anneal_cap * total steps (Liang et al.'s
+  code), NOT after total steps."""
   model = _model(anneal_cap=0.2, total_anneal_steps=100)
   model.init_model(num_items=90, seed=0)
   x = jnp.asarray(np.asarray(_matrix().todense())[:4])
@@ -68,10 +71,11 @@ def test_multvae_beta_anneals_with_step():
                          step=jnp.int32(step))
     return np.asarray(aux)
 
-  a0, a50, a100, a500 = aux_at(0), aux_at(50), aux_at(100), aux_at(500)
+  a0, a5, a10, a20, a500 = (aux_at(0), aux_at(5), aux_at(10), aux_at(20),
+                            aux_at(500))
   np.testing.assert_array_equal(a0, 0.0)           # beta(0) = 0
-  np.testing.assert_allclose(a50 * 2, a100, rtol=1e-5)  # linear ramp
-  np.testing.assert_allclose(a100, a500, rtol=1e-6)     # capped
+  np.testing.assert_allclose(a5 * 2, a10, rtol=1e-5)  # linear ramp
+  np.testing.assert_allclose(a20, a500, rtol=1e-6)    # capped at 20 steps
 
 
 def test_multvae_trains_and_checkpoint_roundtrips(tmp_path):
@@ -107,37 +111,96 @@ def test_multvae_trains_and_checkpoint_roundtrips(tmp_path):
 
 
 def test_multvae_aux_ignores_padded_user_rows():
-  """The trainer adds sum(aux * row_mask): padded user rows must not
-  contribute KL. Train a batch whose mega is smaller than batch_size
-  and check the loss is finite and padding-independent by comparing
-  two paddings of the same users."""
+  """_forward_loss adds sum(aux * row_mask): phantom (padded) user rows
+  must contribute zero KL. At init phantom KL is exactly 0 (zero input
+  -> zero activations -> mu = logvar = 0), which would hide a dropped
+  row_mask — so first train one epoch to move the biases, assert the
+  phantom rows' KL is genuinely nonzero at those params, then check the
+  trainer's loss equals the manual valid-rows-only expectation."""
   m = _matrix(users=10, items=40, seed=3)
   ds = RecommendationDataset(m)
-  losses = {}
-  for bs in (10, 16):  # 16 pads 6 phantom rows
-    model = _model(dropout_prob=0.0, total_anneal_steps=0)
-    tr = Recoder(model=model, optimizer_type='adam', loss='logloss',
-                 seed=0)
-    tr.train(train_dataset=ds, batch_size=bs, lr=0.0, num_epochs=1,
-             negative_sampling=False, shuffle='blocks')
-    # lr=0: params unchanged; recover the loss by recomputing it
-    x = np.asarray(m.todense(), np.float32)
-    scores = model.apply(model.params, jnp.asarray(x), training=False)
-    from recoder_tpu.ops.losses import multinomial_nll_loss
-    col_mask = (jnp.arange(scores.shape[1]) < 40).astype(jnp.float32)
-    loss = jnp.sum(multinomial_nll_loss(scores, jnp.asarray(
-        np.pad(x, ((0, 0), (0, scores.shape[1] - 40)))),
-        col_mask=col_mask)) / 10
-    losses[bs] = float(loss)
-  assert np.isfinite(losses[10]) and np.isfinite(losses[16])
-  np.testing.assert_allclose(losses[10], losses[16], rtol=1e-6)
+  model = _model(dropout_prob=0.0, total_anneal_steps=0, anneal_cap=0.2)
+  tr = Recoder(model=model, optimizer_type='adam', loss='logloss', seed=0)
+  tr.train(train_dataset=ds, batch_size=10, lr=1e-2, num_epochs=1,
+           negative_sampling=False)
+  params = model.params
+
+  coo = m.tocoo()
+  B, valid = 16, 10  # 6 phantom rows
+  staged = {
+      'in_rows': jnp.asarray(coo.row, jnp.int32),
+      'in_cols': jnp.asarray(coo.col, jnp.int32),
+      'in_vals': jnp.asarray(coo.data, jnp.float32),
+      'in_users': jnp.arange(B, dtype=jnp.int32),
+      'in_items': None,
+      'in_valid_users': np.float32(valid),
+      'in_valid_width': np.int32(40),
+  }
+  rng = jax.random.PRNGKey(7)
+  step = jnp.int32(3)
+  loss = float(tr._forward_loss(params, staged, rng, training=True,
+                                step=step))
+
+  # manual expectation over the identical dense input / rng / step
+  dense = tr._densify(staged['in_rows'], staged['in_cols'],
+                      staged['in_vals'], B, model.num_items_padded)
+  out, aux = model.apply(params, dense, input_users=staged['in_users'],
+                         rng=rng, training=True, step=step,
+                         **tr._apply_extra_kwargs())
+  aux = np.asarray(aux)
+  assert aux[valid:].sum() > 1e-4, 'phantom KL is zero: test is vacuous'
+  row_mask = (jnp.arange(B) < valid).astype(jnp.float32)
+  col_mask = (jnp.arange(model.num_items_padded) < 40) \
+      .astype(jnp.float32)
+  data = float(tr.loss_module(out, dense, row_mask=row_mask,
+                              col_mask=col_mask))
+  expected = (data + aux[:valid].sum()) / valid
+  np.testing.assert_allclose(loss, expected, rtol=1e-6)
+
+
+def test_multvae_compute_dtype_roundtrips_through_checkpoint(tmp_path):
+  """A bfloat16-trained checkpoint must reload with bfloat16 numerics
+  (CLAUDE.md invariant; construction arg wins)."""
+  m = _matrix(users=20, items=40, seed=5)
+  ds = RecommendationDataset(m)
+  model = _model(compute_dtype='bfloat16')
+  tr = Recoder(model=model, optimizer_type='adam', loss='logloss', seed=0)
+  tr.train(train_dataset=ds, batch_size=20, lr=1e-3, num_epochs=1,
+           negative_sampling=True)
+  saved = tr.save_state(str(tmp_path / 'vae'))
+
+  model2 = MultVAE()
+  Recoder(model=model2, optimizer_type='adam',
+          loss='logloss').init_from_model_file(saved)
+  assert model2.compute_dtype == jnp.bfloat16
+
+  model3 = MultVAE(compute_dtype='float32')  # construction arg wins
+  Recoder(model=model3, optimizer_type='adam',
+          loss='logloss').init_from_model_file(saved)
+  assert model3.compute_dtype == jnp.float32
+
+
+def test_multvae_bias_params_exempt_from_weight_decay():
+  """Every bias param (incl. the mu/logvar/decoder heads) must carry
+  zero weight decay, matching the reference's "'bias' in name" rule."""
+  from recoder_tpu.optim import make_weight_decay_tree
+
+  model = _model()
+  model.init_model(num_items=40, seed=0)
+  tree = make_weight_decay_tree(model.params, 0.01)
+  for name in ('en_bias', 'de_bias', 'mu_bias', 'logvar_bias',
+               'dec_bias'):
+    assert float(np.max(np.asarray(tree[name]))) == 0.0, name
+  for name in ('en_embedding', 'de_embedding', 'w_mu', 'w_logvar',
+               'w_dec'):
+    assert float(np.min(np.asarray(tree[name]))) == 0.01, name
 
 
 @pytest.mark.slow
 def test_multvae_fixture_quality():
   """8-epoch MultVAE beats the 30-epoch DynAE reference-pinned metrics
   on the real fixture (floors set with seed-noise margin below the
-  measured 0.1454/0.1726)."""
+  measured 0.1440/0.1703)."""
   import pandas as pd
 
   from recoder_tpu.metrics import NDCG, Recall
