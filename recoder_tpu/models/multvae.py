@@ -48,6 +48,10 @@ class MultVAE(FactorizationModel):
       cap is reached after ``anneal_cap * total_anneal_steps`` global
       steps (40k at the defaults, matching the paper's code); 0 =
       constant ``anneal_cap``.
+    sparse (bool): update the encoder/decoder item tables with
+      row-sparse Adam over the batch union (for catalogs where dense
+      Adam's full-table moment passes dominate; same trade as
+      ``DynamicAutoencoder(sparse=True)``).
     compute_dtype (str, optional): matmul compute dtype.
   """
 
@@ -59,13 +63,14 @@ class MultVAE(FactorizationModel):
   def __init__(self, hidden_dim=600, latent_dim=200,
                activation_type='tanh', dropout_prob=0.5,
                anneal_cap=0.2, total_anneal_steps=200000,
-               compute_dtype=None):
+               sparse=False, compute_dtype=None):
     self.hidden_dim = int(hidden_dim)
     self.latent_dim = int(latent_dim)
     self.activation_type = activation_type
     self.dropout_prob = dropout_prob
     self.anneal_cap = float(anneal_cap)
     self.total_anneal_steps = int(total_anneal_steps)
+    self.sparse = bool(sparse)
     self.compute_dtype = (jnp.dtype(compute_dtype)
                           if compute_dtype is not None else None)
 
@@ -163,14 +168,14 @@ class MultVAE(FactorizationModel):
       h = zlat @ params['w_dec'] + params['dec_bias']
     return activation(h, self.activation_type)
 
-  def apply(self, params, input, input_users=None, input_items=None,
-            target_users=None, target_items=None, rng=None, training=False,
-            items_sorted_unique=False, compute_dtype=None, step=None):
-    del input_users, target_users  # item-based model
+  def _forward_core(self, params, input, en_operand, en_ids, de_operand,
+                    de_ids, de_bias, rng, training,
+                    items_sorted_unique=False, compute_dtype=None,
+                    step=None):
+    """Shared forward; operands may be full tables (+ids) or
+    pre-gathered row matrices (ids=None), same split as
+    DynamicAutoencoder._forward_core."""
     cd = self.compute_dtype if compute_dtype is None else compute_dtype
-    if input_items is None and input.shape[1] < self.num_items_padded:
-      input = jnp.pad(input,
-                      ((0, 0), (0, self.num_items_padded - input.shape[1])))
 
     z = l2_normalize_rows(input)
     if training and self.dropout_prob > 0:
@@ -178,8 +183,8 @@ class MultVAE(FactorizationModel):
       rng, drop_rng = jax.random.split(rng)
       z = dropout(z, self.dropout_prob, drop_rng)
 
-    z = encode_gather_matmul(z, params['en_embedding'], input_items,
-                             params['en_bias'], compute_dtype=cd,
+    z = encode_gather_matmul(z, en_operand, en_ids, params['en_bias'],
+                             compute_dtype=cd,
                              sorted_unique=items_sorted_unique)
     mu, logvar = self._encode_mu_logvar(params, z, cd)
 
@@ -191,8 +196,8 @@ class MultVAE(FactorizationModel):
       zlat = mu  # the paper's deterministic eval: z = E[q(z|x)]
 
     h = self._decode_hidden(params, zlat, cd)
-    scores = decode_gather_matmul(h, params['de_embedding'], target_items,
-                                  params['de_bias'], compute_dtype=cd,
+    scores = decode_gather_matmul(h, de_operand, de_ids, de_bias,
+                                  compute_dtype=cd,
                                   sorted_unique=items_sorted_unique)
     if cd is not None:
       scores = scores.astype(cd)
@@ -201,6 +206,50 @@ class MultVAE(FactorizationModel):
 
     kl = -0.5 * jnp.sum(1.0 + logvar - mu * mu - jnp.exp(logvar), axis=1)
     return scores, self._beta(step) * kl
+
+  def apply(self, params, input, input_users=None, input_items=None,
+            target_users=None, target_items=None, rng=None, training=False,
+            items_sorted_unique=False, compute_dtype=None, step=None):
+    del input_users, target_users  # item-based model
+    if input_items is None and input.shape[1] < self.num_items_padded:
+      input = jnp.pad(input,
+                      ((0, 0), (0, self.num_items_padded - input.shape[1])))
+    return self._forward_core(params, input,
+                              en_operand=params['en_embedding'],
+                              en_ids=input_items,
+                              de_operand=params['de_embedding'],
+                              de_ids=target_items,
+                              de_bias=params['de_bias'],
+                              rng=rng, training=training,
+                              items_sorted_unique=items_sorted_unique,
+                              compute_dtype=compute_dtype, step=step)
+
+  # -- sparse (row-gathered) path -----------------------------------------
+
+  def sparse_param_paths(self):
+    return ('en_embedding', 'de_embedding') if self.sparse else ()
+
+  def sparse_entries(self, input_users=None, input_items=None,
+                     target_users=None, target_items=None):
+    """Row-gather plan for the sparse optimizer path (encoder and
+    decoder tables are untied, so two independent entries)."""
+    return [('en_rows', 'en_embedding', input_items),
+            ('de_rows', 'de_embedding', target_items)]
+
+  def apply_gathered(self, params, gathered, input, input_users=None,
+                     input_items=None, target_users=None, target_items=None,
+                     rng=None, training=False, items_sorted_unique=False,
+                     step=None):
+    """Forward where embedding-table rows arrive pre-gathered (the
+    differentiable leaves of the sparse path)."""
+    del input_users, target_users, input_items
+    de_bias = take_rows(params['de_bias'], target_items,
+                        items_sorted_unique)
+    return self._forward_core(params, input,
+                              en_operand=gathered['en_rows'], en_ids=None,
+                              de_operand=gathered['de_rows'], de_ids=None,
+                              de_bias=de_bias, rng=rng, training=training,
+                              step=step)
 
   # -- chunked full-catalog inference --------------------------------------
 
