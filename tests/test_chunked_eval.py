@@ -42,14 +42,18 @@ def _interactions(matrix, users):
 def _make_trainer(model_kind, train_dataset, **kw):
   if model_kind == 'ae':
     model = DynamicAutoencoder(hidden_layers=[32], activation_type='tanh')
+  elif model_kind == 'vae':
+    from recoder_tpu.models import MultVAE
+    model = MultVAE(hidden_dim=32, latent_dim=8, total_anneal_steps=0)
   else:
     model = MatrixFactorization(embedding_size=32, activation_type='tanh')
-  trainer = Recoder(model, optimizer_type='adam', loss='mse', **kw)
+  loss = 'logloss' if model_kind == 'vae' else 'mse'
+  trainer = Recoder(model, optimizer_type='adam', loss=loss, **kw)
   trainer.train(train_dataset, batch_size=20, num_epochs=2, lr=0.01)
   return trainer
 
 
-@pytest.mark.parametrize('model_kind', ['ae', 'mf'])
+@pytest.mark.parametrize('model_kind', ['ae', 'mf', 'vae'])
 @pytest.mark.parametrize('chunk', [256, 192, 50])
 def test_chunked_matches_monolithic(model_kind, chunk):
   """Chunked top-k == monolithic top-k, including when the chunk does
