@@ -185,6 +185,13 @@ def main():
                   default='float32',
                   help='matmul compute dtype: the quality run is the '
                        'gate for adopting bfloat16 in bench.py')
+  ap.add_argument('--model', choices=['autoencoder', 'multvae'],
+                  default='autoencoder',
+                  help="real fixture only: 'autoencoder' is the "
+                       "apples-to-apples reference config; 'multvae' "
+                       "measures the beyond-parity model against the "
+                       "SAME reference-converged quality bar (it "
+                       "converges in far fewer epochs)")
   args = ap.parse_args()
 
   import jax
@@ -194,11 +201,21 @@ def main():
   from recoder_tpu.models import DynamicAutoencoder
 
   cd = None if args.dtype == 'float32' else args.dtype
+  if args.model == 'multvae' and args.fixture != 'real':
+    ap.error('--model multvae is defined for the real fixture only')
   if args.fixture == 'real':
     train_ds, val_ds = load_real_fixture()
-    model = DynamicAutoencoder(hidden_layers=[200],
-                               activation_type='tanh', noise_prob=0.5,
-                               compute_dtype=cd)
+    if args.model == 'multvae':
+      from recoder_tpu.models import MultVAE
+      # fixture-scale shape; KL anneal caps within the expected
+      # convergence window (vae_cf schedule: cap at 0.2 * 2000 steps)
+      model = MultVAE(hidden_dim=200, latent_dim=64, dropout_prob=0.5,
+                      anneal_cap=0.2, total_anneal_steps=2000,
+                      compute_dtype=cd)
+    else:
+      model = DynamicAutoencoder(hidden_layers=[200],
+                                 activation_type='tanh', noise_prob=0.5,
+                                 compute_dtype=cd)
     trainer = Recoder(model=model, optimizer_type='adam',
                       loss='logloss')
     metrics = [Recall(k=20, normalize=True), Recall(k=50, normalize=True),
@@ -252,12 +269,15 @@ def main():
     log(f'did NOT reach reference quality within {max_epochs} epochs')
     sys.exit(1)
 
-  print(json.dumps({
+  out = {
       'metric': 'ml20m_seconds_to_reference_quality',
       'value': round(hit_at, 2),
       'unit': 's',
       'vs_baseline': round(60.0 / hit_at, 3),
-  }))
+  }
+  if args.model != 'autoencoder':
+    out['model'] = args.model
+  print(json.dumps(out))
 
 
 if __name__ == '__main__':
