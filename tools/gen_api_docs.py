@@ -28,6 +28,7 @@ MODULES = [
     'recoder_tpu.ops.losses',
     'recoder_tpu.ops.topk',
     'recoder_tpu.metrics',
+    'recoder_tpu.protocols',
     'recoder_tpu.recommender',
     'recoder_tpu.embedding',
     'recoder_tpu.optim',
