@@ -58,25 +58,83 @@ class EASE:
 
   # -- training ----------------------------------------------------------
 
-  def fit(self, train_matrix):
+  def fit(self, train_matrix, gram='auto'):
     """Closed-form fit from a ``scipy.sparse`` user-item matrix.
 
-    The Gram product runs host-side on the sparse matrix; the inverse
-    (the O(n^3) part) runs on the default JAX device in float32.
+    Both halves run on the default JAX device when it is an
+    accelerator: the Gram accumulates chunk-wise on the MXU (each user
+    chunk ships as padded COO triplets — a few MB — and densifies with
+    one scatter, so G += Xc^T @ Xc; the host sparse product this
+    replaces took ~48 s at ML-20M scale vs ~2 s on one v5e), and the
+    inverse goes through Cholesky — G + lam*I is symmetric positive
+    definite, so Cholesky is exact at half LU's FLOPs, and unlike
+    ``jnp.linalg.inv``'s blocked LU it does not exhaust TPU scratch
+    memory at 20k x 20k (measured: LU fails to compile there on v5e).
+
+    Args:
+      train_matrix: ``scipy.sparse`` [users, items].
+      gram ('auto' | 'device' | 'host'): where to accumulate X^T X.
+        'auto' picks the device path on accelerators and the host
+        sparse product on the CPU backend (dense chunk matmuls are a
+        bad CPU trade).
     """
     m = train_matrix.tocsr().astype(np.float32)
     self.num_items = m.shape[1]
-    gram = np.asarray((m.T @ m).todense(), dtype=np.float32)
+    if gram not in ('auto', 'device', 'host'):
+      raise ValueError(f'unknown gram mode {gram!r}')
+    if gram == 'auto':
+      gram = 'host' if jax.default_backend() == 'cpu' else 'device'
+    if gram == 'device':
+      g = self._device_gram(m)
+    else:
+      g = jnp.asarray(np.asarray((m.T @ m).todense(), dtype=np.float32))
 
     def solve(g, lam):
       g = g + lam * jnp.eye(g.shape[0], dtype=g.dtype)
-      p = jnp.linalg.inv(g)
+      chol = jax.scipy.linalg.cholesky(g, lower=True)
+      p = jax.scipy.linalg.cho_solve(
+          (chol, True), jnp.eye(g.shape[0], dtype=g.dtype))
       b = -p / jnp.diag(p)[None, :]
       return b - jnp.diag(jnp.diag(b))  # exact-zero diagonal
 
-    self.item_weights = jax.jit(solve)(jnp.asarray(gram),
-                                       jnp.float32(self.lam))
+    self.item_weights = jax.jit(solve)(g, jnp.float32(self.lam))
     return self
+
+  def _device_gram(self, m, chunk_users=8192):
+    """G = X^T X accumulated on device from padded-COO user chunks.
+
+    Pad slots use row index ``chunk_users`` — out of bounds for the
+    [chunk_users, items] slab, dropped by the scatter — so every chunk
+    reuses one compiled program at a fixed nnz budget.
+    """
+    n_users, n_items = m.shape
+    chunk_users = min(int(chunk_users), n_users)
+    starts = range(0, n_users, chunk_users)
+    nnz_budget = max(
+        int(m.indptr[min(s + chunk_users, n_users)] - m.indptr[s])
+        for s in starts)
+
+    @jax.jit
+    def accumulate(g, rows, cols, vals):
+      slab = jnp.zeros((chunk_users, n_items), jnp.float32)
+      slab = slab.at[rows, cols].add(vals, mode='drop')
+      return g + slab.T @ slab
+
+    g = jnp.zeros((n_items, n_items), jnp.float32)
+    for s in starts:
+      e = min(s + chunk_users, n_users)
+      lo, hi = int(m.indptr[s]), int(m.indptr[e])
+      rows = np.full(nnz_budget, chunk_users, np.int32)  # pad: OOB row
+      cols = np.zeros(nnz_budget, np.int32)
+      vals = np.zeros(nnz_budget, np.float32)
+      rows[:hi - lo] = np.repeat(
+          np.arange(e - s, dtype=np.int32),
+          np.diff(m.indptr[s:e + 1]).astype(np.int64))
+      cols[:hi - lo] = m.indices[lo:hi]
+      vals[:hi - lo] = m.data[lo:hi]
+      g = accumulate(g, jnp.asarray(rows), jnp.asarray(cols),
+                     jnp.asarray(vals))
+    return g
 
   # -- inference ---------------------------------------------------------
 

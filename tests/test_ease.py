@@ -39,6 +39,26 @@ def test_ease_closed_form_matches_numpy():
   np.testing.assert_array_equal(np.diag(got), 0.0)
 
 
+def test_ease_device_gram_matches_host():
+  """The chunked padded-COO device Gram must equal the host sparse
+  product exactly (weighted values, multiple chunks, ragged tail)."""
+  rng = np.random.default_rng(3)
+  m = _binary_matrix(users=60, items=35, seed=3)
+  m.data = rng.integers(1, 5, size=m.nnz).astype(np.float32)  # weighted
+
+  model = EASE(lam=7.5)
+  g_dev = model._device_gram(m.tocsr().astype(np.float32), chunk_users=17)
+  g_host = np.asarray((m.T @ m).todense(), np.float32)
+  np.testing.assert_allclose(np.asarray(g_dev), g_host, rtol=1e-6)
+
+  # end-to-end: both gram modes produce the same closed-form weights
+  host = EASE(lam=7.5).fit(m, gram='host')
+  dev = EASE(lam=7.5).fit(m, gram='device')
+  np.testing.assert_allclose(np.asarray(dev.item_weights),
+                             np.asarray(host.item_weights),
+                             rtol=1e-5, atol=1e-6)
+
+
 def test_ease_recommend_masks_seen_and_trims():
   m = _binary_matrix(users=20, items=12, density=0.6, seed=1)
   model = EASE(lam=5.0).fit(m)
