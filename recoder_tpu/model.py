@@ -1594,6 +1594,17 @@ class Recoder:
                   'overflow rebuild; continuing on the scatter path')
     return fused_source
 
+  @property
+  def fused_data_source(self):
+    """The live fused on-device data source, or None.
+
+    Public accessor for introspection (which pipeline served the last
+    ``train`` call, whether sharded table storage engaged, the realized
+    union width/budgets) without reaching into the private cache tuple.
+    """
+    cached = getattr(self, '_fused_source_cache', None)
+    return cached[2] if cached is not None else None
+
   def _maybe_profile(self, profile_dir, profile_steps):
     """Start/stop a jax.profiler trace window around global steps."""
     if profile_dir is None:

@@ -15,7 +15,10 @@ Compute-path mapping (reference -> here):
   weight tying (is_constrained)   nn.py:224-232 -> decode reuses encode arrays
 
 The gather+matmul pairs route through recoder_tpu.ops.gather_matmul,
-which lowers to a fused Pallas kernel on TPU and plain XLA elsewhere.
+which lowers to XLA's native gather + dot (a fused Pallas variant was
+prototyped, measured slower than XLA's fusion on v5e, and retired to
+recoder_tpu/experiments/ with the numbers -- see the
+ops/gather_matmul.py module docstring).
 """
 
 import jax

@@ -19,9 +19,13 @@ trivial self-reconstruction solution, so B learns item-item structure.
 
 Scope: single-device inference model (no mesh shardings -- B is
 [items, items] and the catalogs EASE suits, <= ~60k items, fit one
-chip easily). The Gram matrix is accumulated host-side from the sparse
-CSR (O(nnz * avg_row) sparse product, seconds at ML-20M scale); the
-cubic-cost solve runs on the default JAX device.
+chip easily). ``fit(gram='auto')`` accumulates the Gram matrix
+chunk-wise on the accelerator (padded-COO scatter + MXU matmul at
+float32 precision) and falls back to the host scipy sparse product on
+the CPU backend; the cubic-cost solve always runs on the default JAX
+device. The [items, items] memory ceiling is enforced explicitly: fit
+raises past ``max_items`` (default 65,536 ~= 17 GiB for B + P in f32)
+rather than OOM-crashing mid-solve.
 """
 
 import jax
@@ -58,7 +62,7 @@ class EASE:
 
   # -- training ----------------------------------------------------------
 
-  def fit(self, train_matrix, gram='auto'):
+  def fit(self, train_matrix, gram='auto', max_items=65536):
     """Closed-form fit from a ``scipy.sparse`` user-item matrix.
 
     Both halves run on the default JAX device when it is an
@@ -77,8 +81,23 @@ class EASE:
         'auto' picks the device path on accelerators and the host
         sparse product on the CPU backend (dense chunk matmuls are a
         bad CPU trade).
+      max_items (int): explicit guard on the [items, items] working
+        set. The solve holds G, P and B at once (3 * items^2 * 4
+        bytes: 48 GiB at 65k items on the host staging side, ~17 GiB
+        device-resident for P + B) -- past this EASE is the wrong
+        model class (a 1M-item catalog would need a 4 TB dense B);
+        use the SGD families instead. Raise the bound deliberately if
+        your host/device actually has the memory.
     """
     m = train_matrix.tocsr().astype(np.float32)
+    if m.shape[1] > max_items:
+      raise ValueError(
+          f'EASE is dense [items, items]: {m.shape[1]} items needs '
+          f'~{3 * m.shape[1] ** 2 * 4 / 2 ** 30:.0f} GiB for G/P/B, '
+          f'past the max_items={max_items} guard. EASE targets '
+          f'catalogs <= ~60k items; use DynamicAutoencoder/MultVAE '
+          f'for larger catalogs, or pass max_items= explicitly if '
+          f'the memory is really there.')
     self.num_items = m.shape[1]
     if gram not in ('auto', 'device', 'host'):
       raise ValueError(f'unknown gram mode {gram!r}')
@@ -88,6 +107,11 @@ class EASE:
       g = self._device_gram(m)
     else:
       g = jnp.asarray(np.asarray((m.T @ m).todense(), dtype=np.float32))
+    self.item_weights = self._solve_b(g)
+    return self
+
+  def _solve_b(self, g):
+    """B from a precomputed Gram matrix (jitted Cholesky solve)."""
 
     def solve(g, lam):
       g = g + lam * jnp.eye(g.shape[0], dtype=g.dtype)
@@ -97,8 +121,7 @@ class EASE:
       b = -p / jnp.diag(p)[None, :]
       return b - jnp.diag(jnp.diag(b))  # exact-zero diagonal
 
-    self.item_weights = jax.jit(solve)(g, jnp.float32(self.lam))
-    return self
+    return jax.jit(solve)(g, jnp.float32(self.lam))
 
   def _device_gram(self, m, chunk_users=8192):
     """G = X^T X accumulated on device from padded-COO user chunks.
@@ -118,7 +141,12 @@ class EASE:
     def accumulate(g, rows, cols, vals):
       slab = jnp.zeros((chunk_users, n_items), jnp.float32)
       slab = slab.at[rows, cols].add(vals, mode='drop')
-      return g + slab.T @ slab
+      # HIGHEST: the TPU default rounds f32 matmul inputs to bf16 --
+      # exact for binarized data but silently lossy for general float
+      # values fit() accepts; full-f32 passes cost nothing next to the
+      # Cholesky.
+      return g + jnp.matmul(slab.T, slab,
+                            precision=jax.lax.Precision.HIGHEST)
 
     g = jnp.zeros((n_items, n_items), jnp.float32)
     for s in starts:

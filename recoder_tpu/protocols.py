@@ -68,9 +68,9 @@ def evaluate_vae_protocol(trainer, eval_dataset, recall_ks=(20, 50),
   metrics = ([Recall(k=k, normalize=True) for k in recall_ks]
              + [NDCG(k=k) for k in ndcg_ks])
   k_max = max(list(recall_ks) + list(ndcg_ks))
-  results = trainer._evaluate(eval_dataset, num_recommendations=k_max,
-                              metrics=metrics, batch_size=batch_size,
-                              num_users=num_users)
+  results = trainer.evaluate(eval_dataset, num_recommendations=k_max,
+                             metrics=metrics, batch_size=batch_size,
+                             num_users=num_users)
   summary = {str(m): float(np.mean(v)) for m, v in results.items()}
   if include_nll:
     nll = heldout_multinomial_nll(trainer, eval_dataset,

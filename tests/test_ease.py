@@ -136,3 +136,14 @@ def test_ease_fixture_quality():
   means = {str(k): float(np.mean(v)) for k, v in res.items()}
   assert means['Recall@20'] > 0.060, means
   assert means['NDCG@100'] > 0.095, means
+
+
+def test_ease_max_items_guard():
+  """fit() refuses catalogs past the explicit [items, items] memory
+  bound instead of OOM-crashing mid-solve (the ceiling is documented
+  in the module docstring; raise max_items deliberately to override)."""
+  m = _binary_matrix(users=10, items=40)
+  with pytest.raises(ValueError, match='max_items'):
+    EASE(lam=1.0).fit(m, max_items=39)
+  # explicit override works
+  EASE(lam=1.0).fit(m, max_items=40)

@@ -45,25 +45,29 @@ def main():
 
   model = EASE(lam=args.lam)
   m = matrix.tocsr().astype(np.float32)
+  model.num_items = m.shape[1]
   t1 = time.time()
   g = model._device_gram(m)
-  g.block_until_ready()
   np.asarray(g[0, 0])  # tunnel-safe sync: fetch a value
   t_gram = time.time() - t1
-  log(f'  device gram: {t_gram:.2f}s')
+  log(f'  device gram (incl. compile): {t_gram:.2f}s')
 
+  # time the Cholesky solve DIRECTLY on the already-computed Gram (a
+  # full fit() here would re-run + recompile the Gram pass and inflate
+  # the solve split)
   t2 = time.time()
-  model.fit(matrix)
+  model.item_weights = model._solve_b(g)
   np.asarray(model.item_weights[0, 0])
-  t_fit = time.time() - t2
-  log(f'  full fit (gram + cholesky solve): {t_fit:.2f}s '
-      f'(solve ~= {t_fit - t_gram:.2f}s)')
+  t_solve = time.time() - t2
+  t_fit = t_gram + t_solve
+  log(f'  cholesky solve (incl. compile): {t_solve:.2f}s '
+      f'(fit = gram + solve = {t_fit:.2f}s)')
 
   out = {
       'metric': 'ease_ml20m_fit_seconds',
       'value': round(t_fit, 2), 'unit': 's',
       'gram_device_s': round(t_gram, 2),
-      'solve_device_s': round(t_fit - t_gram, 2),
+      'solve_device_s': round(t_solve, 2),
       'items': int(matrix.shape[1]), 'lam': args.lam,
   }
   if t_host is not None:
