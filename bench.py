@@ -101,6 +101,15 @@ def main():
                        "and float32 for --sparse (sparse path not "
                        "quality-gated at bf16; measured neutral "
                        "anyway, docs/benchmarks.md)")
+  ap.add_argument('--opt-state-dtype',
+                  choices=['auto', 'float32', 'bfloat16'], default='auto',
+                  help="Adam moment storage dtype. 'auto' = bfloat16 "
+                       "for dense models (quality gate-tested: "
+                       "tests/test_model.py bf16 opt-state row; the "
+                       "optimizer's full-table m/v traffic is the "
+                       "dominant dense-step stage per the "
+                       "docs/benchmarks.md roofline) and float32 for "
+                       "--sparse (not gated there)")
   ap.add_argument('--sparse', action='store_true',
                   help="msd only: use sparse embedding tables "
                        "(row-sparse Adam over gathered unions), the "
@@ -131,6 +140,9 @@ def main():
   if args.dtype == 'auto':
     args.dtype = 'float32' if sparse else 'bfloat16'
   cd = None if args.dtype == 'float32' else args.dtype
+  if args.opt_state_dtype == 'auto':
+    args.opt_state_dtype = 'float32' if sparse else 'bfloat16'
+  osd = None if args.opt_state_dtype == 'float32' else args.opt_state_dtype
   if args.dataset == 'msd':
     matrix = synthesize(MSD_USERS, MSD_ITEMS, MSD_MEAN_ITEMS_PER_USER,
                         mean_factor=0.68)
@@ -143,7 +155,7 @@ def main():
                                activation_type='tanh', noise_prob=0.5,
                                sparse=sparse, compute_dtype=cd)
     trainer = Recoder(model=model, optimizer_type='adam',
-                      loss='logloss')
+                      loss='logloss', opt_state_dtype=osd)
     metric_name = 'msd_user_batches_per_sec'
   else:
     matrix = synthesize_ml20m()
@@ -152,7 +164,7 @@ def main():
                                activation_type='tanh', noise_prob=0.5,
                                compute_dtype=cd)
     trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
-                      loss_params={'confidence': 3})
+                      loss_params={'confidence': 3}, opt_state_dtype=osd)
     metric_name = 'ml20m_user_batches_per_sec'
   dataset = RecommendationDataset(matrix)
 

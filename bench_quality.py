@@ -185,6 +185,11 @@ def main():
                   default='float32',
                   help='matmul compute dtype: the quality run is the '
                        'gate for adopting bfloat16 in bench.py')
+  ap.add_argument('--opt-state-dtype', choices=['float32', 'bfloat16'],
+                  default='float32',
+                  help='Adam moment storage dtype: the quality run is '
+                       'the gate for adopting bfloat16 optimizer state '
+                       'in bench.py (update math stays f32)')
   ap.add_argument('--model', choices=['autoencoder', 'multvae'],
                   default='autoencoder',
                   help="real fixture only: 'autoencoder' is the "
@@ -201,6 +206,8 @@ def main():
   from recoder_tpu.models import DynamicAutoencoder
 
   cd = None if args.dtype == 'float32' else args.dtype
+  osd = (None if args.opt_state_dtype == 'float32'
+         else args.opt_state_dtype)
   if args.model == 'multvae' and args.fixture != 'real':
     ap.error('--model multvae is defined for the real fixture only')
   if args.fixture == 'real':
@@ -217,7 +224,7 @@ def main():
                                  activation_type='tanh', noise_prob=0.5,
                                  compute_dtype=cd)
     trainer = Recoder(model=model, optimizer_type='adam',
-                      loss='logloss')
+                      loss='logloss', opt_state_dtype=osd)
     metrics = [Recall(k=20, normalize=True), Recall(k=50, normalize=True),
                NDCG(k=100)]
     quality, fraction = REAL_QUALITY, REAL_FRACTION
@@ -232,7 +239,7 @@ def main():
                                activation_type='tanh', noise_prob=0.5,
                                compute_dtype=cd)
     trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
-                      loss_params={'confidence': 3})
+                      loss_params={'confidence': 3}, opt_state_dtype=osd)
     metrics = [Recall(k=20, normalize=True), NDCG(k=100)]
     quality, fraction = SYNTHETIC_QUALITY, SYNTHETIC_FRACTION
     max_epochs = 14

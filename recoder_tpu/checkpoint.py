@@ -53,12 +53,32 @@ def save_checkpoint(path, arrays_tree, metadata):
   (the reference's ``torch.save`` overwrites in place,
   reference model.py:193-224; production runs overwrite the same
   epoch path on resume, so in-place is a data-loss hazard)."""
-  arrays_tree = jax.tree_util.tree_map(np.asarray, arrays_tree)
+  def _to_np(x):
+    if (isinstance(x, jax.Array) and not x.is_fully_addressable
+        and not x.is_fully_replicated):
+      # multi-host mesh leaf (e.g. params sharded over an axis that
+      # crosses processes): np.asarray would raise. All processes call
+      # save_checkpoint (it contains this collective); each gets the
+      # assembled global value.
+      from jax.experimental import multihost_utils
+      x = multihost_utils.process_allgather(x, tiled=True)
+    x = np.asarray(x)
+    if x.dtype.kind not in 'biufc':
+      # npz has no bfloat16: it would round-trip as a void dtype.
+      # Upcast to f32 (exact for bf16); the loader's construction-arg
+      # cast restores the storage dtype bit-exactly (model._adapt_array)
+      return x.astype(np.float32)
+    return x
+
+  arrays_tree = jax.tree_util.tree_map(_to_np, arrays_tree)
   flat = flatten_tree(arrays_tree)
   payload = {f'arr::{k}': v for k, v in flat.items()}
   payload['meta::json'] = np.frombuffer(
       json.dumps(metadata).encode('utf-8'), dtype=np.uint8)
-  tmp = f'{path}.tmp-save'
+  # pid-unique temp: multi-process runs on a shared filesystem all call
+  # save_checkpoint (the allgather above is collective); concurrent
+  # writers must not clobber each other's temp before the atomic swap
+  tmp = f'{path}.tmp-save-{os.getpid()}'
   try:
     with open(tmp, 'wb') as f:
       np.savez(f, **payload)

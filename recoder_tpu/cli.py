@@ -16,7 +16,7 @@ Config schema (JSON):
               "loss_params": {}, "seed": 42,
               "mesh_model": 0,
               "eval_item_chunk": null, "eval_compute_dtype": null,
-              "eval_topk": "exact"},
+              "eval_topk": "exact", "opt_state_dtype": null},
   "train": { ...Recoder.train kwargs... }
 }
 """

@@ -115,6 +115,15 @@ class Recoder:
       'exact' (default; threshold-certified fast top-k,
       recoder_tpu.ops.topk), 'sort' (plain lax.top_k), or 'approx'
       (raw approx_max_k at ~0.95 recall; serving-only).
+    opt_state_dtype (str, optional): storage dtype for optimizer
+      moment buffers ('bfloat16' halves the optimizer's full-table
+      HBM traffic -- the dominant dense-step stage per the
+      docs/benchmarks.md roofline). None (default) keeps f32 state
+      with bit-exact torch trajectories. Update math always runs in
+      f32; only storage is rounded. Quality-gated for adam (30-epoch
+      tests/test_model.py row). The construction arg wins over a
+      checkpoint's stored state dtype on reload (same convention as
+      compute_dtype).
   """
 
   #: padded catalog size beyond which recommend() defaults to chunked
@@ -132,8 +141,9 @@ class Recoder:
                user_based=True, item_based=True,
                seed=42, mesh=None,
                eval_item_chunk=None, eval_compute_dtype=None,
-               eval_topk='exact'):
+               eval_topk='exact', opt_state_dtype=None):
     del use_cuda
+    self.opt_state_dtype = opt_state_dtype
     self.mesh = mesh
     self.eval_item_chunk = eval_item_chunk
     self.eval_compute_dtype = eval_compute_dtype
@@ -223,16 +233,21 @@ class Recoder:
     prev_sparse_states = self.sparse_states
 
     wd_tree = make_weight_decay_tree(dense_params, weight_decay)
-    self.optimizer = Optimizer(self.optimizer_type, weight_decay=wd_tree)
+    self.optimizer = Optimizer(self.optimizer_type, weight_decay=wd_tree,
+                               state_dtype=self.opt_state_dtype)
     self.opt_state = self.optimizer.init(dense_params)
-    self.sparse_adam = SparseRowAdam()
+    self.sparse_adam = SparseRowAdam(state_dtype=self.opt_state_dtype)
     self.sparse_states = {p: self.sparse_adam.init(self.model.params[p])
                           for p in sparse_paths}
 
     if prev_opt_state is not None:
       if (jax.tree_util.tree_structure(prev_opt_state)
           == jax.tree_util.tree_structure(self.opt_state)):
-        self.opt_state = prev_opt_state
+        # cast carried moments to the fresh init's storage dtypes
+        # (no-op unless opt_state_dtype changed on a live instance)
+        self.opt_state = jax.tree_util.tree_map(
+            lambda ref, prev: jnp.asarray(prev, ref.dtype),
+            self.opt_state, prev_opt_state)
       else:
         # optimizer_type changed on a live instance (directly or via
         # init_from_model_file): carried-over moments belong to the
@@ -240,7 +255,12 @@ class Recoder:
         log.warning('optimizer state structure changed '
                     '(optimizer_type switch); optimizer state reset')
     if prev_sparse_states:
-      self.sparse_states = prev_sparse_states
+      self.sparse_states = {
+          p: jax.tree_util.tree_map(lambda ref, prev:
+                                    jnp.asarray(prev, ref.dtype),
+                                    self.sparse_states[p], prev)
+          if p in self.sparse_states else prev
+          for p, prev in prev_sparse_states.items()}
 
     if self._pending_opt_arrays is not None:
       opt, sparse = self._pending_opt_arrays

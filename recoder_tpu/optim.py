@@ -19,8 +19,28 @@ import jax
 import jax.numpy as jnp
 
 
-def _tree_zeros(params):
-  return jax.tree_util.tree_map(jnp.zeros_like, params)
+def _tree_zeros(params, dtype=None):
+  if dtype is None:
+    return jax.tree_util.tree_map(jnp.zeros_like, params)
+  return jax.tree_util.tree_map(
+      lambda p: jnp.zeros(p.shape, dtype
+                          if jnp.issubdtype(p.dtype, jnp.floating)
+                          else p.dtype), params)
+
+
+def _store(x, like):
+  """Round an f32-computed state value back to the stored buffer dtype.
+
+  Round-to-nearest-even (jnp.astype). Measured receipt for why RN is
+  enough here (vs stochastic rounding): the 30-epoch quality gate
+  (tests/test_model.py opt_state_dtype='bfloat16' row) passes within
+  the reference's own atol -- see docs/benchmarks.md (bf16 optimizer
+  state). The concern with bf16 EMAs is lost tiny increments
+  (b2=0.999 updates below the ~2^-8 relative quantum); in this
+  workload g^2 fluctuates across batches far above that quantum, so
+  v does not stagnate.
+  """
+  return x.astype(like.dtype)
 
 
 class Optimizer:
@@ -32,10 +52,21 @@ class Optimizer:
       decay factors; tree form is used to zero decay on biases.
     betas, eps, momentum, alpha: per-rule hyper-parameters (torch
       defaults).
+    state_dtype: storage dtype for the float state buffers (moments /
+      accumulators), or None for the params' own dtype (f32; exact
+      torch trajectories, tests/test_optim.py). 'bfloat16' halves the
+      optimizer's HBM traffic -- the dominant step stage on the dense
+      TPU path (docs/benchmarks.md roofline) -- at a deliberate,
+      quality-gated deviation from the reference's f32 torch state
+      (reference model.py:101-138): update math still runs in f32 (the
+      stored state is upcast, combined with the f32 grad, applied to
+      the f32 params, then rounded back for storage). Only 'adam' is
+      quality-gated; other kinds accept the knob untested.
   """
 
   def __init__(self, kind, weight_decay=0.0, betas=(0.9, 0.999), eps=1e-8,
-               momentum=0.9, alpha=0.99, adagrad_eps=1e-10):
+               momentum=0.9, alpha=0.99, adagrad_eps=1e-10,
+               state_dtype=None):
     assert kind in ('sgd', 'adam', 'adagrad', 'rmsprop'), \
         f'Unknown optimizer kind {kind}'
     self.kind = kind
@@ -45,18 +76,21 @@ class Optimizer:
     self.momentum = momentum
     self.alpha = alpha
     self.adagrad_eps = adagrad_eps
+    self.state_dtype = jnp.dtype(state_dtype) if state_dtype else None
 
   def init(self, params):
     step = jnp.zeros((), jnp.int32)
+    sd = self.state_dtype
     if self.kind == 'sgd':
-      return {'step': step, 'momentum': _tree_zeros(params)}
+      return {'step': step, 'momentum': _tree_zeros(params, sd)}
     if self.kind == 'adam':
-      return {'step': step, 'm': _tree_zeros(params), 'v': _tree_zeros(params)}
+      return {'step': step, 'm': _tree_zeros(params, sd),
+              'v': _tree_zeros(params, sd)}
     if self.kind == 'adagrad':
-      return {'step': step, 'sum': _tree_zeros(params)}
+      return {'step': step, 'sum': _tree_zeros(params, sd)}
     if self.kind == 'rmsprop':
-      return {'step': step, 'sq': _tree_zeros(params),
-              'buf': _tree_zeros(params)}
+      return {'step': step, 'sq': _tree_zeros(params, sd),
+              'buf': _tree_zeros(params, sd)}
 
   def _decayed(self, grads, params):
     wd = self.weight_decay
@@ -68,52 +102,62 @@ class Optimizer:
                                   grads, params, wd)
 
   def update(self, grads, state, params, lr):
-    """Returns (new_params, new_state)."""
+    """Returns (new_params, new_state).
+
+    State buffers are upcast to the grad dtype (f32) for the update
+    math and rounded back to their storage dtype on return; the param
+    update uses the UN-rounded f32 value of the new state (better than
+    applying the rounded one -- the rounding error enters the
+    trajectory once, at the next step's read, not twice). With
+    state_dtype=None both casts are no-ops and the trajectories are
+    bit-exact torch (tests/test_optim.py).
+    """
     grads = self._decayed(grads, params)
     step = state['step'] + 1
+    tm = jax.tree_util.tree_map
+    up = lambda tree: tm(lambda s, g: s.astype(g.dtype), tree, grads)
+    down = lambda tree32, ref: tm(_store, tree32, ref)
 
     if self.kind == 'sgd':
       mu = self.momentum
-      new_buf = jax.tree_util.tree_map(lambda b, g: mu * b + g,
-                                       state['momentum'], grads)
-      new_params = jax.tree_util.tree_map(lambda p, b: p - lr * b,
-                                          params, new_buf)
-      return new_params, {'step': step, 'momentum': new_buf}
+      new_buf = tm(lambda b, g: mu * b + g, up(state['momentum']), grads)
+      new_params = tm(lambda p, b: p - lr * b, params, new_buf)
+      return new_params, {'step': step,
+                          'momentum': down(new_buf, state['momentum'])}
 
     if self.kind == 'adam':
       b1, b2 = self.betas
       bc1 = 1.0 - b1 ** step.astype(jnp.float32)
       bc2 = 1.0 - b2 ** step.astype(jnp.float32)
-      new_m = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g,
-                                     state['m'], grads)
-      new_v = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
-                                     state['v'], grads)
+      new_m = tm(lambda m, g: b1 * m + (1 - b1) * g,
+                 up(state['m']), grads)
+      new_v = tm(lambda v, g: b2 * v + (1 - b2) * g * g,
+                 up(state['v']), grads)
 
       def upd(p, m, v):
         denom = jnp.sqrt(v) / jnp.sqrt(bc2) + self.eps
         return p - (lr / bc1) * m / denom
 
-      new_params = jax.tree_util.tree_map(upd, params, new_m, new_v)
-      return new_params, {'step': step, 'm': new_m, 'v': new_v}
+      new_params = tm(upd, params, new_m, new_v)
+      return new_params, {'step': step, 'm': down(new_m, state['m']),
+                          'v': down(new_v, state['v'])}
 
     if self.kind == 'adagrad':
-      new_sum = jax.tree_util.tree_map(lambda s, g: s + g * g,
-                                       state['sum'], grads)
-      new_params = jax.tree_util.tree_map(
+      new_sum = tm(lambda s, g: s + g * g, up(state['sum']), grads)
+      new_params = tm(
           lambda p, g, s: p - lr * g / (jnp.sqrt(s) + self.adagrad_eps),
           params, grads, new_sum)
-      return new_params, {'step': step, 'sum': new_sum}
+      return new_params, {'step': step, 'sum': down(new_sum, state['sum'])}
 
     if self.kind == 'rmsprop':
       a, mu = self.alpha, self.momentum
-      new_sq = jax.tree_util.tree_map(lambda s, g: a * s + (1 - a) * g * g,
-                                      state['sq'], grads)
-      new_buf = jax.tree_util.tree_map(
-          lambda b, g, s: mu * b + g / (jnp.sqrt(s) + self.eps),
-          state['buf'], grads, new_sq)
-      new_params = jax.tree_util.tree_map(lambda p, b: p - lr * b,
-                                          params, new_buf)
-      return new_params, {'step': step, 'sq': new_sq, 'buf': new_buf}
+      new_sq = tm(lambda s, g: a * s + (1 - a) * g * g,
+                  up(state['sq']), grads)
+      new_buf = tm(lambda b, g, s: mu * b + g / (jnp.sqrt(s) + self.eps),
+                   up(state['buf']), grads, new_sq)
+      new_params = tm(lambda p, b: p - lr * b, params, new_buf)
+      return new_params, {'step': step, 'sq': down(new_sq, state['sq']),
+                          'buf': down(new_buf, state['buf'])}
 
 
 def fold_dual_union(ids1, g1, ids2, g2, spare):
@@ -154,15 +198,22 @@ class SparseRowAdam:
   The update never materializes full-table temporaries: it is gather ->
   small row-space math -> scatter, so cost is O(|union| * d) regardless
   of catalog size.
+
+  ``state_dtype`` stores the m/v tables in that dtype (e.g. 'bfloat16'
+  to halve the moment tables' HBM residency and gather/scatter bytes);
+  math stays f32 -- see :class:`Optimizer`. None = f32, exact torch
+  SparseAdam trajectories.
   """
 
-  def __init__(self, betas=(0.9, 0.999), eps=1e-8):
+  def __init__(self, betas=(0.9, 0.999), eps=1e-8, state_dtype=None):
     self.betas = betas
     self.eps = eps
+    self.state_dtype = jnp.dtype(state_dtype) if state_dtype else None
 
   def init(self, table):
+    sd = self.state_dtype or table.dtype
     return {'step': jnp.zeros((), jnp.int32),
-            'm': jnp.zeros_like(table), 'v': jnp.zeros_like(table)}
+            'm': jnp.zeros(table.shape, sd), 'v': jnp.zeros(table.shape, sd)}
 
   def update_rows(self, table, state, ids, row_grads, lr):
     """Apply one sparse step.
@@ -189,19 +240,24 @@ class SparseRowAdam:
       v_rows = state['v'].at[ids].get(mode='promise_in_bounds')
       p_rows = table.at[ids].get(mode='promise_in_bounds')
 
-    new_m = b1 * m_rows + (1 - b1) * row_grads
-    new_v = b2 * v_rows + (1 - b2) * row_grads * row_grads
+    # f32 math on the gathered rows; storage rounds back to state dtype
+    new_m = b1 * m_rows.astype(row_grads.dtype) + (1 - b1) * row_grads
+    new_v = (b2 * v_rows.astype(row_grads.dtype)
+             + (1 - b2) * row_grads * row_grads)
     new_p = p_rows - step_size * new_m / (jnp.sqrt(new_v) + self.eps)
 
     if ids is None:
-      return new_p, {'step': step, 'm': new_m, 'v': new_v}
+      return new_p, {'step': step, 'm': _store(new_m, state['m']),
+                     'v': _store(new_v, state['v'])}
 
     return (table.at[ids].set(new_p, mode='promise_in_bounds',
                               unique_indices=True),
             {'step': step,
-             'm': state['m'].at[ids].set(new_m, mode='promise_in_bounds',
+             'm': state['m'].at[ids].set(_store(new_m, state['m']),
+                                         mode='promise_in_bounds',
                                          unique_indices=True),
-             'v': state['v'].at[ids].set(new_v, mode='promise_in_bounds',
+             'v': state['v'].at[ids].set(_store(new_v, state['v']),
+                                         mode='promise_in_bounds',
                                          unique_indices=True)})
 
 

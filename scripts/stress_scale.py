@@ -48,6 +48,24 @@ def main():
                  help='items to index with the C++ ANN forest '
                       '(full-catalog exact indexing is a single matmul '
                       'per query on TPU)')
+  p.add_argument('--mesh-data', type=int, default=0,
+                 help="mesh 'data' axis size (enables blocks-mode "
+                      "sharded table storage past the byte budget -- "
+                      "BASELINE config 5's pod-sharded layout)")
+  p.add_argument('--shuffle', choices=['users', 'blocks'],
+                 default='users',
+                 help="sampling mode; 'blocks' is required for "
+                      "'data'-sharded table storage")
+  p.add_argument('--table-sharding', choices=['auto', 'data', 'none'],
+                 default='auto',
+                 help="storage layout of the blocks-mode resident "
+                      "CSR/tables on the mesh (see DeviceDataSource)")
+  p.add_argument('--verify-replicated', action='store_true',
+                 help="train a second, identically-seeded run with "
+                      "replicated tables and assert the final params "
+                      "match the sharded run bit-for-bit (feasible at "
+                      "reduced --items; the 10M receipt uses the byte "
+                      "arithmetic below)")
   args = p.parse_args()
 
   import jax
@@ -69,10 +87,16 @@ def main():
   print(f'{args.users:,} users x {args.items:,} items, nnz={m.nnz:,}')
 
   mesh = None
-  if args.mesh_model > 0:
+  if args.mesh_model > 0 or args.mesh_data > 0:
     from recoder_tpu.parallel import MeshConfig, make_mesh
-    mesh = make_mesh(MeshConfig(model=args.mesh_model))
+    mesh = make_mesh(MeshConfig(data=max(args.mesh_data, 1),
+                                model=max(args.mesh_model, 1)))
     print('mesh:', dict(zip(mesh.axis_names, mesh.devices.shape)))
+
+  table_sharding = (None if args.table_sharding == 'none'
+                    else args.table_sharding)
+  train_kw = dict(batch_size=args.batch_size, negative_sampling=True,
+                  shuffle=args.shuffle, table_sharding=table_sharding)
 
   model = DynamicAutoencoder(hidden_layers=[args.dim],
                              activation_type='tanh',
@@ -85,8 +109,7 @@ def main():
     block_until_ready lies through the tunnel -- only a host fetch
     proves the queued steps ran (see CLAUDE.md)."""
     t0 = time.time()
-    trainer.train(train_dataset=ds, batch_size=args.batch_size,
-                  num_epochs=num_epochs, negative_sampling=True)
+    trainer.train(train_dataset=ds, num_epochs=num_epochs, **train_kw)
     np.asarray(model.params['en_bias'])
     return time.time() - t0
 
@@ -108,6 +131,72 @@ def main():
       print(f'peak HBM in use: {peak / 2**30:.2f} GiB')
   except Exception:
     pass
+
+  # per-chip byte arithmetic for the sharded resident arrays (BASELINE
+  # config 5 receipt): every 'data'-sharded leaf must put exactly
+  # 1/data_ways of its bytes on each chip
+  source = trainer.fused_data_source
+  if source is not None and source.table_sharding is not None:
+    ways = source._data_ways
+    dev0 = jax.local_devices()[0]
+
+    def _leaves(obj):
+      import jax as _jax
+      vals = []
+      stack = [getattr(obj, '__dict__', {})]
+      while stack:
+        d = stack.pop()
+        for v in (d.values() if isinstance(d, dict) else d):
+          if isinstance(v, _jax.Array):
+            vals.append(v)
+          elif isinstance(v, dict):
+            stack.append(v)
+          elif isinstance(v, (list, tuple)):
+            stack.append({i: x for i, x in enumerate(v)})
+      return vals
+
+    total = chip0 = sharded_total = 0
+    for arr in _leaves(source):
+      nbytes = arr.size * arr.dtype.itemsize
+      local = sum(s.data.size * arr.dtype.itemsize
+                  for s in arr.addressable_shards
+                  if s.device == dev0)
+      total += nbytes
+      chip0 += local
+      if local * ways == nbytes:
+        sharded_total += nbytes
+    print(f'resident source arrays: {total / 2**20:.1f} MiB total, '
+          f'{chip0 / 2**20:.1f} MiB on chip 0 '
+          f'({sharded_total / 2**20:.1f} MiB sharded {ways}-way)')
+    assert sharded_total > 0, 'table_sharding engaged but nothing sharded'
+    # replicated remainder appears in full on chip 0; sharded arrays
+    # contribute exactly 1/ways each
+    expect_chip0 = (total - sharded_total) + sharded_total // ways
+    assert abs(chip0 - expect_chip0) <= 1024, (chip0, expect_chip0)
+    print(f'per-chip byte arithmetic OK: chip0 = replicated '
+          f'{(total - sharded_total) / 2**20:.1f} MiB + sharded/'
+          f'{ways} {(sharded_total // ways) / 2**20:.1f} MiB')
+
+  if args.verify_replicated:
+    print('verify: re-training with replicated tables (same seed)...')
+    model_r = DynamicAutoencoder(hidden_layers=[args.dim],
+                                 activation_type='tanh',
+                                 is_constrained=args.constrained,
+                                 sparse=False)
+    trainer_r = Recoder(model=model_r, optimizer_type=args.optimizer,
+                        loss='logistic', mesh=mesh)
+    kw = dict(train_kw, table_sharding=None)
+    trainer_r.train(train_dataset=ds, num_epochs=args.epochs + 2, **kw)
+    assert trainer_r.fused_data_source.table_sharding is None
+    worst = 0.0
+    for k in model.params:
+      a, b = np.asarray(model.params[k]), np.asarray(model_r.params[k])
+      worst = max(worst, float(np.max(np.abs(a - b))))
+      # same tolerance as tests/test_sharding.py: the shard_map psum
+      # fetch reorders float accumulation vs the replicated gather
+      np.testing.assert_allclose(a, b, rtol=0, atol=2e-5, err_msg=k)
+    print(f'verify OK: sharded-table params == replicated params '
+          f'(max |diff| = {worst:.2e})')
 
   n_index = min(args.ann_items, args.items)
   de_key = ('en_embedding' if args.constrained else 'de_embedding')

@@ -334,3 +334,53 @@ def test_failed_async_save_fails_the_process_exit(tmp_path):
   assert res.returncode == 1, (res.returncode, res.stderr[-2000:])
   assert 'checkpoint save FAILED' in res.stderr
   assert 'simulated save crash' in res.stderr
+
+
+def test_bf16_opt_state_checkpoint_roundtrip(tmp_path):
+  """opt_state_dtype='bfloat16' trains end-to-end (dense + sparse
+  paths), checkpoints (npz stores bf16 upcast to f32 -- exact), and a
+  reload with the same construction arg restores bit-identical bf16
+  moments; a reload WITHOUT the arg gets f32 state (construction
+  wins, like compute_dtype)."""
+  import jax.numpy as jnp
+  import pandas as pd
+
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+  from recoder_tpu.utils import dataframe_to_csr_matrix
+
+  rng = np.random.default_rng(3)
+  df = pd.DataFrame({'u': rng.integers(0, 30, 300),
+                     'i': rng.integers(0, 50, 300),
+                     'v': 1.0}).drop_duplicates(['u', 'i'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'u', 'i', 'v')
+  ds = RecommendationDataset(m)
+
+  for sparse in (False, True):
+    tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8], sparse=sparse),
+                 optimizer_type='adam', loss='mse',
+                 opt_state_dtype='bfloat16')
+    tr.train(train_dataset=ds, batch_size=10, num_epochs=2,
+             negative_sampling=True)
+    assert tr.opt_state['m'] and all(
+        v.dtype == jnp.bfloat16 for v in tr.opt_state['m'].values())
+    for st in tr.sparse_states.values():
+      assert st['m'].dtype == jnp.bfloat16
+
+    path = tr.save_state(str(tmp_path / f'bf16ck_{sparse}'))
+
+    tr2 = Recoder(model=DynamicAutoencoder(sparse=sparse),
+                  optimizer_type='adam', loss='mse',
+                  opt_state_dtype='bfloat16')
+    tr2.init_from_model_file(path)
+    tr2.train(train_dataset=ds, batch_size=10, num_epochs=3,
+              negative_sampling=True)
+    assert all(v.dtype == jnp.bfloat16 for v in tr2.opt_state['m'].values())
+
+    tr3 = Recoder(model=DynamicAutoencoder(sparse=sparse),
+                  optimizer_type='adam', loss='mse')
+    tr3.init_from_model_file(path)
+    tr3.train(train_dataset=ds, batch_size=10, num_epochs=3,
+              negative_sampling=True)
+    assert all(v.dtype == jnp.float32 for v in tr3.opt_state['m'].values())

@@ -64,10 +64,14 @@ def test_two_process_training_agrees(tmp_path):
 
   a = np.load(outs[0])
   b = np.load(outs[1])
+  aux = ('shard_lo', 'shard_hi', 'eval_means', 'shard_sums',
+         'shard_counts')
   # the global SPMD program must leave both processes with the same
-  # params (they executed the same steps on shards of the same arrays)
-  keys = sorted(k for k in a.files if k not in ('shard_lo', 'shard_hi'))
-  assert keys
+  # params (they executed the same steps on shards of the same arrays);
+  # 'resumed::' keys are the params after a checkpoint reload under the
+  # mesh + one more epoch -- multi-host resume must stay in sync too
+  keys = sorted(k for k in a.files if k not in aux)
+  assert keys and any(k.startswith('resumed::') for k in keys)
   for k in keys:
     np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7,
                                err_msg=k)
@@ -75,3 +79,13 @@ def test_two_process_training_agrees(tmp_path):
   assert int(a['shard_lo']) == 0
   assert int(a['shard_hi']) == int(b['shard_lo'])
   assert int(b['shard_hi']) == 64
+  # checkpoint round-trip: both processes reloaded the p0-written file
+  # and computed identical full-set eval metrics
+  np.testing.assert_array_equal(a['eval_means'], b['eval_means'])
+  assert np.all(a['eval_means'] > 0)
+  # per-host shard evals combine to the full set: sum of per-shard
+  # metric sums / total count == the full-set mean (both processes
+  # evaluated the same checkpoint)
+  combined = (a['shard_sums'] + b['shard_sums']) / (
+      a['shard_counts'] + b['shard_counts'])
+  np.testing.assert_allclose(combined, a['eval_means'], rtol=1e-6)

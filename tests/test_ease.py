@@ -147,3 +147,76 @@ def test_ease_max_items_guard():
     EASE(lam=1.0).fit(m, max_items=39)
   # explicit override works
   EASE(lam=1.0).fit(m, max_items=40)
+
+
+def _pair_structure_data(users=4000, items=400, base=0.08, pair_p=0.9,
+                         seed=0):
+  """Dense-regime fixture where EASE's model class wins: items come in
+  correlated PAIRS (picking 2i implies 2i+1 w.p. ``pair_p``), so the
+  item-item structure has rank ~items/2 -- representable exactly by
+  EASE's [items, items] B but above a narrow autoencoder's latent
+  bottleneck. This is the regime Steck's paper targets (dense
+  interaction data with rich item-item structure, arXiv:1905.03375);
+  the real-fixture test above shows the sparse regime where SGD wins."""
+  rng = np.random.default_rng(seed)
+  half = items // 2
+  rows, cols = [], []
+  for u in range(users):
+    first = np.flatnonzero(rng.random(half) < base)
+    partner = first[rng.random(len(first)) < pair_p]
+    picked = np.unique(np.r_[2 * first, 2 * partner + 1,
+                             np.flatnonzero(rng.random(items) < 0.01)])
+    rows.extend([u] * len(picked))
+    cols.extend(picked)
+  return csr_matrix((np.ones(len(rows), np.float32), (rows, cols)),
+                    shape=(users, items))
+
+
+def _elementwise_split(m, fold_in=0.8, seed=1):
+  rng = np.random.default_rng(seed)
+  coo = m.tocoo()
+  mask = rng.random(m.nnz) < fold_in
+  a = csr_matrix((coo.data[mask], (coo.row[mask], coo.col[mask])), m.shape)
+  b = csr_matrix((coo.data[~mask], (coo.row[~mask], coo.col[~mask])),
+                 m.shape)
+  return a, b
+
+
+@pytest.mark.slow
+def test_ease_beats_sgd_autoencoder_in_its_regime():
+  """EASE's winning-regime receipt (VERDICT r3 #4): on the pair-
+  structure fixture the closed-form solve must beat the 30-epoch
+  reference-protocol DynamicAutoencoder[200] through the SHARED
+  evaluator stack. Measured 2026-08-19 (CPU backend): EASE lam=50
+  Recall@20 0.705 / NDCG@100 0.656 vs DynAE[200] 0.479 / 0.504
+  (DynAE[64] 0.241 -- the latent bottleneck is the binding constraint,
+  as the rank argument predicts)."""
+  from recoder_tpu.metrics import NDCG, Recall, RecommenderEvaluator
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+  from recoder_tpu.recommender import InferenceRecommender
+
+  m = _pair_structure_data()
+  train_m, test_m = _elementwise_split(m)
+  val_ds = RecommendationDataset(train_m, test_m)
+  metrics = [Recall(k=20), NDCG(k=100)]
+
+  ease = EASE(lam=50.0).fit(train_m)
+  ev = RecommenderEvaluator(InferenceRecommender(ease, 100), metrics)
+  ease_res = {str(k): float(np.mean(v))
+              for k, v in ev.evaluate(val_ds, batch_size=500).items()}
+
+  model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
+                             noise_prob=0.5)
+  trainer = Recoder(model=model, optimizer_type='adam', loss='logloss')
+  trainer.train(train_dataset=RecommendationDataset(train_m),
+                batch_size=500, lr=1e-3, weight_decay=2e-5, num_epochs=30,
+                negative_sampling=True)
+  sgd_res = {str(k): float(np.mean(v)) for k, v in trainer._evaluate(
+      val_ds, num_recommendations=100, metrics=metrics,
+      batch_size=500).items()}
+
+  assert ease_res['Recall@20'] > 0.65, (ease_res, sgd_res)
+  assert ease_res['Recall@20'] > 1.2 * sgd_res['Recall@20'], (ease_res,
+                                                              sgd_res)
+  assert ease_res['NDCG@100'] > sgd_res['NDCG@100'], (ease_res, sgd_res)

@@ -208,3 +208,73 @@ def test_fold_dual_union_matches_dense_coalesced_step(overlap):
                              rtol=2e-6, atol=2e-7)
   np.testing.assert_allclose(np.asarray(new_state['v']), exp_v,
                              rtol=2e-6, atol=2e-7)
+
+
+# ---------------------------------------------------------------------
+# bf16 optimizer state (state_dtype='bfloat16'): storage rounds, math
+# stays f32. The end-to-end quality gate is the opt_state_dtype row in
+# tests/test_model.py; these pin the mechanical contract.
+# ---------------------------------------------------------------------
+
+
+def test_bf16_state_allocation_and_first_step_exact():
+  """From zero moments the f32 update math is unaffected by the state
+  STORAGE dtype, so step-1 params must be bit-identical to the f32
+  path; the stored moments are the bf16 rounding of the f32 ones."""
+  w, bias, grads = _problem(seed=3)
+  params = {'weight': jnp.asarray(w), 'de_bias': jnp.asarray(bias)}
+  g = {'weight': jnp.asarray(grads[0][0]), 'de_bias': jnp.asarray(grads[0][1])}
+
+  opt32 = Optimizer('adam')
+  opt16 = Optimizer('adam', state_dtype='bfloat16')
+  s16 = opt16.init(params)
+  assert s16['m']['weight'].dtype == jnp.bfloat16
+  assert s16['v']['de_bias'].dtype == jnp.bfloat16
+  assert s16['step'].dtype == jnp.int32
+
+  p32, st32 = opt32.update(g, opt32.init(params), params, jnp.float32(0.05))
+  p16, st16 = opt16.update(g, s16, params, jnp.float32(0.05))
+  for k in params:
+    np.testing.assert_array_equal(np.asarray(p32[k]), np.asarray(p16[k]))
+    np.testing.assert_array_equal(
+        np.asarray(st32['m'][k]).astype(jnp.bfloat16),
+        np.asarray(st16['m'][k]))
+
+
+def test_bf16_state_multistep_tracks_f32():
+  """Over several steps the bf16-state trajectory stays within bf16
+  rounding of the f32 one on a smooth problem (no divergence blowup)."""
+  w, bias, grads = _problem(seed=4)
+  lr = jnp.float32(0.05)
+  runs = {}
+  for sd in (None, 'bfloat16'):
+    params = {'weight': jnp.asarray(w), 'de_bias': jnp.asarray(bias)}
+    opt = Optimizer('adam', state_dtype=sd)
+    state = opt.init(params)
+    for gw, gb in grads:
+      g = {'weight': jnp.asarray(gw), 'de_bias': jnp.asarray(gb)}
+      params, state = opt.update(g, state, params, lr)
+    runs[sd] = params
+  for k in runs[None]:
+    np.testing.assert_allclose(np.asarray(runs[None][k]),
+                               np.asarray(runs['bfloat16'][k]),
+                               rtol=0, atol=5e-3)
+
+
+def test_sparse_row_adam_bf16_state():
+  rng = np.random.default_rng(5)
+  N, d = 16, 4
+  table = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+  sra16 = SparseRowAdam(state_dtype='bfloat16')
+  sra32 = SparseRowAdam()
+  st16, st32 = sra16.init(table), sra32.init(table)
+  assert st16['m'].dtype == jnp.bfloat16 and st16['v'].dtype == jnp.bfloat16
+  t16, t32 = table, table
+  for _ in range(4):
+    ids = jnp.asarray(np.sort(rng.choice(N, size=5, replace=False)))
+    g = jnp.asarray(rng.normal(size=(5, d)).astype(np.float32))
+    t16, st16 = sra16.update_rows(t16, st16, ids, g, jnp.float32(0.05))
+    t32, st32 = sra32.update_rows(t32, st32, ids, g, jnp.float32(0.05))
+  assert st16['m'].dtype == jnp.bfloat16
+  np.testing.assert_allclose(np.asarray(t16), np.asarray(t32),
+                             rtol=0, atol=5e-3)
