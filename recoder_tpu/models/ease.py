@@ -20,8 +20,9 @@ trivial self-reconstruction solution, so B learns item-item structure.
 Scope: single-device inference model (no mesh shardings -- B is
 [items, items] and the catalogs EASE suits, <= ~60k items, fit one
 chip easily). ``fit(gram='auto')`` accumulates the Gram matrix
-chunk-wise on the accelerator (padded-COO scatter + MXU matmul at
-float32 precision) and falls back to the host scipy sparse product on
+chunk-wise on the accelerator (padded-COO scatter + MXU matmul; exact
+default precision for binary data, Precision.HIGHEST for float-valued
+-- see _device_gram) and falls back to the host scipy sparse product on
 the CPU backend; the cubic-cost solve always runs on the default JAX
 device. The [items, items] memory ceiling is enforced explicitly: fit
 raises past ``max_items`` (default 65,536 ~= 17 GiB for B + P in f32)
@@ -34,6 +35,77 @@ import numpy as np
 
 import recoder_tpu
 from recoder_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+
+def _b_from_p(p):
+  """EASE weights from the inverse: B = -P/diag(P), zero diagonal."""
+  b = -p / jnp.diag(p)[None, :]
+  return b - jnp.diag(jnp.diag(b))  # exact-zero diagonal
+
+
+# module-level jitted solvers: a closure jitted inside a method would
+# recompile on EVERY fit() (jax.jit caches on function identity)
+@jax.jit
+def _cholesky_solve(g, lam):
+  g = g + lam * jnp.eye(g.shape[0], dtype=g.dtype)
+  chol = jax.scipy.linalg.cholesky(g, lower=True)
+  p = jax.scipy.linalg.cho_solve(
+      (chol, True), jnp.eye(g.shape[0], dtype=g.dtype))
+  return _b_from_p(p)
+
+
+@jax.jit
+def _newton_solve(g, lam):
+  a = g + lam * jnp.eye(g.shape[0], dtype=g.dtype)
+  p, resid, iters = _newton_inverse(a)
+  return _b_from_p(p), resid, iters
+
+
+def _newton_inverse(a, tol=1e-6, coarse_tol=2e-3, max_coarse=80,
+                    max_refine=6):
+  """Newton-Schulz inverse of an SPD matrix: X_{k+1} = X_k(2I - A X_k).
+
+  Init X_0 = I/||A||_1: for SPD A the eigenvalues of X_0 A land in
+  (0, 1], which guarantees monotone quadratic convergence. Runs inside
+  one jitted while_loop pair: a coarse phase at Precision.HIGH (the
+  fastest f32-matmul tier on the measured v5e -- three-pass bf16
+  decomposition, 47.9 TFLOP/s vs 8.1 for DEFAULT) and a refinement
+  phase at Precision.HIGHEST (six-pass f32-effective) that squares the
+  residual past f32 round-off. Residuals are RMS over entries of
+  I - A X.
+
+  Returns (x, rms_residual, total_iters) -- the caller decides whether
+  the residual is acceptable (traced code cannot raise).
+  """
+  n = a.shape[0]
+  eye = jnp.eye(n, dtype=a.dtype)
+  scale = jnp.sqrt(jnp.float32(n))
+
+  def phase(precision, tol, max_iter):
+    def cond(s):
+      _, r, i = s
+      return (r > tol) & (i < max_iter)
+
+    def body(s):
+      x, _, i = s
+      ax = jnp.matmul(a, x, precision=precision)
+      # residual of the INPUT x; the returned x is one step better
+      r = jnp.linalg.norm(ax - eye) / scale
+      x = 2.0 * x - jnp.matmul(x, ax, precision=precision)
+      return x, r, i + 1
+
+    return cond, body
+
+  x0 = eye / jnp.max(jnp.sum(jnp.abs(a), axis=1))
+  c1, b1 = phase(jax.lax.Precision.HIGH, coarse_tol, max_coarse)
+  x, r, i = jax.lax.while_loop(c1, b1, (x0, jnp.float32(jnp.inf),
+                                        jnp.int32(0)))
+  c2, b2 = phase(jax.lax.Precision.HIGHEST, tol, max_refine)
+  x, r, j = jax.lax.while_loop(c2, b2, (x, r, jnp.int32(0)))
+  # the loop exits on the PRE-update residual; report the live one
+  r = jnp.linalg.norm(jnp.matmul(a, x, precision=jax.lax.Precision.HIGHEST)
+                      - eye) / scale
+  return x, r, i + j
 
 
 class EASE:
@@ -62,7 +134,8 @@ class EASE:
 
   # -- training ----------------------------------------------------------
 
-  def fit(self, train_matrix, gram='auto', max_items=65536):
+  def fit(self, train_matrix, gram='auto', max_items=65536,
+          solve='auto'):
     """Closed-form fit from a ``scipy.sparse`` user-item matrix.
 
     Both halves run on the default JAX device when it is an
@@ -88,6 +161,10 @@ class EASE:
         model class (a 1M-item catalog would need a 4 TB dense B);
         use the SGD families instead. Raise the bound deliberately if
         your host/device actually has the memory.
+      solve ('auto' | 'cholesky' | 'newton'): inverse algorithm, see
+        :meth:`_solve_b`. 'auto' = LAPACK Cholesky on the CPU backend,
+        Newton-Schulz matmul iteration on accelerators (XLA:TPU's
+        cholesky lowering cannot compile wide catalogs).
     """
     m = train_matrix.tocsr().astype(np.float32)
     if m.shape[1] > max_items:
@@ -107,21 +184,39 @@ class EASE:
       g = self._device_gram(m)
     else:
       g = jnp.asarray(np.asarray((m.T @ m).todense(), dtype=np.float32))
-    self.item_weights = self._solve_b(g)
+    self.item_weights = self._solve_b(g, method=solve)
     return self
 
-  def _solve_b(self, g):
-    """B from a precomputed Gram matrix (jitted Cholesky solve)."""
+  def _solve_b(self, g, method='auto'):
+    """B from a precomputed Gram matrix.
 
-    def solve(g, lam):
-      g = g + lam * jnp.eye(g.shape[0], dtype=g.dtype)
-      chol = jax.scipy.linalg.cholesky(g, lower=True)
-      p = jax.scipy.linalg.cho_solve(
-          (chol, True), jnp.eye(g.shape[0], dtype=g.dtype))
-      b = -p / jnp.diag(p)[None, :]
-      return b - jnp.diag(jnp.diag(b))  # exact-zero diagonal
+    method ('auto' | 'cholesky' | 'newton'): 'cholesky' is the LAPACK
+    factorization -- exact and fast on the CPU backend, but XLA:TPU's
+    cholesky lowering OOMs at compile on wide catalogs (measured r4:
+    20,224 wide wants 119 GB of rematerialized update-slice temps on a
+    16 GB v5e). 'newton' is the TPU-native route: a Newton-Schulz
+    inverse -- nothing but [n, n] matmuls on the MXU, so it compiles at
+    any width that fits HBM. Coarse phase at Precision.HIGH (the
+    fastest measured f32 tier on v5e), then HIGHEST refinement passes;
+    quadratic convergence squares the residual each refinement step,
+    driving it below f32 round-off in a couple of iterations.
+    'auto' = cholesky on the CPU backend, newton elsewhere.
+    """
+    if method == 'auto':
+      method = 'cholesky' if jax.default_backend() == 'cpu' else 'newton'
+    if method == 'cholesky':
+      return _cholesky_solve(g, jnp.float32(self.lam))
 
-    return jax.jit(solve)(g, jnp.float32(self.lam))
+    assert method == 'newton', method
+    b, resid, iters = _newton_solve(g, jnp.float32(self.lam))
+    resid = float(resid)
+    if not resid < 1e-4:  # also catches NaN
+      raise RuntimeError(
+          f'Newton-Schulz inverse did not converge (RMS residual '
+          f'{resid:.2e} after {int(iters)} iterations); the Gram is '
+          f'too ill-conditioned for this lam -- raise lam or pass '
+          f"solve='cholesky' (host) to fit()")
+    return b
 
   def _device_gram(self, m, chunk_users=8192):
     """G = X^T X accumulated on device from padded-COO user chunks.
@@ -129,8 +224,19 @@ class EASE:
     Pad slots use row index ``chunk_users`` — out of bounds for the
     [chunk_users, items] slab, dropped by the scatter — so every chunk
     reuses one compiled program at a fixed nnz budget.
+
+    Matmul precision: Precision.HIGH (three-pass bf16 decomposition)
+    for binarized data -- 0/1 inputs are EXACT in bf16 and the f32
+    accumulator is exact far past ML-20M user counts, so HIGH loses
+    nothing; it is also the FASTEST f32-matmul tier on the measured
+    v5e (47.9 TFLOP/s vs 26.9 HIGHEST and 8.1 DEFAULT at [8192^2],
+    docs/benchmarks.md r4). General float values fit() accepts pay
+    Precision.HIGHEST for the extra mantissa passes.
     """
     n_users, n_items = m.shape
+    binary = bool(np.all(m.data == 1.0))
+    precision = (jax.lax.Precision.HIGH if binary
+                 else jax.lax.Precision.HIGHEST)
     chunk_users = min(int(chunk_users), n_users)
     starts = range(0, n_users, chunk_users)
     nnz_budget = max(
@@ -141,12 +247,7 @@ class EASE:
     def accumulate(g, rows, cols, vals):
       slab = jnp.zeros((chunk_users, n_items), jnp.float32)
       slab = slab.at[rows, cols].add(vals, mode='drop')
-      # HIGHEST: the TPU default rounds f32 matmul inputs to bf16 --
-      # exact for binarized data but silently lossy for general float
-      # values fit() accepts; full-f32 passes cost nothing next to the
-      # Cholesky.
-      return g + jnp.matmul(slab.T, slab,
-                            precision=jax.lax.Precision.HIGHEST)
+      return g + jnp.matmul(slab.T, slab, precision=precision)
 
     g = jnp.zeros((n_items, n_items), jnp.float32)
     for s in starts:

@@ -220,3 +220,27 @@ def test_ease_beats_sgd_autoencoder_in_its_regime():
   assert ease_res['Recall@20'] > 1.2 * sgd_res['Recall@20'], (ease_res,
                                                               sgd_res)
   assert ease_res['NDCG@100'] > sgd_res['NDCG@100'], (ease_res, sgd_res)
+
+
+def test_ease_newton_solve_matches_cholesky():
+  """The TPU-native Newton-Schulz inverse (solve='newton') must agree
+  with the LAPACK Cholesky route -- on the CPU backend both matmul
+  phases run in full f32, so this pins the iteration itself; on TPU
+  the refinement phase squares the bf16 coarse floor below f32
+  round-off (receipt in docs/benchmarks.md)."""
+  m = _binary_matrix(users=80, items=48, density=0.2, seed=5)
+  chol = EASE(lam=25.0).fit(m, solve='cholesky')
+  newt = EASE(lam=25.0).fit(m, solve='newton')
+  np.testing.assert_allclose(np.asarray(newt.item_weights),
+                             np.asarray(chol.item_weights),
+                             rtol=5e-4, atol=5e-5)
+  np.testing.assert_array_equal(np.diag(np.asarray(newt.item_weights)),
+                                0.0)
+
+
+def test_ease_newton_solve_raises_on_nonconvergence():
+  """A singular system (lam=0, rank-deficient Gram) must raise the
+  documented RuntimeError instead of returning garbage weights."""
+  m = csr_matrix(np.ones((6, 5), np.float32))  # rank-1 Gram
+  with pytest.raises(RuntimeError, match='did not converge'):
+    EASE(lam=0.0).fit(m, solve='newton')
