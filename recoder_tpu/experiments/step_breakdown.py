@@ -26,13 +26,15 @@ import numpy as np
 
 
 def run(B=500, W=20224, d=200, K=64, n_cache=117000, confidence=3.0,
-        noise_prob=0.5, compute_dtype=None, seed=0, reps=3):
+        noise_prob=0.5, compute_dtype=None, state_dtype=None, seed=0,
+        reps=3):
   import jax
   import jax.numpy as jnp
 
   jax.config.update('jax_default_prng_impl', 'rbg')
   rng = np.random.default_rng(seed)
   cd = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
+  sd = jnp.dtype(state_dtype) if state_dtype else jnp.float32
 
   # resident slab cache (bf16, binary data) + params + Adam state
   slab_cache = jnp.asarray(
@@ -47,8 +49,10 @@ def run(B=500, W=20224, d=200, K=64, n_cache=117000, confidence=3.0,
       'de_b': jnp.zeros((W,), jnp.float32),
   }
   adam = {
-      'm': jax.tree_util.tree_map(jnp.zeros_like, params),
-      'v': jax.tree_util.tree_map(jnp.zeros_like, params),
+      'm': jax.tree_util.tree_map(
+          lambda p: jnp.zeros(p.shape, sd), params),
+      'v': jax.tree_util.tree_map(
+          lambda p: jnp.zeros(p.shape, sd), params),
       't': jnp.int32(0),
   }
   col_mask = (jnp.arange(W) < W - 116).astype(jnp.float32)
@@ -77,18 +81,24 @@ def run(B=500, W=20224, d=200, K=64, n_cache=117000, confidence=3.0,
     return jnp.sum(w * jnp.square(sf - xf) * col_mask[None, :]) / B
 
   def adam_update(p, st, g, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8):
+    # same storage/math split as optim.Optimizer: f32 math, state
+    # STORED in sd (bf16 halves the m/v table traffic)
     t = st['t'] + 1
     m = jax.tree_util.tree_map(
-        lambda m_, g_: b1 * m_ + (1 - b1) * g_, st['m'], g)
+        lambda m_, g_: b1 * m_.astype(jnp.float32) + (1 - b1) * g_,
+        st['m'], g)
     v = jax.tree_util.tree_map(
-        lambda v_, g_: b2 * v_ + (1 - b2) * g_ * g_, st['v'], g)
+        lambda v_, g_: b2 * v_.astype(jnp.float32) + (1 - b2) * g_ * g_,
+        st['v'], g)
     tf = t.astype(jnp.float32)
     c1 = 1 - jnp.power(jnp.float32(b1), tf)
     c2 = 1 - jnp.power(jnp.float32(b2), tf)
     newp = jax.tree_util.tree_map(
         lambda p_, m_, v_: p_ - lr * (m_ / c1) /
         (jnp.sqrt(v_ / c2) + eps), p, m, v)
-    return newp, {'m': m, 'v': v, 't': t}
+    store = lambda tr: jax.tree_util.tree_map(
+        lambda x: x.astype(sd), tr)
+    return newp, {'m': store(m), 'v': store(v), 't': t}
 
   n_steps = n_cache // B
 
@@ -152,6 +162,10 @@ if __name__ == '__main__':
   ap = argparse.ArgumentParser()
   ap.add_argument('--dtype', default=None,
                   choices=[None, 'float32', 'bfloat16'], nargs='?')
+  ap.add_argument('--state-dtype', default=None,
+                  choices=[None, 'float32', 'bfloat16'], nargs='?')
   args = ap.parse_args()
   cd = args.dtype if args.dtype not in (None, 'float32') else None
-  run(compute_dtype=cd)
+  sd = (args.state_dtype if args.state_dtype not in (None, 'float32')
+        else None)
+  run(compute_dtype=cd, state_dtype=sd)

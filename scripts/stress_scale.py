@@ -186,6 +186,10 @@ def main():
     trainer_r = Recoder(model=model_r, optimizer_type=args.optimizer,
                         loss='logistic', mesh=mesh)
     kw = dict(train_kw, table_sharding=None)
+    # mirror the sharded run's two-call schedule exactly: resume
+    # re-runs the last completed epoch (reference semantics), so a
+    # single train() to the same final epoch would take FEWER steps
+    trainer_r.train(train_dataset=ds, num_epochs=args.epochs, **kw)
     trainer_r.train(train_dataset=ds, num_epochs=args.epochs + 2, **kw)
     assert trainer_r.fused_data_source.table_sharding is None
     worst = 0.0
@@ -199,6 +203,8 @@ def main():
           f'(max |diff| = {worst:.2e})')
 
   n_index = min(args.ann_items, args.items)
+  if n_index <= 0:
+    return
   de_key = ('en_embedding' if args.constrained else 'de_embedding')
   table = np.asarray(model.params[de_key][:n_index])
   t0 = time.time()

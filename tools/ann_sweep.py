@@ -29,6 +29,11 @@ def main():
   ap.add_argument('--clustered', action='store_true',
                   help='clustered embeddings (easier; closer to trained '
                        'item tables) instead of uniform random')
+  ap.add_argument('--trees', default='5,10,20,50',
+                  help='comma list of n_trees to sweep (trim for '
+                       'multi-million-item builds on small hosts)')
+  ap.add_argument('--search-k', default='-1,200,1000,5000',
+                  help='comma list of search_k values to sweep')
   args = ap.parse_args()
 
   from recoder_tpu.embedding import (AnnEmbeddingsIndex,
@@ -54,12 +59,12 @@ def main():
   print(json.dumps({'config': 'exact', 'per_query_ms': round(exact_ms, 4),
                     'recall': 1.0}), flush=True)
 
-  for n_trees in (5, 10, 20, 50):
+  for n_trees in (int(t) for t in args.trees.split(',')):
     index = AnnEmbeddingsIndex(embeddings=emb, n_trees=n_trees)
     t0 = time.time()
     index.build()
     build_s = time.time() - t0
-    for search_k in (-1, 200, 1000, 5000):
+    for search_k in (int(s) for s in args.search_k.split(',')):
       index.search_k = search_k
       index.get_nns_by_ids(query_ids[:16], args.k)  # warm
       t0 = time.time()
