@@ -128,9 +128,17 @@ def cmd_train(cfg):
     # EASE trains in one closed-form solve: fit, save, report
     from recoder_tpu.models import EASE
     model_cfg = dict(cfg.get('model', {})); model_cfg.pop('type')
+    fit_kw = {k: model_cfg.pop(k) for k in ('gram', 'max_items', 'solve')
+              if k in model_cfg}
+    mesh_model = model_cfg.pop('mesh_model', 0)
+    if mesh_model:
+      # past-one-chip catalogs: row-shard the solve over 'model'
+      from recoder_tpu.parallel import MeshConfig, make_mesh
+      fit_kw['mesh'] = make_mesh(MeshConfig(model=mesh_model))
     train_cfg = dict(cfg.get('train', {}))
     prefix = train_cfg.get('model_checkpoint_prefix')
-    model = EASE(**model_cfg).fit(train_dataset.interactions_matrix)
+    model = EASE(**model_cfg).fit(train_dataset.interactions_matrix,
+                                  **fit_kw)
     if prefix:
       print(f'saved EASE model to {model.save(prefix + ".model")}')
     if val_dataset is not None:

@@ -17,16 +17,17 @@ interaction matrix and G = X^T X,
 scores = X @ B. The zero diagonal is the whole trick: it forbids the
 trivial self-reconstruction solution, so B learns item-item structure.
 
-Scope: single-device inference model (no mesh shardings -- B is
-[items, items] and the catalogs EASE suits, <= ~60k items, fit one
-chip easily). ``fit(gram='auto')`` accumulates the Gram matrix
-chunk-wise on the accelerator (padded-COO scatter + MXU matmul; exact
-default precision for binary data, Precision.HIGHEST for float-valued
--- see _device_gram) and falls back to the host scipy sparse product on
-the CPU backend; the cubic-cost solve always runs on the default JAX
-device. The [items, items] memory ceiling is enforced explicitly: fit
-raises past ``max_items`` (default 65,536 ~= 17 GiB for B + P in f32)
-rather than OOM-crashing mid-solve.
+Scope: ``fit(gram='auto')`` accumulates the Gram matrix chunk-wise on
+the accelerator (padded-COO scatter + MXU matmul; Precision.HIGH for
+binary data -- exact AND the fastest measured tier, HIGHEST for
+float-valued, see _device_gram) and falls back to the host scipy
+sparse product on the CPU backend. The cubic solve is a Newton-Schulz
+matmul inverse on accelerators (XLA:TPU's cholesky cannot compile
+wide operands) and LAPACK Cholesky on CPU (see _solve_b). One v5e
+fits catalogs to ~27-30k items (41k measured OOM); ``fit(mesh=...)``
+row-shards every solve buffer over the mesh 'model' axis for wider
+catalogs. The ceiling is enforced explicitly: fit raises past
+``max_items`` rather than OOM-crashing mid-solve.
 """
 
 import jax
@@ -61,8 +62,37 @@ def _newton_solve(g, lam):
   return _b_from_p(p), resid, iters
 
 
+def _newton_solve_sharded(g, lam, mesh):
+  """Newton-Schulz solve with every [n, n] buffer row-sharded over the
+  mesh's 'model' axis.
+
+  The iteration is nothing but [n, n] matmuls, so GSPMD partitions it
+  directly: A and X live row-sharded (1/model_ways per chip), each
+  A @ X contracts a sharded dimension (XLA inserts the collective),
+  and the result stays row-sharded. This lifts EASE past the
+  single-chip width ceiling (measured: 41k items OOMs one v5e, the
+  solve holds ~4 [n, n] f32 buffers) -- on an 8-way 'model' axis the
+  per-chip residency divides by 8. Numerical equality with the
+  single-device solve is gate-tested on the virtual CPU mesh
+  (tests/test_ease.py::test_ease_sharded_solve_matches).
+  """
+  from jax.sharding import NamedSharding, PartitionSpec
+
+  rows = NamedSharding(mesh, PartitionSpec('model', None))
+
+  def solve(g, lam):
+    a = g + lam * jnp.eye(g.shape[0], dtype=g.dtype)
+    a = jax.lax.with_sharding_constraint(a, rows)
+    p, resid, iters = _newton_inverse(a, constraint=rows)
+    return _b_from_p(p), resid, iters
+
+  fn = jax.jit(solve, in_shardings=(rows, None),
+               out_shardings=((rows, None, None)))
+  return fn(jax.device_put(g, rows), jnp.float32(lam))
+
+
 def _newton_inverse(a, tol=1e-6, coarse_tol=2e-3, max_coarse=80,
-                    max_refine=6):
+                    max_refine=6, constraint=None):
   """Newton-Schulz inverse of an SPD matrix: X_{k+1} = X_k(2I - A X_k).
 
   Init X_0 = I/||A||_1: for SPD A the eigenvalues of X_0 A land in
@@ -92,6 +122,10 @@ def _newton_inverse(a, tol=1e-6, coarse_tol=2e-3, max_coarse=80,
       # residual of the INPUT x; the returned x is one step better
       r = jnp.linalg.norm(ax - eye) / scale
       x = 2.0 * x - jnp.matmul(x, ax, precision=precision)
+      if constraint is not None:
+        # keep the iterate row-sharded across loop steps (a mesh solve
+        # must not let GSPMD drift the loop carry to replicated)
+        x = jax.lax.with_sharding_constraint(x, constraint)
       return x, r, i + 1
 
     return cond, body
@@ -135,18 +169,17 @@ class EASE:
   # -- training ----------------------------------------------------------
 
   def fit(self, train_matrix, gram='auto', max_items=65536,
-          solve='auto'):
+          solve='auto', mesh=None):
     """Closed-form fit from a ``scipy.sparse`` user-item matrix.
 
     Both halves run on the default JAX device when it is an
     accelerator: the Gram accumulates chunk-wise on the MXU (each user
     chunk ships as padded COO triplets — a few MB — and densifies with
     one scatter, so G += Xc^T @ Xc; the host sparse product this
-    replaces took ~48 s at ML-20M scale vs ~2 s on one v5e), and the
-    inverse goes through Cholesky — G + lam*I is symmetric positive
-    definite, so Cholesky is exact at half LU's FLOPs, and unlike
-    ``jnp.linalg.inv``'s blocked LU it does not exhaust TPU scratch
-    memory at 20k x 20k (measured: LU fails to compile there on v5e).
+    replaces took ~48 s at ML-20M scale vs ~2 s warm on one v5e), and
+    the inverse runs the Newton-Schulz matmul iteration (see
+    :meth:`_solve_b`; the r4 receipt: 18.1 s warm fit at 20,108
+    items).
 
     Args:
       train_matrix: ``scipy.sparse`` [users, items].
@@ -155,16 +188,20 @@ class EASE:
         sparse product on the CPU backend (dense chunk matmuls are a
         bad CPU trade).
       max_items (int): explicit guard on the [items, items] working
-        set. The solve holds G, P and B at once (3 * items^2 * 4
-        bytes: 48 GiB at 65k items on the host staging side, ~17 GiB
-        device-resident for P + B) -- past this EASE is the wrong
-        model class (a 1M-item catalog would need a 4 TB dense B);
-        use the SGD families instead. Raise the bound deliberately if
-        your host/device actually has the memory.
+        set. The solve holds ~4 [items, items] f32 buffers
+        (measured: 41k items OOMs one 16 GB v5e; the single-chip
+        ceiling is ~27-30k) -- past this EASE on one chip is the
+        wrong model class; shard the solve with ``mesh`` or use the
+        SGD families. Raise the bound deliberately if the memory is
+        really there.
       solve ('auto' | 'cholesky' | 'newton'): inverse algorithm, see
         :meth:`_solve_b`. 'auto' = LAPACK Cholesky on the CPU backend,
         Newton-Schulz matmul iteration on accelerators (XLA:TPU's
         cholesky lowering cannot compile wide catalogs).
+      mesh: optional ('data', 'model') mesh; row-shards every solve
+        buffer over 'model' so per-chip residency divides by
+        model_ways -- the past-one-chip-HBM option (41k-wide B on an
+        8-chip slice is ~0.85 GiB/chip/buffer). Forces newton.
     """
     m = train_matrix.tocsr().astype(np.float32)
     if m.shape[1] > max_items:
@@ -184,10 +221,10 @@ class EASE:
       g = self._device_gram(m)
     else:
       g = jnp.asarray(np.asarray((m.T @ m).todense(), dtype=np.float32))
-    self.item_weights = self._solve_b(g, method=solve)
+    self.item_weights = self._solve_b(g, method=solve, mesh=mesh)
     return self
 
-  def _solve_b(self, g, method='auto'):
+  def _solve_b(self, g, method='auto', mesh=None):
     """B from a precomputed Gram matrix.
 
     method ('auto' | 'cholesky' | 'newton'): 'cholesky' is the LAPACK
@@ -201,7 +238,15 @@ class EASE:
     quadratic convergence squares the residual each refinement step,
     driving it below f32 round-off in a couple of iterations.
     'auto' = cholesky on the CPU backend, newton elsewhere.
+
+    mesh: a ('data', 'model') mesh (recoder_tpu.parallel.make_mesh)
+    shards every [n, n] solve buffer row-wise over 'model' -- the
+    past-one-chip-HBM configuration (see _newton_solve_sharded).
+    Forces the newton method.
     """
+    if mesh is not None:
+      b, resid, iters = _newton_solve_sharded(g, self.lam, mesh)
+      return self._check_newton(b, resid, iters)
     if method == 'auto':
       method = 'cholesky' if jax.default_backend() == 'cpu' else 'newton'
     if method == 'cholesky':
@@ -209,6 +254,10 @@ class EASE:
 
     assert method == 'newton', method
     b, resid, iters = _newton_solve(g, jnp.float32(self.lam))
+    return self._check_newton(b, resid, iters)
+
+  @staticmethod
+  def _check_newton(b, resid, iters):
     resid = float(resid)
     if not resid < 1e-4:  # also catches NaN
       raise RuntimeError(
