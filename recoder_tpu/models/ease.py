@@ -218,7 +218,7 @@ class EASE:
     if gram == 'auto':
       gram = 'host' if jax.default_backend() == 'cpu' else 'device'
     if gram == 'device':
-      g = self._device_gram(m)
+      g = self._device_gram(m, mesh=mesh)
     else:
       g = jnp.asarray(np.asarray((m.T @ m).todense(), dtype=np.float32))
     self.item_weights = self._solve_b(g, method=solve, mesh=mesh)
@@ -267,12 +267,19 @@ class EASE:
           f"solve='cholesky' (host) to fit()")
     return b
 
-  def _device_gram(self, m, chunk_users=8192):
+  def _device_gram(self, m, chunk_users=8192, mesh=None):
     """G = X^T X accumulated on device from padded-COO user chunks.
 
     Pad slots use row index ``chunk_users`` — out of bounds for the
     [chunk_users, items] slab, dropped by the scatter — so every chunk
     reuses one compiled program at a fixed nnz budget.
+
+    With ``mesh``, G accumulates ROW-SHARDED over the mesh 'model'
+    axis from the first chunk (the slab stays replicated; the matmul's
+    [items, items] output partitions row-wise), so no chip ever holds
+    the full [items, items] matrix — required past ~60k items where G
+    alone exceeds one chip's HBM, and it hands the solve its operand
+    already in the sharded layout.
 
     Matmul precision: Precision.HIGH (three-pass bf16 decomposition)
     for binarized data -- 0/1 inputs are EXACT in bf16 and the f32
@@ -292,13 +299,23 @@ class EASE:
         int(m.indptr[min(s + chunk_users, n_users)] - m.indptr[s])
         for s in starts)
 
+    rows_sharding = None
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec
+      rows_sharding = NamedSharding(mesh, PartitionSpec('model', None))
+
     @jax.jit
     def accumulate(g, rows, cols, vals):
       slab = jnp.zeros((chunk_users, n_items), jnp.float32)
       slab = slab.at[rows, cols].add(vals, mode='drop')
-      return g + jnp.matmul(slab.T, slab, precision=precision)
+      out = g + jnp.matmul(slab.T, slab, precision=precision)
+      if rows_sharding is not None:
+        out = jax.lax.with_sharding_constraint(out, rows_sharding)
+      return out
 
     g = jnp.zeros((n_items, n_items), jnp.float32)
+    if rows_sharding is not None:
+      g = jax.device_put(g, rows_sharding)
     for s in starts:
       e = min(s + chunk_users, n_users)
       lo, hi = int(m.indptr[s]), int(m.indptr[e])

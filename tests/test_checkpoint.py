@@ -384,3 +384,53 @@ def test_bf16_opt_state_checkpoint_roundtrip(tmp_path):
     tr3.train(train_dataset=ds, batch_size=10, num_epochs=3,
               negative_sampling=True)
     assert all(v.dtype == jnp.float32 for v in tr3.opt_state['m'].values())
+
+
+def test_orbax_bf16_opt_state_roundtrip(tmp_path):
+  """The orbax backend stores bf16 natively (no f32 upcast needed);
+  a reload with the same construction arg must restore bf16 moments
+  BIT-identically."""
+  import jax.numpy as jnp
+  import pandas as pd
+
+  from recoder_tpu.checkpoint_orbax import wait_for_pending_saves
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+  from recoder_tpu.utils import dataframe_to_csr_matrix
+
+  rng = np.random.default_rng(7)
+  df = pd.DataFrame({'u': rng.integers(0, 30, 300),
+                     'i': rng.integers(0, 50, 300),
+                     'v': 1.0}).drop_duplicates(['u', 'i'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'u', 'i', 'v')
+  ds = RecommendationDataset(m)
+
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8]),
+               optimizer_type='adam', loss='mse',
+               opt_state_dtype='bfloat16')
+  tr.train(train_dataset=ds, batch_size=10, num_epochs=2,
+           negative_sampling=True)
+  path = tr.save_state(str(tmp_path / 'obf'), backend='orbax')
+  wait_for_pending_saves()
+
+  tr2 = Recoder(model=DynamicAutoencoder(), optimizer_type='adam',
+                loss='mse', opt_state_dtype='bfloat16')
+  tr2.init_from_model_file(path)
+  tr2.train(train_dataset=ds, batch_size=10, num_epochs=3,
+            negative_sampling=True)
+  assert all(v.dtype == jnp.bfloat16 for v in tr2.opt_state['m'].values())
+  # pre-resume moments restored exactly: compare against the npz route
+  npz = tr.save_state(str(tmp_path / 'nbf'))
+  tr3 = Recoder(model=DynamicAutoencoder(), optimizer_type='adam',
+                loss='mse', opt_state_dtype='bfloat16')
+  tr3.init_from_model_file(npz)
+  tr4 = Recoder(model=DynamicAutoencoder(), optimizer_type='adam',
+                loss='mse', opt_state_dtype='bfloat16')
+  tr4.init_from_model_file(path)
+  a = tr3._pending_opt_arrays[0]
+  b = tr4._pending_opt_arrays[0]
+  for k in a['m']:
+    np.testing.assert_array_equal(
+        np.asarray(a['m'][k], dtype=np.float32),
+        np.asarray(b['m'][k], dtype=np.float32))

@@ -277,3 +277,34 @@ def test_ease_sharded_solve_matches():
   ui = UsersInteractions(users=np.arange(5), interactions_matrix=m[:5])
   for a, c in zip(plain.recommend(ui, 5), sharded.recommend(ui, 5)):
     np.testing.assert_array_equal(a, c)
+
+
+def test_ease_sharded_gram_matches_host():
+  """_device_gram(mesh=...) accumulates G row-sharded over 'model'
+  from the first chunk (no chip ever holds the full [items, items]
+  matrix -- required past ~60k items); values must equal the host
+  sparse product exactly and the full sharded fit must match the
+  replicated one."""
+  import jax
+  from jax.sharding import PartitionSpec as P
+
+  from recoder_tpu.parallel import MeshConfig, make_mesh
+
+  mesh = make_mesh(MeshConfig(data=2, model=4))
+  rng = np.random.default_rng(11)
+  m = _binary_matrix(users=90, items=64, density=0.2, seed=11)
+  m.data = rng.integers(1, 4, size=m.nnz).astype(np.float32)
+
+  model = EASE(lam=9.0)
+  g = model._device_gram(m.tocsr().astype(np.float32), chunk_users=32,
+                         mesh=mesh)
+  assert g.sharding.spec == P('model', None), g.sharding
+  assert {s.data.shape[0] for s in g.addressable_shards} == {64 // 4}
+  g_host = np.asarray((m.T @ m).todense(), np.float32)
+  np.testing.assert_allclose(np.asarray(g), g_host, rtol=1e-6)
+
+  sharded = EASE(lam=9.0).fit(m, gram='device', mesh=mesh)
+  plain = EASE(lam=9.0).fit(m, gram='device', solve='newton')
+  np.testing.assert_allclose(np.asarray(sharded.item_weights),
+                             np.asarray(plain.item_weights),
+                             rtol=5e-4, atol=5e-5)
