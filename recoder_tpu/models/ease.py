@@ -79,16 +79,23 @@ def _newton_solve_sharded(g, lam, mesh):
   from jax.sharding import NamedSharding, PartitionSpec
 
   rows = NamedSharding(mesh, PartitionSpec('model', None))
+  fn = _SHARDED_SOLVE_CACHE.get(mesh)
+  if fn is None:
+    def solve(g, lam):
+      a = g + lam * jnp.eye(g.shape[0], dtype=g.dtype)
+      a = jax.lax.with_sharding_constraint(a, rows)
+      p, resid, iters = _newton_inverse(a, constraint=rows)
+      return _b_from_p(p), resid, iters
 
-  def solve(g, lam):
-    a = g + lam * jnp.eye(g.shape[0], dtype=g.dtype)
-    a = jax.lax.with_sharding_constraint(a, rows)
-    p, resid, iters = _newton_inverse(a, constraint=rows)
-    return _b_from_p(p), resid, iters
-
-  fn = jax.jit(solve, in_shardings=(rows, None),
-               out_shardings=((rows, None, None)))
+    fn = jax.jit(solve, in_shardings=(rows, None),
+                 out_shardings=((rows, None, None)))
+    _SHARDED_SOLVE_CACHE[mesh] = fn
   return fn(jax.device_put(g, rows), jnp.float32(lam))
+
+
+# one jitted sharded solver per mesh (a fresh closure per fit would
+# recompile every call; jax.jit caches on function identity)
+_SHARDED_SOLVE_CACHE = {}
 
 
 def _newton_inverse(a, tol=1e-6, coarse_tol=2e-3, max_coarse=80,
