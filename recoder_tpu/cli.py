@@ -130,7 +130,12 @@ def cmd_train(cfg):
     model_cfg = dict(cfg.get('model', {})); model_cfg.pop('type')
     fit_kw = {k: model_cfg.pop(k) for k in ('gram', 'max_items', 'solve')
               if k in model_cfg}
-    mesh_model = model_cfg.pop('mesh_model', 0)
+    # mesh_model lives in the trainer block (the documented schema),
+    # same as for the SGD models; a model-block value is honored for
+    # backward compatibility but the trainer block wins
+    mesh_model = (cfg.get('trainer', {}).get('mesh_model', 0)
+                  or model_cfg.pop('mesh_model', 0))
+    model_cfg.pop('mesh_model', None)
     if mesh_model:
       # past-one-chip catalogs: row-shard the solve over 'model'
       from recoder_tpu.parallel import MeshConfig, make_mesh

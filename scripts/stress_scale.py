@@ -63,9 +63,11 @@ def main():
   p.add_argument('--verify-replicated', action='store_true',
                  help="train a second, identically-seeded run with "
                       "replicated tables and assert the final params "
-                      "match the sharded run bit-for-bit (feasible at "
-                      "reduced --items; the 10M receipt uses the byte "
-                      "arithmetic below)")
+                      "match the sharded run within the documented "
+                      "sharding tolerance (atol=2e-5 -- the shard_map "
+                      "psum fetch reorders float accumulation; "
+                      "feasible at reduced --items; the 10M receipt "
+                      "uses the byte arithmetic below)")
   args = p.parse_args()
 
   import jax
@@ -89,7 +91,9 @@ def main():
   mesh = None
   if args.mesh_model > 0 or args.mesh_data > 0:
     from recoder_tpu.parallel import MeshConfig, make_mesh
-    mesh = make_mesh(MeshConfig(data=max(args.mesh_data, 1),
+    # data=None lets make_mesh auto-absorb the leftover devices onto
+    # the data axis (e.g. --mesh-model 4 on 8 devices -> data=2)
+    mesh = make_mesh(MeshConfig(data=args.mesh_data or None,
                                 model=max(args.mesh_model, 1)))
     print('mesh:', dict(zip(mesh.axis_names, mesh.devices.shape)))
 
