@@ -224,7 +224,7 @@ class EASE:
     one scatter, so G += Xc^T @ Xc; the host sparse product this
     replaces took ~48 s at ML-20M scale vs ~2 s warm on one v5e), and
     the inverse runs the Newton-Schulz matmul iteration (see
-    :meth:`_solve_b`; the r4 receipt: 18.1 s warm fit at 20,108
+    :meth:`_solve_b`; the r4 receipt: 15.9 s warm fit at 20,108
     items).
 
     Args:
