@@ -110,6 +110,19 @@ def main():
                        "dominant dense-step stage per the "
                        "docs/benchmarks.md roofline) and float32 for "
                        "--sparse (not gated there)")
+  ap.add_argument('--params-dtype',
+                  choices=['auto', 'float32', 'bfloat16'], default='auto',
+                  help="parameter STORAGE dtype for training "
+                       "(quality-gated, tests/test_model.py bf16 "
+                       "params row; update math stays f32 -- "
+                       "optim.Optimizer.update). 'auto' = float32: "
+                       "measured and REJECTED as the throughput "
+                       "default (docs/benchmarks.md r4 -- the [W, d] "
+                       "tables are small next to the bf16 slab "
+                       "traffic and the f32-anchor casts cost more "
+                       "than the halved param bytes save). bf16 "
+                       "params remain the opt-in HBM-footprint lever "
+                       "for catalog-ceiling configs")
   ap.add_argument('--sparse', action='store_true',
                   help="msd only: use sparse embedding tables "
                        "(row-sparse Adam over gathered unions), the "
@@ -151,6 +164,12 @@ def main():
   if args.opt_state_dtype == 'auto':
     args.opt_state_dtype = 'float32' if sparse else 'bfloat16'
   osd = None if args.opt_state_dtype == 'float32' else args.opt_state_dtype
+  if args.params_dtype == 'auto':
+    # rejected as the default on measurement: two interleaved A/B
+    # pairs, bf16 1800.9/1723.9 vs f32 1810.1/1810.0 b/s
+    # (docs/benchmarks.md r4 bf16-params section)
+    args.params_dtype = 'float32'
+  pd = None if args.params_dtype == 'float32' else args.params_dtype
   if args.dataset == 'msd':
     matrix = synthesize(MSD_USERS, MSD_ITEMS, MSD_MEAN_ITEMS_PER_USER,
                         mean_factor=0.68)
@@ -161,7 +180,8 @@ def main():
     # --sparse measures the reference script's sparse=True config
     model = DynamicAutoencoder(hidden_layers=[200],
                                activation_type='tanh', noise_prob=0.5,
-                               sparse=sparse, compute_dtype=cd)
+                               sparse=sparse, compute_dtype=cd,
+                               params_dtype=pd)
     trainer = Recoder(model=model, optimizer_type='adam',
                       loss='logloss', opt_state_dtype=osd)
     metric_name = 'msd_user_batches_per_sec'
@@ -170,7 +190,7 @@ def main():
     num_users = NUM_USERS
     model = DynamicAutoencoder(hidden_layers=[200],
                                activation_type='tanh', noise_prob=0.5,
-                               compute_dtype=cd)
+                               compute_dtype=cd, params_dtype=pd)
     trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
                       loss_params={'confidence': 3}, opt_state_dtype=osd)
     metric_name = 'ml20m_user_batches_per_sec'

@@ -312,15 +312,18 @@ class Recoder:
           'If your model is not user based, set user_based=False.'
 
     self._init_model()
+    # f32 is the reference trajectory; bf16 params are a quality-gated
+    # training mode (storage rounds per step in the optimizer, math
+    # stays f32 -- optim.Optimizer.update; gate: tests/test_model.py
+    # params_dtype row + docs/benchmarks.md). Anything else (f16 has
+    # a narrow exponent and would need loss scaling) is refused.
     bad = [p for p, v in self.model.params.items()
            if jnp.issubdtype(v.dtype, jnp.floating)
-           and v.dtype != jnp.float32]
+           and v.dtype not in (jnp.float32, jnp.bfloat16)]
     if bad:
       raise ValueError(
-          f'training requires float32 params; {bad[:3]} are '
-          f'{self.model.params[bad[0]].dtype} (params_dtype is an '
-          f'inference-only option -- use compute_dtype for bf16 matmuls '
-          f'during training)')
+          f'training requires float32 or bfloat16 params; {bad[:3]} '
+          f'are {self.model.params[bad[0]].dtype}')
     self._init_optimizer(weight_decay=weight_decay)
     self._init_loss_module()
     # compiled step fns captured the optimizer's weight-decay tree and

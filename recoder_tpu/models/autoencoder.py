@@ -50,11 +50,19 @@ class DynamicAutoencoder(FactorizationModel):
       keeps float32 compute end to end.
     params_dtype (str, optional): storage dtype for the parameters
       ('bfloat16' halves the table HBM bytes that bound large-catalog
-      inference). INFERENCE-ONLY: construct with it, load a float32
+      inference, and the resident param+grad+update footprint during
+      training). Serving: construct with it and load a float32
       checkpoint via ``init_from_model_file`` (arrays are cast on
-      load), and recommend/evaluate; ``train`` refuses non-f32 params.
-      Defaults ``compute_dtype`` to the same dtype so gathers/matmuls
-      don't upcast the tables back to f32.
+      load). Training with bf16 params is quality-gated (r4): the
+      optimizer's math stays f32 and rounds storage per step
+      (optim.Optimizer.update); a 30-epoch gate row pins
+      reference-level quality (tests/test_model.py). NOTE it is a
+      memory lever, not a speed lever -- on the small-table headline
+      config it measured slightly SLOWER than f32 params and is not
+      the bench default (docs/benchmarks.md r4). Checkpoints store
+      params upcast to f32 (exact); the construction arg restores the
+      storage dtype on reload. Defaults ``compute_dtype`` to the same
+      dtype so gathers/matmuls don't upcast the tables back to f32.
   """
 
   def __init__(self, hidden_layers=None, activation_type='tanh',

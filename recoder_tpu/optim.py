@@ -104,26 +104,30 @@ class Optimizer:
   def update(self, grads, state, params, lr):
     """Returns (new_params, new_state).
 
-    State buffers are upcast to the grad dtype (f32) for the update
-    math and rounded back to their storage dtype on return; the param
-    update uses the UN-rounded f32 value of the new state (better than
+    ALL update math is anchored at f32: bf16-stored buffers -- moments
+    via ``state_dtype``, params (and therefore grads, which autodiff
+    produces in the params' dtype) via the models' bf16
+    ``params_dtype`` training mode -- are upcast for the math and
+    rounded back to their storage dtype on return. The param update
+    uses the UN-rounded f32 value of the new state (better than
     applying the rounded one -- the rounding error enters the
-    trajectory once, at the next step's read, not twice). With
-    state_dtype=None both casts are no-ops and the trajectories are
-    bit-exact torch (tests/test_optim.py).
+    trajectory once, at the next step's read, not twice). With f32
+    storage every cast is a no-op and the trajectories are bit-exact
+    torch (tests/test_optim.py).
     """
-    grads = self._decayed(grads, params)
-    step = state['step'] + 1
     tm = jax.tree_util.tree_map
-    up = lambda tree: tm(lambda s, g: s.astype(g.dtype), tree, grads)
+    up = lambda tree: tm(lambda x: x.astype(jnp.float32), tree)
+    params32 = up(params)
+    grads = self._decayed(up(grads), params32)
+    step = state['step'] + 1
     down = lambda tree32, ref: tm(_store, tree32, ref)
 
     if self.kind == 'sgd':
       mu = self.momentum
       new_buf = tm(lambda b, g: mu * b + g, up(state['momentum']), grads)
-      new_params = tm(lambda p, b: p - lr * b, params, new_buf)
-      return new_params, {'step': step,
-                          'momentum': down(new_buf, state['momentum'])}
+      new_params = tm(lambda p, b: p - lr * b, params32, new_buf)
+      return down(new_params, params), {
+          'step': step, 'momentum': down(new_buf, state['momentum'])}
 
     if self.kind == 'adam':
       b1, b2 = self.betas
@@ -138,16 +142,18 @@ class Optimizer:
         denom = jnp.sqrt(v) / jnp.sqrt(bc2) + self.eps
         return p - (lr / bc1) * m / denom
 
-      new_params = tm(upd, params, new_m, new_v)
-      return new_params, {'step': step, 'm': down(new_m, state['m']),
-                          'v': down(new_v, state['v'])}
+      new_params = tm(upd, params32, new_m, new_v)
+      return down(new_params, params), {
+          'step': step, 'm': down(new_m, state['m']),
+          'v': down(new_v, state['v'])}
 
     if self.kind == 'adagrad':
       new_sum = tm(lambda s, g: s + g * g, up(state['sum']), grads)
       new_params = tm(
           lambda p, g, s: p - lr * g / (jnp.sqrt(s) + self.adagrad_eps),
-          params, grads, new_sum)
-      return new_params, {'step': step, 'sum': down(new_sum, state['sum'])}
+          params32, grads, new_sum)
+      return down(new_params, params), {
+          'step': step, 'sum': down(new_sum, state['sum'])}
 
     if self.kind == 'rmsprop':
       a, mu = self.alpha, self.momentum
@@ -155,9 +161,10 @@ class Optimizer:
                   up(state['sq']), grads)
       new_buf = tm(lambda b, g, s: mu * b + g / (jnp.sqrt(s) + self.eps),
                    up(state['buf']), grads, new_sq)
-      new_params = tm(lambda p, b: p - lr * b, params, new_buf)
-      return new_params, {'step': step, 'sq': down(new_sq, state['sq']),
-                          'buf': down(new_buf, state['buf'])}
+      new_params = tm(lambda p, b: p - lr * b, params32, new_buf)
+      return down(new_params, params), {
+          'step': step, 'sq': down(new_sq, state['sq']),
+          'buf': down(new_buf, state['buf'])}
 
 
 def fold_dual_union(ids1, g1, ids2, g2, spare):
@@ -240,11 +247,15 @@ class SparseRowAdam:
       v_rows = state['v'].at[ids].get(mode='promise_in_bounds')
       p_rows = table.at[ids].get(mode='promise_in_bounds')
 
-    # f32 math on the gathered rows; storage rounds back to state dtype
-    new_m = b1 * m_rows.astype(row_grads.dtype) + (1 - b1) * row_grads
-    new_v = (b2 * v_rows.astype(row_grads.dtype)
-             + (1 - b2) * row_grads * row_grads)
-    new_p = p_rows - step_size * new_m / (jnp.sqrt(new_v) + self.eps)
+    # f32 math on the gathered rows (grads arrive in the table's dtype
+    # when params are stored bf16); storage rounds back per buffer
+    g32 = row_grads.astype(jnp.float32)
+    new_m = b1 * m_rows.astype(jnp.float32) + (1 - b1) * g32
+    new_v = (b2 * v_rows.astype(jnp.float32)
+             + (1 - b2) * g32 * g32)
+    new_p = _store(
+        p_rows.astype(jnp.float32)
+        - step_size * new_m / (jnp.sqrt(new_v) + self.eps), table)
 
     if ids is None:
       return new_p, {'step': step, 'm': _store(new_m, state['m']),

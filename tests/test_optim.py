@@ -278,3 +278,68 @@ def test_sparse_row_adam_bf16_state():
   assert st16['m'].dtype == jnp.bfloat16
   np.testing.assert_allclose(np.asarray(t16), np.asarray(t32),
                              rtol=0, atol=5e-3)
+
+
+def test_bf16_params_dense_update_tracks_f32():
+  """bf16 parameter STORAGE (r4): the dense optimizer anchors math at
+  f32 and rounds params back per step; a short bf16-params trajectory
+  must track the f32 one within bf16 rounding and preserve dtypes."""
+  rng = np.random.default_rng(7)
+  w = rng.normal(scale=0.1, size=(8, 6)).astype(np.float32)
+  bias = rng.normal(scale=0.1, size=(6,)).astype(np.float32)
+  grads = [(rng.normal(scale=0.01, size=w.shape).astype(np.float32),
+            rng.normal(scale=0.01, size=bias.shape).astype(np.float32))
+           for _ in range(6)]
+  lr = jnp.float32(0.01)
+
+  runs = {}
+  for pd in (jnp.float32, jnp.bfloat16):
+    params = {'weight': jnp.asarray(w, pd), 'de_bias': jnp.asarray(bias, pd)}
+    opt = Optimizer('adam', weight_decay=2e-5)
+    state = opt.init(params)
+    for gw, gb in grads:
+      # autodiff yields grads in the params' dtype
+      g = {'weight': jnp.asarray(gw, pd), 'de_bias': jnp.asarray(gb, pd)}
+      params, state = opt.update(g, state, params, lr)
+      assert params['weight'].dtype == pd
+      # moments default to the params' own dtype (state_dtype=None)
+      assert state['m']['weight'].dtype == pd
+    runs[pd] = params
+  for k in runs[jnp.float32]:
+    np.testing.assert_allclose(
+        np.asarray(runs[jnp.float32][k]),
+        np.asarray(runs[jnp.bfloat16][k], dtype=np.float32),
+        rtol=0, atol=5e-3)
+
+
+def test_sparse_row_adam_bf16_table():
+  """Row-sparse Adam over a bf16-stored table: f32 math, bf16 storage
+  round-trip, untouched rows stay bit-identical."""
+  rng = np.random.default_rng(11)
+  N, d = 16, 4
+  t32 = jnp.asarray(rng.normal(scale=0.1, size=(N, d)).astype(np.float32))
+  t16 = t32.astype(jnp.bfloat16)
+  t16_init = np.asarray(t16, dtype=np.float32)
+  sra32, sra16 = SparseRowAdam(), SparseRowAdam(state_dtype='bfloat16')
+  st32, st16 = sra32.init(t32), sra16.init(t16)
+  touched = set()
+  for _ in range(4):
+    ids_np = np.sort(rng.choice(N, size=5, replace=False))
+    touched.update(ids_np.tolist())
+    ids = jnp.asarray(ids_np)
+    g = rng.normal(scale=0.01, size=(5, d)).astype(np.float32)
+    t32, st32 = sra32.update_rows(t32, st32, ids, jnp.asarray(g),
+                                  jnp.float32(0.05))
+    t16, st16 = sra16.update_rows(t16, st16, ids,
+                                  jnp.asarray(g, jnp.bfloat16),
+                                  jnp.float32(0.05))
+  assert t16.dtype == jnp.bfloat16
+  np.testing.assert_allclose(np.asarray(t32),
+                             np.asarray(t16, dtype=np.float32),
+                             rtol=0, atol=5e-3)
+  untouched = sorted(set(range(N)) - touched)
+  if untouched:
+    # untouched rows must be bit-identical to their initial bf16 value
+    np.testing.assert_array_equal(
+        np.asarray(t16[np.array(untouched)], dtype=np.float32),
+        t16_init[np.array(untouched)])

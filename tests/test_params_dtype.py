@@ -1,8 +1,10 @@
-"""bf16 parameter STORAGE for inference (params_dtype): load a float32
-checkpoint into a bfloat16-table model and serve from half the HBM
-bytes -- the lever for 1M+-item catalogs where eval is bandwidth-bound
-on table reads (docs/benchmarks.md). Training on bf16 params is
-refused (optimizer parity requires f32 master weights)."""
+"""bf16 parameter STORAGE (params_dtype): load a float32 checkpoint
+into a bfloat16-table model and serve from half the HBM bytes -- the
+lever for 1M+-item catalogs where eval is bandwidth-bound on table
+reads (docs/benchmarks.md). Since r4 training on bf16 params is also
+supported (quality-gated; optimizer math anchors at f32 and storage
+rounds per step -- optim.Optimizer.update); float16 remains refused
+(narrow exponent would need loss scaling)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -63,12 +65,35 @@ def test_bf16_params_load_and_recommend(tmp_path):
     assert list(c) == expected
 
 
-def test_bf16_params_training_refused(tmp_path):
+def test_bf16_params_training_runs(tmp_path):
+  """r4: bf16 params are a legal TRAINING mode -- storage stays bf16
+  through the optimizer round-trip and the run trains to finite loss
+  (quality is gated by the 30-epoch tests/test_model.py row)."""
   matrix = _random_matrix(seed=22)
   ds = RecommendationDataset(matrix)
   model = MatrixFactorization(embedding_size=16, params_dtype='bfloat16')
   tr = Recoder(model, optimizer_type='adam', loss='mse')
-  with pytest.raises(ValueError, match='float32'):
+  tr.train(ds, batch_size=20, num_epochs=2, lr=0.01)
+  assert all(v.dtype == jnp.bfloat16 for v in tr.model.params.values()
+             if jnp.issubdtype(v.dtype, jnp.floating))
+  # checkpoints upcast to f32 (npz has no bf16); the construction arg
+  # restores bf16 storage on reload
+  tr.save_state(str(tmp_path / 'ck'))
+  model2 = MatrixFactorization(embedding_size=16, params_dtype='bfloat16')
+  tr2 = Recoder(model2, optimizer_type='adam', loss='mse')
+  tr2.init_from_model_file(str(tmp_path / 'ck_epoch_2.model'))
+  for k, v in tr.model.params.items():
+    assert tr2.model.params[k].dtype == v.dtype
+    np.testing.assert_array_equal(np.asarray(tr2.model.params[k], np.float32),
+                                  np.asarray(v, np.float32))
+
+
+def test_f16_params_training_refused():
+  matrix = _random_matrix(seed=22)
+  ds = RecommendationDataset(matrix)
+  model = MatrixFactorization(embedding_size=16, params_dtype='float16')
+  tr = Recoder(model, optimizer_type='adam', loss='mse')
+  with pytest.raises(ValueError, match='float32 or bfloat16'):
     tr.train(ds, batch_size=20, num_epochs=1)
 
 
