@@ -60,6 +60,17 @@ def main():
                  default='auto',
                  help="storage layout of the blocks-mode resident "
                       "CSR/tables on the mesh (see DeviceDataSource)")
+  p.add_argument('--params-dtype', choices=['float32', 'bfloat16'],
+                 default='float32',
+                 help="parameter STORAGE dtype (r4 training mode, "
+                      "quality-gated). With --opt-state-dtype "
+                      "bfloat16 the resident optimizer bytes drop "
+                      "from 12 to 6 per parameter (p+m+v), roughly "
+                      "doubling the single-chip catalog ceiling "
+                      "(docs/benchmarks.md)")
+  p.add_argument('--opt-state-dtype', choices=['float32', 'bfloat16'],
+                 default='float32',
+                 help="Adam moment storage dtype (see Recoder)")
   p.add_argument('--verify-replicated', action='store_true',
                  help="train a second, identically-seeded run with "
                       "replicated tables and assert the final params "
@@ -102,12 +113,16 @@ def main():
   train_kw = dict(batch_size=args.batch_size, negative_sampling=True,
                   shuffle=args.shuffle, table_sharding=table_sharding)
 
+  pd = None if args.params_dtype == 'float32' else args.params_dtype
+  osd = (None if args.opt_state_dtype == 'float32'
+         else args.opt_state_dtype)
   model = DynamicAutoencoder(hidden_layers=[args.dim],
                              activation_type='tanh',
                              is_constrained=args.constrained,
-                             sparse=args.sparse and mesh is None)
+                             sparse=args.sparse and mesh is None,
+                             params_dtype=pd)
   trainer = Recoder(model=model, optimizer_type=args.optimizer,
-                    loss='logistic', mesh=mesh)
+                    loss='logistic', mesh=mesh, opt_state_dtype=osd)
   def synced_train(num_epochs):
     """train() then force completion: dispatch is async and
     block_until_ready lies through the tunnel -- only a host fetch
