@@ -60,6 +60,19 @@ def test_train_script_smoke(script, extra, pro_sg_dir, tmp_path,
   assert ckpts, 'train script produced no checkpoint'
 
 
+def test_stress_scale_bf16_storage_smoke(monkeypatch):
+  """The scale study's r4 bf16-storage mode (--params-dtype +
+  --opt-state-dtype): the flags must thread through to the model and
+  trainer and the tiny run must train + build the ANN index (the 12M
+  single-chip ceiling receipt in docs/benchmarks.md runs this path)."""
+  run_script('scripts/stress_scale.py',
+             ['--cpu', '--items', '2000', '--users', '200',
+              '--items-per-user', '15', '--dim', '16', '--epochs', '1',
+              '--batch-size', '100', '--ann-items', '300',
+              '--params-dtype', 'bfloat16',
+              '--opt-state-dtype', 'bfloat16'], monkeypatch)
+
+
 def test_preprocess_script_smoke(tmp_path, monkeypatch):
   rng = np.random.default_rng(4)
   n = 4000
