@@ -170,6 +170,11 @@ def main():
     # (docs/benchmarks.md r4 bf16-params section)
     args.params_dtype = 'float32'
   pd = None if args.params_dtype == 'float32' else args.params_dtype
+  if pd is not None and cd is None:
+    # the model defaults compute_dtype to params_dtype when compute is
+    # unspecified; the resolved --dtype float32 must WIN over that
+    # default, so pass it explicitly (f32 matmuls over bf16 storage)
+    cd = args.dtype
   if args.dataset == 'msd':
     matrix = synthesize(MSD_USERS, MSD_ITEMS, MSD_MEAN_ITEMS_PER_USER,
                         mean_factor=0.68)

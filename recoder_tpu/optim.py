@@ -20,8 +20,12 @@ import jax.numpy as jnp
 
 
 def _tree_zeros(params, dtype=None):
-  if dtype is None:
-    return jax.tree_util.tree_map(jnp.zeros_like, params)
+  # dtype=None means FLOAT32 moments (the documented default: f32
+  # state, bit-exact torch trajectories) -- NOT the params' dtype.
+  # bf16-params models keep f32 moments unless state_dtype says
+  # otherwise, so an explicit opt_state_dtype=None/'float32' is
+  # honored regardless of parameter storage.
+  dtype = jnp.float32 if dtype is None else dtype
   return jax.tree_util.tree_map(
       lambda p: jnp.zeros(p.shape, dtype
                           if jnp.issubdtype(p.dtype, jnp.floating)
@@ -183,9 +187,15 @@ def fold_dual_union(ids1, g1, ids2, g2, spare):
   grads, so every duplicate write is value-identical and the
   scatter's unique-indices promise stays safe).
 
-  Returns ``(ids_cat [R1+R2], grads_cat [R1+R2, d])`` for one
-  :meth:`SparseRowAdam.update_rows` call.
+  Returns ``(ids_cat [R1+R2], grads_cat [R1+R2, d])`` (float32) for
+  one :meth:`SparseRowAdam.update_rows` call. The fold accumulates in
+  f32 even when autodiff produced the row grads in a bf16 table's
+  dtype -- overlapping-row addition is update MATH, which anchors at
+  f32 everywhere (see :class:`Optimizer`); rounding it in bf16 would
+  add a second per-step rounding beyond the documented storage one.
   """
+  g1 = g1.astype(jnp.float32)
+  g2 = g2.astype(jnp.float32)
   pos = jnp.clip(jnp.searchsorted(ids1, ids2), 0, ids1.shape[0] - 1)
   hit = ids1[pos] == ids2
   g1 = g1.at[pos].add(jnp.where(hit[:, None], g2, 0.0))
@@ -218,7 +228,8 @@ class SparseRowAdam:
     self.state_dtype = jnp.dtype(state_dtype) if state_dtype else None
 
   def init(self, table):
-    sd = self.state_dtype or table.dtype
+    # None = f32 moments (documented default), even for bf16 tables
+    sd = self.state_dtype or jnp.float32
     return {'step': jnp.zeros((), jnp.int32),
             'm': jnp.zeros(table.shape, sd), 'v': jnp.zeros(table.shape, sd)}
 

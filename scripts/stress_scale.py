@@ -71,6 +71,14 @@ def main():
   p.add_argument('--opt-state-dtype', choices=['float32', 'bfloat16'],
                  default='float32',
                  help="Adam moment storage dtype (see Recoder)")
+  p.add_argument('--compute-dtype',
+                 choices=['auto', 'float32', 'bfloat16'], default='auto',
+                 help="matmul compute dtype. 'auto' follows the model "
+                      "default: params_dtype when that is set (so "
+                      "--params-dtype bfloat16 implies bf16 matmuls, "
+                      "the gate-tested fast path), else float32. Pass "
+                      "float32 explicitly for f32 matmuls over bf16 "
+                      "storage")
   p.add_argument('--verify-replicated', action='store_true',
                  help="train a second, identically-seeded run with "
                       "replicated tables and assert the final params "
@@ -116,11 +124,12 @@ def main():
   pd = None if args.params_dtype == 'float32' else args.params_dtype
   osd = (None if args.opt_state_dtype == 'float32'
          else args.opt_state_dtype)
+  cd = None if args.compute_dtype == 'auto' else args.compute_dtype
   model = DynamicAutoencoder(hidden_layers=[args.dim],
                              activation_type='tanh',
                              is_constrained=args.constrained,
                              sparse=args.sparse and mesh is None,
-                             params_dtype=pd)
+                             params_dtype=pd, compute_dtype=cd)
   trainer = Recoder(model=model, optimizer_type=args.optimizer,
                     loss='logistic', mesh=mesh, opt_state_dtype=osd)
   def synced_train(num_epochs):

@@ -302,8 +302,9 @@ def test_bf16_params_dense_update_tracks_f32():
       g = {'weight': jnp.asarray(gw, pd), 'de_bias': jnp.asarray(gb, pd)}
       params, state = opt.update(g, state, params, lr)
       assert params['weight'].dtype == pd
-      # moments default to the params' own dtype (state_dtype=None)
-      assert state['m']['weight'].dtype == pd
+      # state_dtype=None = f32 moments (the documented default), even
+      # when the params store bf16
+      assert state['m']['weight'].dtype == jnp.float32
     runs[pd] = params
   for k in runs[jnp.float32]:
     np.testing.assert_allclose(
