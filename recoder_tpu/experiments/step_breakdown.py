@@ -26,27 +26,26 @@ import numpy as np
 
 
 def run(B=500, W=20224, d=200, K=64, n_cache=117000, confidence=3.0,
-        noise_prob=0.5, compute_dtype=None, state_dtype=None, seed=0,
-        reps=3):
+        noise_prob=0.5, compute_dtype=None, state_dtype=None,
+        params_dtype=None, seed=0, reps=3):
   import jax
   import jax.numpy as jnp
 
   jax.config.update('jax_default_prng_impl', 'rbg')
   rng = np.random.default_rng(seed)
-  cd = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
-  sd = jnp.dtype(state_dtype) if state_dtype else jnp.float32
+  cd = jnp.dtype(compute_dtype if compute_dtype else jnp.float32)
+  sd = jnp.dtype(state_dtype if state_dtype else jnp.float32)
+  pd = jnp.dtype(params_dtype if params_dtype else jnp.float32)
 
   # resident slab cache (bf16, binary data) + params + Adam state
   slab_cache = jnp.asarray(
       (rng.random((n_cache, W)) < 0.004).astype(np.float32),
       dtype=jnp.bfloat16)
   params = {
-      'en': jnp.asarray(rng.standard_normal((W, d)) * 0.01,
-                        jnp.float32),
-      'de': jnp.asarray(rng.standard_normal((W, d)) * 0.01,
-                        jnp.float32),
-      'en_b': jnp.zeros((d,), jnp.float32),
-      'de_b': jnp.zeros((W,), jnp.float32),
+      'en': jnp.asarray(rng.standard_normal((W, d)) * 0.01, pd),
+      'de': jnp.asarray(rng.standard_normal((W, d)) * 0.01, pd),
+      'en_b': jnp.zeros((d,), pd),
+      'de_b': jnp.zeros((W,), pd),
   }
   adam = {
       'm': jax.tree_util.tree_map(
@@ -82,20 +81,25 @@ def run(B=500, W=20224, d=200, K=64, n_cache=117000, confidence=3.0,
 
   def adam_update(p, st, g, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8):
     # same storage/math split as optim.Optimizer: f32 math, state
-    # STORED in sd (bf16 halves the m/v table traffic)
+    # STORED in sd (bf16 halves the m/v table traffic), params
+    # STORED in pd (grads arrive from autodiff in pd)
     t = st['t'] + 1
     m = jax.tree_util.tree_map(
-        lambda m_, g_: b1 * m_.astype(jnp.float32) + (1 - b1) * g_,
+        lambda m_, g_: (b1 * m_.astype(jnp.float32)
+                        + (1 - b1) * g_.astype(jnp.float32)),
         st['m'], g)
     v = jax.tree_util.tree_map(
-        lambda v_, g_: b2 * v_.astype(jnp.float32) + (1 - b2) * g_ * g_,
+        lambda v_, g_: (b2 * v_.astype(jnp.float32)
+                        + (1 - b2) * g_.astype(jnp.float32)
+                        * g_.astype(jnp.float32)),
         st['v'], g)
     tf = t.astype(jnp.float32)
     c1 = 1 - jnp.power(jnp.float32(b1), tf)
     c2 = 1 - jnp.power(jnp.float32(b2), tf)
     newp = jax.tree_util.tree_map(
-        lambda p_, m_, v_: p_ - lr * (m_ / c1) /
-        (jnp.sqrt(v_ / c2) + eps), p, m, v)
+        lambda p_, m_, v_: (p_.astype(jnp.float32) - lr * (m_ / c1) /
+                            (jnp.sqrt(v_ / c2) + eps)).astype(pd),
+        p, m, v)
     store = lambda tr: jax.tree_util.tree_map(
         lambda x: x.astype(sd), tr)
     return newp, {'m': store(m), 'v': store(v), 't': t}
@@ -150,7 +154,8 @@ def run(B=500, W=20224, d=200, K=64, n_cache=117000, confidence=3.0,
     del p, st
 
   prev = 0.0
-  print(f'dtype={cd.name} B={B} W={W} d={d} K={K}')
+  print(f'dtype={cd.name} state={sd.name} params={pd.name} '
+        f'B={B} W={W} d={d} K={K}')
   for stage, ms in results.items():
     print(f'  {stage:9s} cum {ms:6.3f} ms   stage {ms - prev:+6.3f} ms')
     prev = ms
@@ -164,8 +169,12 @@ if __name__ == '__main__':
                   choices=[None, 'float32', 'bfloat16'], nargs='?')
   ap.add_argument('--state-dtype', default=None,
                   choices=[None, 'float32', 'bfloat16'], nargs='?')
+  ap.add_argument('--params-dtype', default=None,
+                  choices=[None, 'float32', 'bfloat16'], nargs='?')
   args = ap.parse_args()
   cd = args.dtype if args.dtype not in (None, 'float32') else None
   sd = (args.state_dtype if args.state_dtype not in (None, 'float32')
         else None)
-  run(compute_dtype=cd, state_dtype=sd)
+  pd = (args.params_dtype
+        if args.params_dtype not in (None, 'float32') else None)
+  run(compute_dtype=cd, state_dtype=sd, params_dtype=pd)
