@@ -247,7 +247,9 @@ def main():
   }
   if args.batch_size != BATCH_SIZE:
     out['batch_size'] = args.batch_size
-    out['users_per_sec'] = round(batches_per_sec * args.batch_size, 1)
+    # actual users served, not num_batches * bs: the final partial
+    # batch would otherwise overstate users/s by up to bs/num_users
+    out['users_per_sec'] = round(timed_epochs * num_users / dt, 1)
   print(json.dumps(out))
 
 

@@ -224,6 +224,17 @@ class RecommenderEvaluator:
     """
     del num_workers
     import collections
+    if getattr(self.recommender, 'topk_mode', None) == 'approx':
+      # eval_topk='approx' is a serving-only mode (raw approx_max_k at
+      # a ~0.95 recall target, model.py eval_topk docs): metrics
+      # computed from its candidate sets are quietly degraded
+      import warnings
+      warnings.warn(
+          "evaluating with eval_topk='approx': Recall/NDCG are computed "
+          "from ~0.95-recall approximate top-k candidates and will read "
+          "low. Use eval_topk='exact' (certified, default) for reported "
+          "metrics; 'approx' is a serving-only latency mode.",
+          UserWarning, stacklevel=2)
     dataloader = RecommendationDataLoader(eval_dataset, batch_size=batch_size,
                                           collate_fn=lambda _: _,
                                           shuffle=False)

@@ -121,9 +121,11 @@ class Recoder:
       docs/benchmarks.md roofline). None (default) keeps f32 state
       with bit-exact torch trajectories. Update math always runs in
       f32; only storage is rounded. Quality-gated for adam (30-epoch
-      tests/test_model.py row). The construction arg wins over a
-      checkpoint's stored state dtype on reload (same convention as
-      compute_dtype).
+      tests/test_model.py row); sgd/adagrad/rmsprop raise rather than
+      run an ungated numerics mode (adagrad's monotone 'sum' would
+      silently freeze the LR in bf16 -- optim.Optimizer). The
+      construction arg wins over a checkpoint's stored state dtype on
+      reload (same convention as compute_dtype).
   """
 
   #: padded catalog size beyond which recommend() defaults to chunked

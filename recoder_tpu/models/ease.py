@@ -87,20 +87,33 @@ def _newton_solve_sharded(g, lam, mesh):
       p, resid, iters = _newton_inverse(a, constraint=rows)
       return _b_from_p(p), resid, iters
 
-    fn = jax.jit(solve, in_shardings=(rows, None),
-                 out_shardings=((rows, None, None)))
-    _SHARDED_SOLVE_CACHE[mesh] = fn
+    fn = _cache_put(_SHARDED_SOLVE_CACHE, mesh,
+                    jax.jit(solve, in_shardings=(rows, None),
+                            out_shardings=((rows, None, None))))
   return fn(jax.device_put(g, rows), jnp.float32(lam))
 
 
 # one jitted sharded solver per mesh (a fresh closure per fit would
-# recompile every call; jax.jit caches on function identity)
+# recompile every call; jax.jit caches on function identity).
+# Bounded: entries hold compiled executables and strong mesh refs, so
+# an unbounded dict leaks across catalog-width sweeps (bench_ease
+# --items loops) -- oldest-insertion eviction keeps the common
+# repeat-fit case cached without growing forever.
 _SHARDED_SOLVE_CACHE = {}
 
 # one jitted Gram accumulator per (slab shape, precision, sharding) —
 # same pitfall: a closure jitted inside _device_gram would recompile
-# on every fit() / bench warm pass
+# on every fit() / bench warm pass. Bounded like the solver cache.
 _GRAM_ACCUM_CACHE = {}
+
+_CACHE_MAXSIZE = 8
+
+
+def _cache_put(cache, key, value):
+  while len(cache) >= _CACHE_MAXSIZE:
+    cache.pop(next(iter(cache)))
+  cache[key] = value
+  return value
 
 
 def _gram_accumulator(chunk_users, n_items, precision, rows_sharding):
@@ -115,8 +128,7 @@ def _gram_accumulator(chunk_users, n_items, precision, rows_sharding):
         out = jax.lax.with_sharding_constraint(out, rows_sharding)
       return out
 
-    fn = jax.jit(accumulate)
-    _GRAM_ACCUM_CACHE[key] = fn
+    fn = _cache_put(_GRAM_ACCUM_CACHE, key, jax.jit(accumulate))
   return fn
 
 

@@ -65,8 +65,18 @@ class Optimizer:
       (reference model.py:101-138): update math still runs in f32 (the
       stored state is upcast, combined with the f32 grad, applied to
       the f32 params, then rounded back for storage). Only 'adam' is
-      quality-gated; other kinds accept the knob untested.
+      quality-gated (30-epoch tests/test_model.py row); the other
+      kinds REFUSE non-f32 state rather than accept an ungated
+      numerics mode. adagrad in particular is unsound in bf16
+      regardless of gating: its 'sum' buffer is a monotone
+      accumulator, so once it exceeds ~2^8x the per-step g^2
+      increment, round-to-nearest drops every further increment and
+      the effective LR freezes permanently (the _store EMA argument
+      does not apply to monotone sums).
   """
+
+  #: kinds whose bf16 state storage passed the 30-epoch quality gate
+  STATE_DTYPE_GATED_KINDS = frozenset({'adam'})
 
   def __init__(self, kind, weight_decay=0.0, betas=(0.9, 0.999), eps=1e-8,
                momentum=0.9, alpha=0.99, adagrad_eps=1e-10,
@@ -81,6 +91,17 @@ class Optimizer:
     self.alpha = alpha
     self.adagrad_eps = adagrad_eps
     self.state_dtype = jnp.dtype(state_dtype) if state_dtype else None
+    if (self.state_dtype is not None
+        and self.state_dtype != jnp.dtype(jnp.float32)
+        and kind not in self.STATE_DTYPE_GATED_KINDS):
+      raise ValueError(
+          f"state_dtype={str(self.state_dtype)!r} is only quality-gated "
+          f"for {sorted(self.STATE_DTYPE_GATED_KINDS)} (30-epoch "
+          f"tests/test_model.py rows); '{kind}' refuses reduced-precision "
+          "state rather than run an ungated numerics mode"
+          + (" (adagrad's monotone 'sum' accumulator freezes the "
+             "effective LR once increments fall below the bf16 quantum)"
+             if kind == 'adagrad' else '') + '.')
 
   def init(self, params):
     step = jnp.zeros((), jnp.int32)

@@ -139,6 +139,13 @@ class InferenceRecommender(Recommender):
     self.model = model
     self.num_recommendations = num_recommendations
 
+  @property
+  def topk_mode(self):
+    """The trainer's top-k strategy ('exact' | 'sort' | 'approx');
+    RecommenderEvaluator warns when evaluation metrics would be
+    computed from 'approx' (~0.95-recall) candidate sets."""
+    return getattr(self.model, 'eval_topk', None)
+
   def recommend(self, users_hist):
     return self.model.recommend(users_hist, self.num_recommendations)
 

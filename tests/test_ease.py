@@ -308,3 +308,18 @@ def test_ease_sharded_gram_matches_host():
   np.testing.assert_allclose(np.asarray(sharded.item_weights),
                              np.asarray(plain.item_weights),
                              rtol=5e-4, atol=5e-5)
+
+
+def test_compiled_caches_are_bounded():
+  """The per-shape/per-mesh jitted-solver caches hold compiled
+  executables (and strong mesh refs); catalog-width sweeps
+  (tools/bench_ease.py --items loops) must not grow them forever
+  (ADVICE r4). Oldest-insertion eviction, repeat keys still hit."""
+  from recoder_tpu.models import ease as ease_mod
+
+  for i in range(ease_mod._CACHE_MAXSIZE + 5):
+    ease_mod._gram_accumulator(8 + i, 16, 'highest', None)
+  assert len(ease_mod._GRAM_ACCUM_CACHE) <= ease_mod._CACHE_MAXSIZE
+  # a repeat key is a hit, not a rebuild
+  fn = ease_mod._gram_accumulator(8, 16, 'highest', None)
+  assert ease_mod._gram_accumulator(8, 16, 'highest', None) is fn

@@ -117,3 +117,59 @@ def test_hits_from_relevant_large_sparse_ids():
   y = [np.array([3, big - 1]), np.array([big - 2])]
   got = hits_from_relevant(x, y)
   np.testing.assert_array_equal(got, [[1, 1, 0], [1, 0, 0]])
+
+
+def test_evaluator_warns_on_approx_topk():
+  """eval_topk='approx' is serving-only (~0.95 recall target,
+  model.py eval_topk docs): computing evaluation metrics from its
+  candidate sets must WARN so quality numbers are never silently
+  approximate. 'exact' (default) must stay silent."""
+  import warnings
+
+  import pandas as pd
+
+  from recoder_tpu.data import RecommendationDataset
+  from recoder_tpu.metrics import Recall, RecommenderEvaluator
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+  from recoder_tpu.recommender import InferenceRecommender
+  from recoder_tpu.utils import dataframe_to_csr_matrix
+
+  rng = np.random.default_rng(0)
+  df = pd.DataFrame({'uid': rng.integers(0, 30, 300),
+                     'sid': rng.integers(0, 50, 300),
+                     'watched': 1.0}).drop_duplicates(['uid', 'sid'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'uid', 'sid', 'watched')
+  ds = RecommendationDataset(m)
+  val_ds = RecommendationDataset(m, m)
+
+  def build(eval_topk):
+    tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8]),
+                 optimizer_type='adam', loss='mse', eval_topk=eval_topk)
+    tr.train(train_dataset=ds, batch_size=15, num_epochs=1,
+             negative_sampling=True)
+    return tr
+
+  tr = build('approx')
+  with pytest.warns(UserWarning, match="approx"):
+    tr.evaluate(eval_dataset=val_ds, num_recommendations=5,
+                metrics=[Recall(k=5)], batch_size=15)
+  # the plumbing the warning rests on: the recommender exposes the mode
+  assert InferenceRecommender(tr, 5).topk_mode == 'approx'
+
+  tr_exact = build('exact')
+  with warnings.catch_warnings():
+    warnings.simplefilter('error')
+    tr_exact.evaluate(eval_dataset=val_ds, num_recommendations=5,
+                      metrics=[Recall(k=5)], batch_size=15)
+
+  # the guard is in the evaluator itself, so third-party recommenders
+  # that declare topk_mode get it too
+  class FakeRec:
+    topk_mode = 'approx'
+    def recommend(self, users_hist):
+      return [[0] for _ in users_hist.users]
+
+  with pytest.warns(UserWarning, match="serving-only"):
+    RecommenderEvaluator(FakeRec(), [Recall(k=1)]).evaluate(
+        val_ds, batch_size=15)

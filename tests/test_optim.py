@@ -344,3 +344,16 @@ def test_sparse_row_adam_bf16_table():
     np.testing.assert_array_equal(
         np.asarray(t16[np.array(untouched)], dtype=np.float32),
         t16_init[np.array(untouched)])
+
+
+@pytest.mark.parametrize('kind', ['sgd', 'adagrad', 'rmsprop'])
+def test_bf16_state_refused_for_ungated_kinds(kind):
+  """Only adam's bf16 state storage passed the 30-epoch quality gate;
+  the other kinds must refuse rather than silently run ungated
+  numerics (adagrad's monotone 'sum' accumulator would freeze the
+  effective LR once increments drop below the bf16 quantum —
+  ADVICE r4). Explicit f32 stays legal everywhere."""
+  with pytest.raises(ValueError, match='quality-gated'):
+    Optimizer(kind, state_dtype='bfloat16')
+  Optimizer(kind, state_dtype='float32')  # no-op storage: fine
+  Optimizer('adam', state_dtype='bfloat16')  # the gated kind
