@@ -186,6 +186,7 @@ class DeviceDataSource:
     # exactly (binary data trivially satisfies both)
     self.d_slab = None
     self._slab_width = None
+    self._slab_packed = False
     if binary:
       self._vals_all_nonzero = True
       self._vals_bf16_exact = True
@@ -587,24 +588,42 @@ class DeviceDataSource:
     full-decode steps at catalog width ``width``.
 
     ``request``: 'auto' enables it when eligible and within the HBM
-    budget; True skips the budget check; False disables. Returns
+    budget; True skips the budget check; 'packed' forces the
+    bit-packed tier (binary data only); False disables. Returns
     whether the cache is active. Eligibility: single-slice mega
     batches (the full-decode loss mask must span the whole mega, and
     it is recovered from the slab), no 'data'-sharded CSR storage, and
     no explicit zero values (an explicit zero cannot be represented in
-    a dense slab, so the recovered mask would differ)."""
+    a dense slab, so the recovered mask would differ).
+
+    Two storage tiers. The DENSE tier stores values directly (bf16
+    when every value round-trips exactly, else f32); steps fetch B
+    rows with no further work. The PACKED tier (binary data only)
+    stores one BIT per cell -- 16x smaller than bf16, ~2.5 GiB at
+    MSD's 571k x 41k vs the ineligible ~44 GiB -- and each step
+    unpacks its B rows with a shift/and (exact for 0/1 values, so
+    gradients stay bit-identical to the scatter path's). 'auto'
+    prefers dense within budget and falls back to packed; the unpack
+    is one extra VPU pass but the row fetch reads 1/16th the bytes."""
     if request is False:
       self.d_slab = None
       self._slab_width = None
+      self._slab_packed = False
       return False
+    assert request in ('auto', True, 'packed'), request
     width = int(width)
     if self.d_slab is not None and self._slab_width == width:
-      return True
+      # reuse unless a forced request names the OTHER tier
+      if not ((request is True and self._slab_packed)
+              or (request == 'packed' and not self._slab_packed)):
+        return True
     reason = None
     if self.slices_per_mega != 1:
       reason = 'num_sampling_users > batch_size'
     elif self.table_sharding is not None:
       reason = "'data'-sharded CSR storage"
+    elif request == 'packed' and not self.binary:
+      reason = "slab_cache='packed' requires binary (all-ones) values"
     else:
       if self._vals_all_nonzero is None:  # deferred from __init__
         data_f32 = self._host_vals.astype(np.float32)
@@ -614,18 +633,29 @@ class DeviceDataSource:
       if not self._vals_all_nonzero:
         reason = 'matrix stores explicit zero values'
     dtype = jnp.bfloat16 if self._vals_bf16_exact else jnp.float32
-    if reason is None:
+    packed = request == 'packed'
+    if reason is None and not packed:
       nbytes = self.n_pad * width * jnp.dtype(dtype).itemsize
       if request is not True and nbytes > self._slab_cache_budget():
-        reason = ('%.2f GiB exceeds the free-HBM budget '
-                  '(slab_cache=True forces it)' % (nbytes / 2**30))
+        if self.binary and width % 32 == 0 \
+            and self.n_pad * (width // 32) * 4 <= self._slab_cache_budget():
+          packed = True  # dense over budget; the 1-bit tier fits
+        else:
+          reason = ('%.2f GiB exceeds the free-HBM budget '
+                    '(slab_cache=True forces it)' % (nbytes / 2**30))
+    if reason is None and packed and width % 32 != 0:
+      reason = 'packed tier needs width %% 32 == 0 (got %d)' % width
     if reason is not None:
       log.info('dense-slab cache disabled: %s', reason)
       self.d_slab = None
       self._slab_width = None
+      self._slab_packed = False
       return False
     try:
-      slab = self._put(self._build_slab_cache(width, dtype))
+      if packed:
+        slab = self._put(self._build_slab_cache_packed(width))
+      else:
+        slab = self._put(self._build_slab_cache(width, dtype))
       # surface an allocator failure HERE, via a host fetch (the one
       # sync that is reliable through the tunneled runtime)
       np.asarray(jax.device_get(slab[:1, :1]))
@@ -637,15 +667,18 @@ class DeviceDataSource:
                   'to the per-step scatter', e)
       self.d_slab = None
       self._slab_width = None
+      self._slab_packed = False
       return False
     self.d_slab = slab
     self._slab_width = width
+    self._slab_packed = packed
     # per-epoch fd table states are superseded by the cache
     for k in [k for k in self._epoch_states if k[1]]:
       del self._epoch_states[k]
     log.info('dense-slab cache enabled: [%d, %d] %s (%.2f GiB)',
-             self.n_pad, width, jnp.dtype(dtype).name,
-             self.n_pad * width * jnp.dtype(dtype).itemsize / 2**30)
+             self.n_pad, width,
+             'bit-packed' if packed else jnp.dtype(dtype).name,
+             slab.size * slab.dtype.itemsize / 2**30)
     return True
 
   def _slab_cache_budget(self):
@@ -697,21 +730,65 @@ class DeviceDataSource:
               if k in ('d_counts', 'd_starts', 'd_cols', 'd_vals')}
     return jax.jit(build)(arrays)
 
+  def _build_slab_cache_packed(self, width):
+    """One batched on-device densify of the whole resident CSR into
+    bit-packed [n_pad, width // 32] uint32 words (col -> bit
+    ``col & 31`` of word ``col >> 5``). tocsr() canonicalizes
+    duplicates, so each (user, col) bit is set by at most ONE scatter
+    slot and add == bitwise-OR exactly (distinct powers of two never
+    carry). Sentinel / out-of-catalog cols route to word index
+    n_words, dropped by the scatter (the dense build zeroes their
+    VALUES instead; a packed slab must drop the bit itself or the
+    recovered loss mask would include a padding column)."""
+    n_words = width // 32
+
+    def build(arrays):
+      with self.bound(arrays):
+        cols = self.d_cols
+        n = cols.shape[0]
+        starts = jax.lax.slice(self.d_starts, (0,),
+                               (self.num_users_total,))
+        marks = jnp.zeros((n,), jnp.int32).at[starts].add(
+            1, mode='drop')
+        u = jnp.cumsum(marks) - 1
+        word = jnp.where(cols < self.num_items, cols >> 5, n_words)
+        bit = jnp.left_shift(jnp.uint32(1),
+                             (cols & 31).astype(jnp.uint32))
+        packed = jnp.zeros((self.n_pad, n_words), jnp.uint32)
+        return packed.at[u, word].add(bit, mode='drop')
+
+    arrays = {k: v for k, v in self.device_arrays().items()
+              if k in ('d_counts', 'd_starts', 'd_cols')}
+    return jax.jit(build)(arrays)
+
+  @staticmethod
+  def _unpack_rows(packed):
+    """[B, W/32] uint32 -> [B, W] bf16 zeros/ones (exact). One VPU
+    shift/and fusion; bit b of word w is column ``w * 32 + b``."""
+    B, n_words = packed.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.astype(jnp.bfloat16).reshape(B, n_words * 32)
+
   def _build_fd_from_cache(self, perm, step_idx, neg_step=None):
     """Full-decode step payload straight off the dense-slab cache: one
-    B-row fetch, no triplet scatter, no overflow possible."""
+    B-row fetch (plus a bit-unpack in the packed tier), no triplet
+    scatter, no overflow possible."""
     B, S, W = self.batch_size, self.mega, self._slab_width
+    Wf = W // 32 if self._slab_packed else W  # fetch width
     m = step_idx  # slices_per_mega == 1 enforced at cache build
     if self.shuffle == 'blocks':
       block = perm[m]
       ustart = block * S
-      slab = jax.lax.dynamic_slice(self.d_slab, (ustart, 0), (B, W))
+      slab = jax.lax.dynamic_slice(self.d_slab, (ustart, 0), (B, Wf))
       slice_users = ustart + jnp.arange(B, dtype=jnp.int32)
     else:
       slice_users = jax.lax.dynamic_slice(perm, (m * B,), (B,))
       # pad users index zero rows of the cache (rows >= num_users_total)
       slab = jnp.take(self.d_slab,
                       jnp.minimum(slice_users, self.n_pad - 1), axis=0)
+    if self._slab_packed:
+      slab = self._unpack_rows(slab)
     num_users = jnp.sum(slice_users < self.num_users_total)
     slice_users = jnp.minimum(slice_users, self.num_users_total)
     out = {

@@ -1151,14 +1151,20 @@ class Recoder:
     catalog is at most 4x the union width (the slab passes grow with
     catalog width, so union gathering wins again on MSD-class
     catalogs where union << catalog).
-    ``slab_cache`` ('auto' | True | False): with full decode, cache
-    the densified matrix [num_users_padded, num_items_padded] in HBM
-    once (bf16 when every value round-trips exactly, else f32) and
-    fetch each step's rows from it instead of scattering the CSR
-    triplets -- identical slab values, hence identical gradients.
-    'auto' enables it when eligible and within half the free HBM
-    (~4.7 GiB at ML-20M shape); True skips the budget check; False
-    disables. See DeviceDataSource.maybe_cache_slabs."""
+    ``slab_cache`` ('auto' | True | 'packed' | False): with full
+    decode, cache the densified matrix [num_users_padded,
+    num_items_padded] in HBM once and fetch each step's rows from it
+    instead of scattering the CSR triplets -- identical slab values,
+    hence identical gradients. Dense tier stores bf16 when every
+    value round-trips exactly, else f32; for binary data a bit-packed
+    tier stores 1 bit/cell (16x smaller -- ~2.5 GiB at MSD's
+    571k x 41k where the bf16 slab is an ineligible ~44 GiB) and
+    steps unpack their rows with an exact shift/and. 'auto' enables
+    the dense tier when eligible and within half the free HBM
+    (~4.7 GiB at ML-20M shape), falling back to packed for binary
+    data; True skips the budget check (dense); 'packed' forces the
+    bit-packed tier; False disables. See
+    DeviceDataSource.maybe_cache_slabs."""
     backend = jax.default_backend()
     log.info('%s Mode', backend.upper())
     for param, value in self.model.model_params().items():
@@ -1595,6 +1601,7 @@ class Recoder:
     # fused step fns still referencing the old source, then re-request
     # on the new source below
     slab_width = fused_source._slab_width
+    slab_req = 'packed' if fused_source._slab_packed else 'auto'
     fused_source.maybe_cache_slabs(0, request=False)
     self._step_fns = {k: v for k, v in self._step_fns.items()
                       if k[0] != 'fused'}
@@ -1614,7 +1621,7 @@ class Recoder:
          fused_source._want_table_sharding),
         fused_source, target_matrix)
     if slab_width is not None and \
-        not fused_source.maybe_cache_slabs(slab_width, request='auto'):
+        not fused_source.maybe_cache_slabs(slab_width, request=slab_req):
       log.warning('dense-slab cache not re-established after the '
                   'overflow rebuild; continuing on the scatter path')
     return fused_source

@@ -935,3 +935,154 @@ def test_full_decode_auto_threshold():
   # the two shapes must actually straddle the threshold
   assert fd_small and r_small <= 4, r_small
   assert not fd_big and r_big > 4, r_big
+
+# -- bit-packed slab cache (binary full-decode) --------------------------
+
+
+@pytest.fixture
+def binary_matrix():
+  rng = np.random.default_rng(11)
+  df = pd.DataFrame({
+      'u': rng.integers(0, 37, 700),
+      'i': rng.integers(0, 90, 700),
+      'v': 1.0,
+  }).drop_duplicates(['u', 'i'])
+  m, _, _ = dataframe_to_csr_matrix(df, 'u', 'i', 'v')
+  return m
+
+
+@pytest.mark.parametrize('shuffle', ['users', 'blocks'])
+def test_packed_slab_batch_matches_scatter(binary_matrix, shuffle):
+  """The packed-tier fd payload must unpack to EXACTLY the scatter
+  path's slab on every step -- including zeros at sentinel/padding
+  columns (the packed build drops those bits; the dense build zeroes
+  their values)."""
+  n_users, n_items = binary_matrix.shape
+  W = 128  # padded catalog width, multiple of 32, > n_items
+  src_a = _slab_source(binary_matrix, shuffle)
+  src_b = _slab_source(binary_matrix, shuffle)
+  assert src_a.maybe_cache_slabs(W, request='packed')
+  assert src_a._slab_packed
+  assert src_a.d_slab.dtype == jnp.uint32
+  assert src_a.d_slab.shape == (src_a.n_pad, W // 32)
+
+  if shuffle == 'blocks':
+    perm = jnp.arange(src_a.n_blocks, dtype=jnp.int32)
+    n_steps = src_a.n_blocks
+  else:
+    perm = jnp.asarray(np.random.default_rng(3).permutation(
+        src_a.n_pad).astype(np.int32))
+    n_steps = src_a.n_pad // 8
+  for step in range(n_steps):
+    a = src_a.build_batch(perm, jnp.int32(step), negative_sampling=True,
+                          full_decode=True)
+    b = src_b.build_batch(perm, jnp.int32(step), negative_sampling=True,
+                          full_decode=True)
+    assert 'slab' in a
+    assert a['slab'].shape == (8, W)
+    dense_b = np.zeros((8, W), np.float32)
+    rows = np.asarray(b['rows'])
+    cols = np.asarray(b['cols'])
+    vals = np.asarray(b['vals'])
+    keep = (rows < 8) & (cols < W)
+    np.add.at(dense_b, (rows[keep], cols[keep]), vals[keep])
+    # sentinel col (n_items) slots carry val 0 on the scatter side; the
+    # packed side must have DROPPED those bits outright
+    assert np.all(dense_b[:, n_items:] == 0)
+    np.testing.assert_array_equal(
+        np.asarray(a['slab']).astype(np.float32), dense_b)
+    np.testing.assert_array_equal(np.asarray(a['users']),
+                                  np.asarray(b['users']))
+    assert float(a['num_users']) == float(b['num_users'])
+
+
+@pytest.mark.parametrize('shuffle', ['users', 'blocks'])
+def test_packed_slab_training_matches_scatter(binary_matrix, shuffle):
+  """slab_cache='packed' trains to the same parameters as the scatter
+  path (unpack is exact for 0/1 values, so gradients are identical)."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(binary_matrix)
+
+  def run(cache):
+    tr = Recoder(model=DynamicAutoencoder(hidden_layers=[16],
+                                          noise_prob=0.0),
+                 optimizer_type='adam', loss='logloss', seed=9)
+    tr.train(train_dataset=ds, batch_size=8, num_epochs=2,
+             negative_sampling=True, shuffle=shuffle,
+             full_decode=True, slab_cache=cache)
+    return tr.model.params
+
+  a, b = run('packed'), run(False)
+  for k in a:
+    np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                               atol=1e-6,
+                               err_msg=f'{shuffle}: param {k} diverged')
+
+
+def test_packed_slab_gating(binary_matrix, matrix):
+  W = 128
+  # 'packed' on non-binary values declines
+  src = _slab_source(matrix, 'users')
+  assert not src.maybe_cache_slabs(W, request='packed')
+  assert src.d_slab is None
+
+  # width not a multiple of 32 declines the packed tier
+  src = _slab_source(binary_matrix, 'users')
+  assert not src.maybe_cache_slabs(W + 6, request='packed')
+
+  # 'auto' falls back to packed when the dense slab is over budget but
+  # the 1-bit slab fits (the MSD situation)
+  src = _slab_source(binary_matrix, 'users')
+  packed_bytes = src.n_pad * (W // 32) * 4
+  dense_bytes = src.n_pad * W * 2  # bf16
+  src._slab_cache_budget = lambda: (packed_bytes + dense_bytes) // 2
+  assert src.maybe_cache_slabs(W, request='auto')
+  assert src._slab_packed
+
+  # ... and prefers dense when both fit
+  src = _slab_source(binary_matrix, 'users')
+  assert src.maybe_cache_slabs(W, request='auto')
+  assert not src._slab_packed
+  assert src.d_slab.dtype == jnp.bfloat16
+
+  # a forced request for the OTHER tier rebuilds; same-tier reuses
+  slab_dense = src.d_slab
+  assert src.maybe_cache_slabs(W, request=True)
+  assert src.d_slab is slab_dense  # reused
+  assert src.maybe_cache_slabs(W, request='packed')
+  assert src._slab_packed
+  assert src.maybe_cache_slabs(W, request='auto')
+  assert src._slab_packed  # auto reuses whatever exists
+  assert src.maybe_cache_slabs(W, request=True)
+  assert not src._slab_packed  # forced dense rebuilt
+
+  # request=False clears the packed cache too
+  assert src.maybe_cache_slabs(W, request='packed')
+  assert not src.maybe_cache_slabs(W, request=False)
+  assert src.d_slab is None and not src._slab_packed
+
+
+def test_packed_slab_random_negatives(binary_matrix):
+  """Random extra negatives compose with the packed tier (the mask is
+  recovered from the unpacked slab plus the drawn ids, same as dense)."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(binary_matrix)
+
+  def run(cache):
+    tr = Recoder(model=DynamicAutoencoder(hidden_layers=[16],
+                                          noise_prob=0.0),
+                 optimizer_type='adam', loss='mse', seed=4)
+    tr.train(train_dataset=ds, batch_size=8, num_epochs=1,
+             negative_sampling=True, shuffle='users',
+             num_random_negatives=16, full_decode=True,
+             slab_cache=cache)
+    return tr.model.params
+
+  a, b = run('packed'), run(False)
+  for k in a:
+    np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                               atol=1e-6, err_msg=f'param {k} diverged')
