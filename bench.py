@@ -138,6 +138,15 @@ def main():
                        "30 epochs like every adoption, tests/"
                        "test_model.py bs-2000 row) and report "
                        "vs_baseline=null plus a batch_size tag")
+  ap.add_argument('--slab-cache', choices=['auto', 'off', 'dense', 'packed'],
+                  default='auto',
+                  help="resident slab cache tier for full-decode steps "
+                       "(device_pipeline.maybe_cache_slabs). 'auto' "
+                       "prefers dense within the HBM budget and falls "
+                       "back to bit-packed for binary data (MSD's 44 "
+                       "GiB bf16 slab is ineligible; the 1-bit slab is "
+                       "~2.8 GiB); 'off' measures the per-step triplet "
+                       "scatter (the A/B control)")
   ap.add_argument('--dataset', choices=['ml20m', 'msd'], default='ml20m',
                   help="workload shape: ml20m (MSE headline config) or "
                        "msd (BASELINE config 3: multinomial NLL "
@@ -206,9 +215,12 @@ def main():
   # the fused on-device pipeline serves this workload: host loader
   # workers are never consumed, and their processes contend with the
   # dispatch thread on small hosts -- keep them off
+  slab_cache = {'auto': 'auto', 'off': False, 'dense': True,
+                'packed': 'packed'}[args.slab_cache]
   common = dict(train_dataset=dataset, batch_size=args.batch_size, lr=1e-3,
                 weight_decay=2e-5, negative_sampling=True,
-                num_data_workers=0, shuffle=args.shuffle)
+                num_data_workers=0, shuffle=args.shuffle,
+                slab_cache=slab_cache)
 
   # warmup epoch: jit compiles for every shape bucket
   log('warmup epoch (compilation)...')

@@ -27,7 +27,15 @@ import numpy as np
 
 def run(B=500, W=20224, d=200, K=64, n_cache=117000, confidence=3.0,
         noise_prob=0.5, compute_dtype=None, state_dtype=None,
-        params_dtype=None, seed=0, reps=3):
+        params_dtype=None, seed=0, reps=3, loss='mse', packed=False,
+        fd_mask=False):
+  """``loss``: 'mse' (confidence-weighted, the ml20m config) or
+  'logloss' (multinomial NLL, the msd config). ``packed``: store the
+  slab cache bit-packed (uint32 words) and unpack in the fetch stage
+  -- the MSD-scale tier where the bf16 slab exceeds HBM. ``fd_mask``:
+  recover the full-decode loss column mask from the fetched slab
+  (``any(x != 0, axis=0)``) like the real fd step, instead of a fixed
+  mask."""
   import jax
   import jax.numpy as jnp
 
@@ -38,9 +46,17 @@ def run(B=500, W=20224, d=200, K=64, n_cache=117000, confidence=3.0,
   pd = jnp.dtype(params_dtype if params_dtype else jnp.float32)
 
   # resident slab cache (bf16, binary data) + params + Adam state
-  slab_cache = jnp.asarray(
-      (rng.random((n_cache, W)) < 0.004).astype(np.float32),
-      dtype=jnp.bfloat16)
+  host_bits = rng.random((n_cache, W)) < 0.004
+  if packed:
+    assert W % 32 == 0, W
+    words = np.zeros((n_cache, W // 32), np.uint32)
+    r, c = np.nonzero(host_bits)
+    np.bitwise_or.at(words, (r, c >> 5),
+                     np.uint32(1) << (c & 31).astype(np.uint32))
+    slab_cache = jnp.asarray(words)
+  else:
+    slab_cache = jnp.asarray(host_bits.astype(np.float32),
+                             dtype=jnp.bfloat16)
   params = {
       'en': jnp.asarray(rng.standard_normal((W, d)) * 0.01, pd),
       'de': jnp.asarray(rng.standard_normal((W, d)) * 0.01, pd),
@@ -58,6 +74,11 @@ def run(B=500, W=20224, d=200, K=64, n_cache=117000, confidence=3.0,
   base_key = jax.random.PRNGKey(seed)
 
   def fetch(cache, i):
+    if packed:
+      rows = jax.lax.dynamic_slice(cache, (i * B, 0), (B, W // 32))
+      shifts = jnp.arange(32, dtype=jnp.uint32)
+      bits = (rows[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+      return bits.astype(cd).reshape(B, W)
     sl = jax.lax.dynamic_slice(cache, (i * B, 0), (B, W))
     return sl.astype(cd)
 
@@ -76,8 +97,23 @@ def run(B=500, W=20224, d=200, K=64, n_cache=117000, confidence=3.0,
     x, scores = forward(cache, p, i, key)
     xf = x.astype(jnp.float32)
     sf = scores.astype(jnp.float32)
+    if fd_mask:
+      # real fd step: mask = columns present in the mega (off the
+      # slab) clamped to the logical catalog (ops mirror model.py
+      # _forward_loss)
+      cm = jnp.logical_and(jnp.any(x != 0, axis=0),
+                           col_mask.astype(bool)).astype(jnp.float32)
+    else:
+      cm = col_mask
+    if loss == 'logloss':
+      logits = jnp.where(cm[None, :].astype(bool), sf,
+                         jnp.float32(-1e30))
+      mx = jnp.max(logits, axis=1, keepdims=True)
+      log_z = jnp.log(jnp.sum(jnp.exp(logits - mx), axis=1,
+                              keepdims=True))
+      return jnp.sum(-xf * ((logits - mx) - log_z) * cm[None, :]) / B
     w = 1.0 + confidence * (xf > 0)
-    return jnp.sum(w * jnp.square(sf - xf) * col_mask[None, :]) / B
+    return jnp.sum(w * jnp.square(sf - xf) * cm[None, :]) / B
 
   def adam_update(p, st, g, lr=1e-3, b1=0.9, b2=0.999, eps=1e-8):
     # same storage/math split as optim.Optimizer: f32 math, state
@@ -171,10 +207,26 @@ if __name__ == '__main__':
                   choices=[None, 'float32', 'bfloat16'], nargs='?')
   ap.add_argument('--params-dtype', default=None,
                   choices=[None, 'float32', 'bfloat16'], nargs='?')
+  ap.add_argument('--preset', default='ml20m', choices=['ml20m', 'msd'],
+                  help="msd: B=500, W=41216 padded catalog, logloss, "
+                       "bit-packed slab cache (the bench config the "
+                       "packed tier makes eligible), fd mask recovered "
+                       "from the slab. Cache rows are capped at 180k "
+                       "(~0.93 GiB packed) -- stage timings are "
+                       "row-count-independent, only the slice origin "
+                       "wraps sooner")
+  ap.add_argument('--packed', action='store_true',
+                  help='bit-packed slab cache (implied by --preset msd)')
   args = ap.parse_args()
   cd = args.dtype if args.dtype not in (None, 'float32') else None
   sd = (args.state_dtype if args.state_dtype not in (None, 'float32')
         else None)
   pd = (args.params_dtype
         if args.params_dtype not in (None, 'float32') else None)
-  run(compute_dtype=cd, state_dtype=sd, params_dtype=pd)
+  kw = {}
+  if args.preset == 'msd':
+    kw = dict(W=41216, n_cache=180000, loss='logloss', packed=True,
+              fd_mask=True)
+  if args.packed:
+    kw['packed'] = True
+  run(compute_dtype=cd, state_dtype=sd, params_dtype=pd, **kw)

@@ -132,6 +132,44 @@ def test_model(sparse, compute_dtype, opt_state_dtype, params_dtype,
 
 
 @pytest.mark.slow
+def test_model_packed_slab_quality(tmp_path):
+  """30-epoch quality gate for the bit-packed slab tier at the full
+  bf16 bench stack (compute + Adam moments): slab_cache='packed' must
+  reach the reference-pinned metrics. The per-step payload and
+  training trajectory are separately proven bit-identical to the
+  scatter path (tests/test_device_pipeline.py packed rows); this row
+  is the protocol-level receipt that lets bench.py's MSD 'auto'
+  fall back to the packed tier (the 44 GiB bf16 slab is ineligible
+  there; the 1-bit slab is ~2.8 GiB)."""
+  train_dataset, val_dataset = _load_datasets()
+
+  model = DynamicAutoencoder(hidden_layers=[200], activation_type='tanh',
+                             noise_prob=0.5, compute_dtype='bfloat16')
+  trainer = Recoder(model=model, optimizer_type='adam', loss='logloss',
+                    opt_state_dtype='bfloat16')
+  trainer.train(train_dataset=train_dataset, batch_size=500, lr=1e-3,
+                weight_decay=2e-5, num_epochs=30, negative_sampling=True,
+                slab_cache='packed')
+  src = trainer.fused_data_source
+  assert src is not None and src._slab_packed  # the tier under test ran
+
+  recall_20 = Recall(k=20, normalize=True)
+  recall_50 = Recall(k=50, normalize=True)
+  ndcg_100 = NDCG(k=100)
+  results = trainer._evaluate(eval_dataset=val_dataset,
+                              num_recommendations=100,
+                              metrics=[recall_20, recall_50, ndcg_100],
+                              batch_size=500)
+  means = {m: np.mean(v) for m, v in results.items()}
+  assert np.isclose(means[recall_20], REFERENCE_PINNED['recall_20'],
+                    atol=0.01, rtol=0)
+  assert np.isclose(means[recall_50], REFERENCE_PINNED['recall_50'],
+                    atol=0.01, rtol=0)
+  assert np.isclose(means[ndcg_100], REFERENCE_PINNED['ndcg_100'],
+                    atol=0.01, rtol=0)
+
+
+@pytest.mark.slow
 def test_matrix_factorization_trains():
   """MF + weighted MSE + negative sampling learns better-than-random
   rankings (BASELINE config 1)."""
