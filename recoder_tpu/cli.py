@@ -245,10 +245,21 @@ def make_server(cfg, model_file, host='127.0.0.1', port=8321):
     GET  /healthz             -> {"status": "ok", ...}
     POST /recommend           -> {"recommendations": [[sid, ...], ...]}
          body: {"interactions": [[sid, ...] per user], "k": 10}
+    POST /recommend_similar   -> same contract, served by the ANN
+         item-item SimilarityRecommender instead of the model forward
+         (requires a ``serve.ann_index`` config entry; built with
+         scripts/build_embeddings.py). Pure host + C++ forest -- no
+         device dispatch, so it stays fast while the chip trains.
 
-  Interactions are item ids in the training id space. Scoring runs the
-  same jitted full-catalog top-k path as batch recommend; the device is
-  single-stream so requests serialize on a lock.
+  Interactions are item ids in the training id space. Model scoring
+  runs the same jitted full-catalog top-k path as batch recommend; the
+  device is single-stream so requests serialize on a lock.
+
+  Config (optional)::
+
+    "serve": {"ann_index": "path/to/index.ann",   // enables the route
+              "num_neighbors": 20,                 // NNs per hist item
+              "scale": 1, "search_k": -1}
   """
   import http.server
   import threading
@@ -264,6 +275,21 @@ def make_server(cfg, model_file, host='127.0.0.1', port=8321):
     trainer.init_from_model_file(model_file)
   num_items = trainer.num_items
   lock = threading.Lock()
+
+  serve_cfg = cfg.get('serve', {})
+  ann_index = None
+  if serve_cfg.get('ann_index'):
+    from recoder_tpu.embedding import AnnEmbeddingsIndex
+    ann_index = AnnEmbeddingsIndex(
+        search_k=serve_cfg.get('search_k', -1))
+    ann_index.load(serve_cfg['ann_index'])
+
+  def _similarity_recommender(k):
+    from recoder_tpu.recommender import SimilarityRecommender
+    return SimilarityRecommender(
+        ann_index, num_recommendations=k,
+        n=serve_cfg.get('num_neighbors', 20),
+        scale=serve_cfg.get('scale', 1))
 
   class Handler(http.server.BaseHTTPRequestHandler):
     def log_message(self, *a):
@@ -284,8 +310,11 @@ def make_server(cfg, model_file, host='127.0.0.1', port=8321):
         self._reply(404, {'error': 'unknown path'})
 
     def do_POST(self):
-      if self.path != '/recommend':
+      if self.path not in ('/recommend', '/recommend_similar'):
         self._reply(404, {'error': 'unknown path'})
+        return
+      if self.path == '/recommend_similar' and ann_index is None:
+        self._reply(400, {'error': "no 'serve.ann_index' configured"})
         return
       try:
         length = int(self.headers.get('Content-Length', 0))
@@ -312,8 +341,12 @@ def make_server(cfg, model_file, host='127.0.0.1', port=8321):
                        shape=(len(histories), num_items))
         ui = UsersInteractions(users=np.arange(len(histories)),
                                interactions_matrix=m)
-        with lock:
-          recs = trainer.recommend(ui, k)
+        if self.path == '/recommend_similar':
+          # host + C++ only: no device dispatch, no lock
+          recs = _similarity_recommender(k).recommend(ui)
+        else:
+          with lock:
+            recs = trainer.recommend(ui, k)
         self._reply(200, {'recommendations': [[int(i) for i in r]
                                               for r in recs]})
       except Exception as e:  # surface the error to the client

@@ -144,6 +144,69 @@ def test_cli_serve_endpoints(workspace):
     server.shutdown()
 
 
+def test_cli_serve_similarity_route(workspace):
+  """POST /recommend_similar scores via the C++ ANN forest when the
+  config carries serve.ann_index; without it the route 400s."""
+  import json as _json
+  import threading
+  import urllib.request
+
+  import numpy as np
+
+  from recoder_tpu.embedding import AnnEmbeddingsIndex
+
+  tmp_path, cfg_path = workspace
+  _run_cli(['train', '--config', str(cfg_path)])
+  ckpt = str(tmp_path / 'ck_epoch_2.model')
+
+  # a small index over all 80 catalog items (identity id map)
+  rng = np.random.default_rng(0)
+  emb = rng.standard_normal((80, 16)).astype(np.float32)
+  idx_path = str(tmp_path / 'items.ann')
+  AnnEmbeddingsIndex(embeddings=emb, n_trees=4).build(idx_path)
+
+  cfg = _json.loads(cfg_path.read_text())
+  cfg['serve'] = {'ann_index': idx_path, 'num_neighbors': 10}
+  server = cli.make_server(cfg, ckpt, port=0)
+  t = threading.Thread(target=server.serve_forever, daemon=True)
+  t.start()
+  try:
+    base = f'http://127.0.0.1:{server.server_address[1]}'
+    body = _json.dumps({'interactions': [[1, 2, 3], [10, 11]],
+                        'k': 5}).encode()
+    req = urllib.request.Request(f'{base}/recommend_similar', data=body,
+                                 headers={'Content-Type':
+                                          'application/json'})
+    with urllib.request.urlopen(req, timeout=30) as r:
+      recs = _json.loads(r.read())['recommendations']
+    assert len(recs) == 2
+    for r_, hist in zip(recs, [[1, 2, 3], [10, 11]]):
+      assert 0 < len(r_) <= 5
+      assert all(0 <= i < 80 for i in r_)
+      assert not set(r_) & set(hist)  # history excluded from the pool
+  finally:
+    server.shutdown()
+
+  # no serve.ann_index -> the route refuses with a clear error
+  server = cli.make_server(_json.loads(cfg_path.read_text()), ckpt,
+                           port=0)
+  t = threading.Thread(target=server.serve_forever, daemon=True)
+  t.start()
+  try:
+    base = f'http://127.0.0.1:{server.server_address[1]}'
+    req = urllib.request.Request(f'{base}/recommend_similar', data=body,
+                                 headers={'Content-Type':
+                                          'application/json'})
+    try:
+      urllib.request.urlopen(req, timeout=10)
+      assert False, 'expected HTTP 400'
+    except urllib.error.HTTPError as e:
+      assert e.code == 400
+      assert 'ann_index' in _json.loads(e.read())['error']
+  finally:
+    server.shutdown()
+
+
 def test_cli_train_with_mesh(workspace):
   """trainer.mesh_model in the config builds a ('data','model') mesh
   over the visible (virtual) devices and trains SPMD."""
