@@ -197,6 +197,17 @@ def main():
                        "measures the beyond-parity model against the "
                        "SAME reference-converged quality bar (it "
                        "converges in far fewer epochs)")
+  ap.add_argument('--seeds', type=int, default=1,
+                  help="number of seeded runs in ONE process (seed = "
+                       "42 + i: 42 is the single-run default, so seed "
+                       "0 of a sweep reproduces historical quotes). "
+                       "The flagship metric is epoch-quantized -- the "
+                       "clock stops at the first epoch BOUNDARY whose "
+                       "eval clears the bar, so run-to-run noise "
+                       "appears as a quantized distribution, not a "
+                       "continuum. >1 reports the median and range "
+                       "instead of a one-shot number; compilation "
+                       "amortizes across runs via the compile cache")
   args = ap.parse_args()
 
   import jax
@@ -212,19 +223,22 @@ def main():
     ap.error('--model multvae is defined for the real fixture only')
   if args.fixture == 'real':
     train_ds, val_ds = load_real_fixture()
-    if args.model == 'multvae':
-      from recoder_tpu.models import MultVAE
-      # fixture-scale shape; KL anneal caps within the expected
-      # convergence window (vae_cf schedule: cap at 0.2 * 2000 steps)
-      model = MultVAE(hidden_dim=200, latent_dim=64, dropout_prob=0.5,
-                      anneal_cap=0.2, total_anneal_steps=2000,
-                      compute_dtype=cd)
-    else:
-      model = DynamicAutoencoder(hidden_layers=[200],
-                                 activation_type='tanh', noise_prob=0.5,
-                                 compute_dtype=cd)
-    trainer = Recoder(model=model, optimizer_type='adam',
-                      loss='logloss', opt_state_dtype=osd)
+
+    def make_trainer(seed):
+      if args.model == 'multvae':
+        from recoder_tpu.models import MultVAE
+        # fixture-scale shape; KL anneal caps within the expected
+        # convergence window (vae_cf schedule: cap at 0.2 * 2000 steps)
+        model = MultVAE(hidden_dim=200, latent_dim=64, dropout_prob=0.5,
+                        anneal_cap=0.2, total_anneal_steps=2000,
+                        compute_dtype=cd)
+      else:
+        model = DynamicAutoencoder(hidden_layers=[200],
+                                   activation_type='tanh',
+                                   noise_prob=0.5, compute_dtype=cd)
+      return Recoder(model=model, optimizer_type='adam',
+                     loss='logloss', opt_state_dtype=osd, seed=seed)
+
     metrics = [Recall(k=20, normalize=True), Recall(k=50, normalize=True),
                NDCG(k=100)]
     quality, fraction = REAL_QUALITY, REAL_FRACTION
@@ -235,11 +249,15 @@ def main():
         synthesize_ml20m(seed=TRAIN_SEED))
     train_ds = RecommendationDataset(train_m)
     val_ds = RecommendationDataset(val_tr_m, val_te_m)
-    model = DynamicAutoencoder(hidden_layers=[200],
-                               activation_type='tanh', noise_prob=0.5,
-                               compute_dtype=cd)
-    trainer = Recoder(model=model, optimizer_type='adam', loss='mse',
-                      loss_params={'confidence': 3}, opt_state_dtype=osd)
+
+    def make_trainer(seed):
+      model = DynamicAutoencoder(hidden_layers=[200],
+                                 activation_type='tanh', noise_prob=0.5,
+                                 compute_dtype=cd)
+      return Recoder(model=model, optimizer_type='adam', loss='mse',
+                     loss_params={'confidence': 3}, opt_state_dtype=osd,
+                     seed=seed)
+
     metrics = [Recall(k=20, normalize=True), NDCG(k=100)]
     quality, fraction = SYNTHETIC_QUALITY, SYNTHETIC_FRACTION
     max_epochs = 14
@@ -256,32 +274,45 @@ def main():
                 weight_decay=2e-5, negative_sampling=True,
                 shuffle=args.shuffle)
 
-  # compile outside the clock (the reference's torch pays no compile;
-  # the K80 claim times training): warm up one epoch + one eval, then
-  # reset params/optimizer in place -- same shapes, so the timed run
-  # reuses every compiled program. Cold-start cost is logged.
-  t0 = time.time()
-  trainer.train(num_epochs=1, **common)
-  trainer._evaluate(val_ds, num_recommendations=100, metrics=metrics,
-                    batch_size=BATCH_SIZE)
-  log(f'warmup (compilation) took {time.time() - t0:.1f}s; resetting '
-      f'state and starting the clock')
-  trainer.reset_training_state()
+  hits = []
+  for i in range(args.seeds):
+    seed = 42 + i  # 42 = the Recoder default, so run 0 reproduces
+    trainer = make_trainer(seed)
+    # compile outside the clock (the reference's torch pays no
+    # compile; the K80 claim times training): warm up one epoch +
+    # one eval, then reset params/optimizer in place -- same shapes,
+    # so the timed run reuses every compiled program. The first
+    # warmup pays tracing+compile; later seeds' trainers re-trace but
+    # hit the persistent compile cache (seconds). Cost is logged.
+    t0 = time.time()
+    trainer.train(num_epochs=1, **common)
+    trainer._evaluate(val_ds, num_recommendations=100, metrics=metrics,
+                      batch_size=BATCH_SIZE)
+    log(f'seed {seed}: warmup (compilation) took '
+        f'{time.time() - t0:.1f}s; resetting state and starting the '
+        f'clock')
+    trainer.reset_training_state()
 
-  hit_at, history = time_to_quality(trainer, val_ds, metrics, targets,
-                                    common, max_epochs)
+    hit_at, history = time_to_quality(trainer, val_ds, metrics,
+                                      targets, common, max_epochs)
+    log(f'seed {seed} history: ' + json.dumps(history))
+    if hit_at is None:
+      log(f'seed {seed}: did NOT reach reference quality within '
+          f'{max_epochs} epochs')
+      sys.exit(1)
+    hits.append(hit_at)
+    del trainer
 
-  log('history: ' + json.dumps(history))
-  if hit_at is None:
-    log(f'did NOT reach reference quality within {max_epochs} epochs')
-    sys.exit(1)
-
+  value = float(np.median(hits))
   out = {
       'metric': 'ml20m_seconds_to_reference_quality',
-      'value': round(hit_at, 2),
+      'value': round(value, 2),
       'unit': 's',
-      'vs_baseline': round(60.0 / hit_at, 3),
+      'vs_baseline': round(60.0 / value, 3),
   }
+  if args.seeds > 1:
+    out['seeds'] = args.seeds
+    out['runs_s'] = [round(h, 2) for h in sorted(hits)]
   if args.model != 'autoencoder':
     out['model'] = args.model
   print(json.dumps(out))
