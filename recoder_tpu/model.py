@@ -1718,9 +1718,11 @@ class Recoder:
     return out, input_dense
 
   def _inference_collate(self, users_interactions):
-    """Collate a full-catalog inference batch with sticky nnz padding:
-    the pad width only grows (monotone), so repeated inference calls
-    reuse one compiled program instead of one per nnz bucket."""
+    """Collate a full-catalog inference batch with nnz padding on a
+    power-of-two ladder: repeated inference calls share one compiled
+    program per bucket (at most log2(max nnz) programs), and — unlike
+    the monotone sticky width this replaces — one huge batch cannot
+    permanently inflate the scatter width of every later small one."""
     if len(users_interactions.users) == 0:
       raise ValueError('cannot score an empty user batch')
     collator = BatchCollator(batch_size=len(users_interactions.users),
@@ -1728,8 +1730,7 @@ class Recoder:
                              num_items=self.num_items,
                              pad_users_to_batch_size=False)
     batch = collator.collate(users_interactions)[0]
-    width = max(getattr(self, '_inference_nnz_width', 0), len(batch.rows))
-    self._inference_nnz_width = width
+    width = max(1024, 1 << int(np.ceil(np.log2(max(len(batch.rows), 1)))))
     if len(batch.rows) < width:
       pad = width - len(batch.rows)
       batch.rows = np.pad(batch.rows, (0, pad),

