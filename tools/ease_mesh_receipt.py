@@ -58,9 +58,18 @@ def main():
   args = ap.parse_args()
   assert args.items % MODEL_WAYS == 0, args.items
 
+  # on a 1-core host the 8 virtual devices' shard matmuls SERIALIZE, so
+  # a device can sit at an all-gather for minutes while its peers
+  # compute; XLA:CPU's default 40 s rendezvous termination timeout
+  # aborts the process (measured: exit 134 at 27k wide). Raise it far
+  # past the worst serialized skew (one [n/8, n] x [n, n] matmul per
+  # peer) -- correctness receipts outrank liveness heuristics here.
   os.environ['XLA_FLAGS'] = (
       os.environ.get('XLA_FLAGS', '')
-      + f' --xla_force_host_platform_device_count={MODEL_WAYS}')
+      + f' --xla_force_host_platform_device_count={MODEL_WAYS}'
+      + ' --xla_cpu_collective_call_warn_stuck_timeout_seconds=600'
+      + ' --xla_cpu_collective_call_terminate_timeout_seconds=14400'
+      + ' --xla_cpu_collective_timeout_seconds=14400')
   import jax
   jax.config.update('jax_platforms', 'cpu')
   from jax.sharding import PartitionSpec as P
