@@ -11,7 +11,7 @@ Config schema (JSON):
 {
   "data": {"train": "pro_sg/train.csv", "val_tr": "...", "val_te": "...",
            "user_col": "uid", "item_col": "sid", "inter_col": "watched"},
-  "model": {"type": "autoencoder" | "mf" | "multvae" | "ease", ...kwargs...},
+  "model": {"type": "autoencoder" | "mf" | "multvae" | "ease" | "ials", ...kwargs...},
   "trainer": {"optimizer_type": "adam", "loss": "logistic",
               "loss_params": {}, "seed": 42,
               "mesh_model": 0,
@@ -103,11 +103,24 @@ def _build_model(model_cfg):
   raise ValueError(f'unknown model type {kind}')
 
 
-def _is_ease(cfg):
-  return cfg.get('model', {}).get('type') == 'ease'
+# models trained by one closed-form/ALS fit() instead of the Recoder
+# epoch loop; they expose the same recommend() contract
+_FIT_MODEL_KINDS = ('ease', 'ials')
 
 
-def _load_ease(cfg, model_file):
+def _fit_model_kind(cfg):
+  kind = cfg.get('model', {}).get('type')
+  return kind if kind in _FIT_MODEL_KINDS else None
+
+
+def _is_fit_model(cfg):
+  return _fit_model_kind(cfg) is not None
+
+
+def _load_fit_model(cfg, model_file):
+  if _fit_model_kind(cfg) == 'ials':
+    from recoder_tpu.models import IALS
+    return IALS().load(model_file)
   from recoder_tpu.models import EASE
   return EASE().load(model_file)
 
@@ -124,33 +137,44 @@ def _build_trainer(cfg, model):
 
 def cmd_train(cfg):
   train_dataset, val_dataset, _, _ = _load_datasets(cfg['data'])
-  if _is_ease(cfg):
-    # EASE trains in one closed-form solve: fit, save, report
-    from recoder_tpu.models import EASE
+  if _is_fit_model(cfg):
+    # fit-style models train in one closed-form/ALS fit: fit, save,
+    # report
+    kind = _fit_model_kind(cfg)
     model_cfg = dict(cfg.get('model', {})); model_cfg.pop('type')
-    fit_kw = {k: model_cfg.pop(k) for k in ('gram', 'max_items', 'solve')
-              if k in model_cfg}
+    if kind == 'ials':
+      fit_keys = ('sweeps', 'chunk_elems')
+    else:
+      fit_keys = ('gram', 'max_items', 'solve')
+    fit_kw = {k: model_cfg.pop(k) for k in fit_keys if k in model_cfg}
     # mesh_model lives in the trainer block (the documented schema),
     # same as for the SGD models; a model-block value is honored for
     # backward compatibility but the trainer block wins
     mesh_model = (cfg.get('trainer', {}).get('mesh_model', 0)
                   or model_cfg.pop('mesh_model', 0))
     model_cfg.pop('mesh_model', None)
-    if mesh_model:
+    if mesh_model and kind == 'ease':
       # past-one-chip catalogs: row-shard the solve over 'model'
       from recoder_tpu.parallel import MeshConfig, make_mesh
       fit_kw['mesh'] = make_mesh(MeshConfig(model=mesh_model))
     train_cfg = dict(cfg.get('train', {}))
     prefix = train_cfg.get('model_checkpoint_prefix')
-    model = EASE(**model_cfg).fit(train_dataset.interactions_matrix,
-                                  **fit_kw)
+    if kind == 'ials':
+      from recoder_tpu.models import IALS
+      model = IALS(**model_cfg)
+    else:
+      from recoder_tpu.models import EASE
+      model = EASE(**model_cfg)
+    model.fit(train_dataset.interactions_matrix, **fit_kw)
     if prefix:
-      print(f'saved EASE model to {model.save(prefix + ".model")}')
+      print(f'saved {kind.upper()} model to '
+            f'{model.save(prefix + ".model")}')
     if val_dataset is not None:
-      _evaluate_ease(model, val_dataset,
-                     parse_metrics(train_cfg.get('metrics')
-                                   or ['recall@20', 'ndcg@100']),
-                     batch_size=train_cfg.get('eval_batch_size', 500))
+      _evaluate_fit_model(
+          model, val_dataset,
+          parse_metrics(train_cfg.get('metrics')
+                        or ['recall@20', 'ndcg@100']),
+          batch_size=train_cfg.get('eval_batch_size', 500))
     return
   model = _build_model(cfg.get('model', {}))
   trainer = _build_trainer(cfg, model)
@@ -161,8 +185,8 @@ def cmd_train(cfg):
                 **train_kwargs)
 
 
-def _evaluate_ease(model, val_dataset, metrics, batch_size=500,
-                   num_recommendations=100):
+def _evaluate_fit_model(model, val_dataset, metrics, batch_size=500,
+                        num_recommendations=100):
   from recoder_tpu.metrics import RecommenderEvaluator
   from recoder_tpu.recommender import InferenceRecommender
   ev = RecommenderEvaluator(
@@ -180,8 +204,8 @@ def cmd_evaluate(cfg, model_file, num_recommendations, batch_size,
            or cfg.get('evaluate', {}).get('metrics')
            or ['recall@20', 'recall@50', 'ndcg@100'])
   metrics = parse_metrics(specs)
-  if _is_ease(cfg):
-    _evaluate_ease(_load_ease(cfg, model_file), val_dataset, metrics,
+  if _is_fit_model(cfg):
+    _evaluate_fit_model(_load_fit_model(cfg, model_file), val_dataset, metrics,
                    batch_size=batch_size,
                    num_recommendations=num_recommendations)
     return
@@ -208,8 +232,8 @@ def cmd_recommend(cfg, model_file, num_recommendations, batch_size, out):
       cfg['data'], load_val=False)
   inv_user = {v: k for k, v in user_id_map.items()}
   inv_item = {v: k for k, v in item_id_map.items()}
-  if _is_ease(cfg):
-    trainer = _load_ease(cfg, model_file)  # same recommend() contract
+  if _is_fit_model(cfg):
+    trainer = _load_fit_model(cfg, model_file)  # same recommend() contract
   else:
     model = _build_model(cfg.get('model', {}))
     trainer = _build_trainer(cfg, model)
@@ -267,8 +291,8 @@ def make_server(cfg, model_file, host='127.0.0.1', port=8321):
   from recoder_tpu.data import UsersInteractions
   from scipy.sparse import csr_matrix
 
-  if _is_ease(cfg):
-    trainer = _load_ease(cfg, model_file)  # same recommend() contract
+  if _is_fit_model(cfg):
+    trainer = _load_fit_model(cfg, model_file)  # same recommend() contract
   else:
     model = _build_model(cfg.get('model', {}))
     trainer = _build_trainer(cfg, model)

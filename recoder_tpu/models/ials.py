@@ -1,0 +1,363 @@
+"""iALS: implicit-feedback alternating least squares (Hu, Koren,
+Volinsky, ICDM'08).
+
+A beyond-parity addition (the reference ships only SGD-trained models,
+reference nn.py:68,283): iALS is the classic production-scale
+collaborative-filtering baseline for implicit data — no epoch loop, no
+learning rate, and, revisited with tuned regularization, it stays
+competitive with the VAE families on the ML-20M-class benchmarks
+(Rendle et al., "Revisiting the Performance of iALS on Item
+Recommendation Benchmarks", RecSys'21).
+
+Math: with R the [users, items] raw interaction matrix, preference
+``p = (r > 0)`` and confidence ``c = 1 + alpha * r``, iALS minimizes
+
+    sum_{u,i} c_ui (p_ui - x_u . y_i)^2
+      + sum_u reg_u ||x_u||^2 + sum_i reg_i ||y_i||^2
+
+by alternating exact per-row solves. Each user solve is
+
+    (Y^T Y + Y_u^T (C_u - I) Y_u + reg_u I) x_u = Y_u^T c_u
+
+where Y_u are the factor rows of the user's items — the classic HKV
+trick: the dense Gram ``Y^T Y`` is shared across all users and each
+user only adds corrections for their observed items (items are
+symmetric). ``reg_scaling='frequency'`` scales ``reg_u = lam *
+(|I_u| + 1)`` (Rendle'21's frequency-scaled L2, the robust default);
+``'none'`` is the constant-lam HKV original.
+
+TPU mapping (nothing in the hot path but MXU contractions and a
+batched d x d Cholesky):
+
+- The shared Gram ``F^T F`` is one [n, d]^T [n, d] matmul.
+- Rows are solved in BATCHES: gather the padded per-row factor slabs
+  ``F[cols] -> [B, L, d]`` and form every correction with one einsum
+  ``A = G + einsum('bl,bld,ble->bde', c-1, F, F)`` — a batched MXU
+  contraction — plus ``b = einsum('bl,bld->bd', c, F)``.
+- The B systems solve together with one batched Cholesky +
+  two batched triangular solves at width d (64-512): tiny dense
+  linear algebra XLA:TPU compiles happily (the EASE finding — cholesky
+  cannot compile at 20k width — does not bite at embedding widths).
+- Static shapes: rows are sorted by nnz and chunked greedily under an
+  element budget, with both the batch B and the padded row length L
+  on power-of-two ladders, so the whole fit compiles O(log^2) distinct
+  programs regardless of the nnz distribution. Padded slots carry
+  zero weights and gather a zero factor row, so they contribute
+  exactly nothing (same padding discipline as the training pipeline,
+  data/device_pipeline.py).
+
+Serving is FOLD-IN: ``recommend(users_interactions, k)`` solves the
+query users' factors against the fitted item factors with the exact
+training solve (so a training user's fold-in factor reproduces their
+trained factor bit-for-bit), scores ``x @ Y^T``, masks seen items and
+top-ks — the same contract as :class:`recoder_tpu.model.Recoder` and
+:class:`recoder_tpu.models.EASE`, so the shared evaluator stack
+(InferenceRecommender + RecommenderEvaluator) applies unchanged.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import recoder_tpu
+from recoder_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+
+def _pow2_ceil(n):
+  return 1 << max(0, int(np.ceil(np.log2(max(1, int(n))))))
+
+
+def _pow2_floor(n):
+  return 1 << max(0, int(np.floor(np.log2(max(1, int(n))))))
+
+
+# Module-level jitted solve: jax.jit caches per (B, L, d) shape bucket
+# (a closure jitted inside fit() would recompile on every call).
+@jax.jit
+def _solve_rows(factors_pad, gram, cols, w_a, w_b, reg):
+  """Batched HKV row solve.
+
+  factors_pad: [n + 1, d] opposite-side factors with a trailing ZERO
+    row — pad slots gather it (cols == n), so they add nothing even
+    before the zero weights.
+  gram: [d, d] unregularized F^T F (shared across rows).
+  cols: [B, L] int32 padded column ids (pad = n).
+  w_a:  [B, L] f32 confidence-minus-one weights (alpha * r; pad 0).
+  w_b:  [B, L] f32 confidence weights (1 + alpha * r; pad 0).
+  reg:  [B] f32 per-row L2 (lam, frequency-scaled or not).
+
+  Returns [B, d] solved factors.
+  """
+  f = jnp.take(factors_pad, cols, axis=0)  # [B, L, d]
+  d = f.shape[-1]
+  # A_b = G + sum_l w_a[b,l] f[b,l,:] f[b,l,:]^T + reg_b I  (SPD)
+  a = gram[None] + jnp.einsum('bl,bld,ble->bde', w_a, f, f,
+                              precision=jax.lax.Precision.HIGHEST)
+  a = a + reg[:, None, None] * jnp.eye(d, dtype=a.dtype)
+  b = jnp.einsum('bl,bld->bd', w_b, f,
+                 precision=jax.lax.Precision.HIGHEST)
+  chol = jnp.linalg.cholesky(a)
+  y = jax.scipy.linalg.solve_triangular(chol, b[..., None], lower=True)
+  x = jax.scipy.linalg.solve_triangular(
+      chol, y, lower=True, trans=1)
+  return x[..., 0]
+
+
+@jax.jit
+def _gram(factors):
+  return jnp.matmul(factors.T, factors,
+                    precision=jax.lax.Precision.HIGHEST)
+
+
+class IALS:
+  """Implicit-feedback weighted matrix factorization via ALS.
+
+  Usage::
+
+      model = IALS(embedding_size=128, alpha=30.0, lam=3e-3)
+      model.fit(train_matrix)                # scipy.sparse, raw counts
+      recs = model.recommend(users_interactions, num_recommendations=10)
+
+  Plugs into the evaluation stack through
+  :class:`recoder_tpu.recommender.InferenceRecommender` (same
+  ``recommend`` contract as :class:`recoder_tpu.model.Recoder`).
+
+  Args:
+    embedding_size (int): factor dimensionality d.
+    alpha (float): confidence slope, ``c = 1 + alpha * r`` (HKV eq. 2).
+    lam (float): L2 regularization base.
+    sweeps (int): alternating solve sweeps (each sweep = one exact
+      user-side solve + one exact item-side solve; the objective
+      decreases monotonically, 5-15 is typical).
+    reg_scaling ('frequency' | 'none'): 'frequency' scales each row's
+      L2 by ``(nnz + 1)`` (Rendle'21); 'none' is constant ``lam``.
+    init_scale (float): stddev of the item-factor init,
+      ``N(0, init_scale^2 / d)`` per Rendle'21.
+    seed (int): init PRNG seed.
+  """
+
+  def __init__(self, embedding_size=128, alpha=30.0, lam=3e-3, sweeps=10,
+               reg_scaling='frequency', init_scale=1.0, seed=0):
+    if reg_scaling not in ('frequency', 'none'):
+      raise ValueError(f'unknown reg_scaling {reg_scaling!r}')
+    self.embedding_size = int(embedding_size)
+    self.alpha = float(alpha)
+    self.lam = float(lam)
+    self.sweeps = int(sweeps)
+    self.reg_scaling = reg_scaling
+    self.init_scale = float(init_scale)
+    self.seed = int(seed)
+    self.num_items = None
+    self.user_factors = None  # [num_users, d] (training users)
+    self.item_factors = None  # [num_items, d]
+
+  # -- training ----------------------------------------------------------
+
+  def fit(self, train_matrix, sweeps=None, chunk_elems=1 << 21,
+          callback=None):
+    """Alternating exact solves from a ``scipy.sparse`` [users, items]
+    matrix of raw interaction values (binary or counts).
+
+    Args:
+      train_matrix: ``scipy.sparse`` [users, items]; values feed the
+        confidence ``c = 1 + alpha * r``.
+      sweeps: override the constructor's sweep count.
+      chunk_elems: element budget for one solve batch's gathered slab
+        (B * L; the device working set is ~``chunk_elems * d * 8``
+        bytes). The default keeps ~2 GiB at d=128.
+      callback: optional ``f(sweep)`` called after each sweep (for
+        per-sweep eval hooks).
+    """
+    import scipy.sparse as sp
+
+    m = sp.csr_matrix(train_matrix, copy=False).astype(np.float32)
+    n_users, n_items = m.shape
+    self.num_items = n_items
+    d = self.embedding_size
+    sweeps = self.sweeps if sweeps is None else int(sweeps)
+
+    rng = np.random.default_rng(self.seed)
+    # users start at zero: the first user solve is then EXACT given the
+    # item init (x = 0 is what the solve returns for empty rows too)
+    item_f = jnp.asarray(
+        rng.standard_normal((n_items, d)).astype(np.float32)
+        * (self.init_scale / np.sqrt(d)))
+    user_f = jnp.zeros((n_users, d), jnp.float32)
+
+    mt = m.T.tocsr()  # item-side CSR (users as columns)
+    for sweep in range(sweeps):
+      user_f = self._solve_side(m, item_f, chunk_elems)
+      item_f = self._solve_side(mt, user_f, chunk_elems)
+      if callback is not None:
+        self.user_factors, self.item_factors = user_f, item_f
+        callback(sweep)
+    # final user half-sweep: stored user factors are exact against the
+    # FINAL item factors (so fold_in on a training user's history
+    # reproduces their stored factor bit-for-bit, and U @ V^T scores
+    # use a consistent pair)
+    self.user_factors = self._solve_side(m, item_f, chunk_elems)
+    self.item_factors = item_f
+    return self
+
+  def _solve_side(self, csr, factors, chunk_elems=1 << 21):
+    """Solve every row of ``csr`` against the opposite-side
+    ``factors``; returns the new [rows, d] factor matrix (device).
+
+    Rows are processed nnz-sorted in greedy power-of-two (B, L)
+    chunks so the compiled-program count stays O(log^2) while no
+    chunk's gathered slab exceeds ``chunk_elems`` elements.
+    """
+    n_rows = csr.shape[0]
+    d = factors.shape[1]
+    factors_pad = jnp.concatenate(
+        [factors, jnp.zeros((1, d), factors.dtype)], axis=0)
+    gram = _gram(factors)
+    n = factors.shape[0]  # pad column id
+
+    nnz = np.diff(csr.indptr).astype(np.int64)
+    order = np.argsort(-nnz, kind='stable')
+    out = np.zeros((n_rows, d), np.float32)
+    i = 0
+    while i < n_rows:
+      L = max(8, _pow2_ceil(nnz[order[i]]))
+      if L > chunk_elems:
+        raise ValueError(
+            f'row nnz {int(nnz[order[i]])} exceeds chunk_elems='
+            f'{chunk_elems}; raise chunk_elems (device working set is '
+            f'~chunk_elems * d * 8 bytes)')
+      # the gathered slab is [B, L, d] AND the systems tensor is
+      # [B, d, d]: bound B by BOTH so neither exceeds the budget
+      B = max(1, min(_pow2_floor(chunk_elems // L),
+                     _pow2_floor(chunk_elems // d)))
+      rows = order[i:i + B]
+      i += len(rows)
+
+      cols = np.full((B, L), n, np.int32)
+      w_a = np.zeros((B, L), np.float32)
+      w_b = np.zeros((B, L), np.float32)
+      # vectorized padded gather of the chunk's CSR slices (a per-row
+      # Python loop costs seconds per sweep at 100k+ rows)
+      ks = nnz[rows]
+      total = int(ks.sum())
+      if total:
+        rowpos = np.repeat(np.arange(len(rows)), ks)
+        colpos = np.arange(total) - np.repeat(np.cumsum(ks) - ks, ks)
+        src = np.repeat(csr.indptr[rows], ks) + colpos
+        vals = csr.data[src]
+        cols[rowpos, colpos] = csr.indices[src]
+        w_a[rowpos, colpos] = self.alpha * vals
+        w_b[rowpos, colpos] = 1.0 + self.alpha * vals
+      if self.reg_scaling == 'frequency':
+        reg = self.lam * (nnz[rows].astype(np.float32) + 1.0)
+        reg = np.pad(reg, (0, B - len(rows)), constant_values=self.lam)
+      else:
+        reg = np.full(B, self.lam, np.float32)
+
+      x = _solve_rows(factors_pad, gram, jnp.asarray(cols),
+                      jnp.asarray(w_a), jnp.asarray(w_b),
+                      jnp.asarray(reg))
+      out[rows] = np.asarray(x)[:len(rows)]
+    return jnp.asarray(out)
+
+  def objective(self, train_matrix):
+    """The exact iALS objective on the fitted factors (host math;
+    diagnostic — ALS decreases it monotonically every half-sweep)."""
+    import scipy.sparse as sp
+
+    assert self.item_factors is not None, 'call fit() first'
+    u = np.asarray(self.user_factors, np.float64)
+    v = np.asarray(self.item_factors, np.float64)
+    m = sp.csr_matrix(train_matrix).astype(np.float64)
+
+    # sum over ALL pairs of 1 * (0 - x.y)^2 = tr(U^T U V^T V), then
+    # correct the observed cells from 1*(x.y)^2 to c*(1 - x.y)^2
+    gu, gv = u.T @ u, v.T @ v
+    total = float(np.sum(gu * gv))
+    coo = m.tocoo()
+    s = np.einsum('nd,nd->n', u[coo.row], v[coo.col])
+    c = 1.0 + self.alpha * coo.data
+    total += float(np.sum(c * (1.0 - s) ** 2 - s ** 2))
+    nnz_u = np.diff(m.indptr)
+    nnz_v = np.diff(m.tocsc().indptr)
+    if self.reg_scaling == 'frequency':
+      ru = self.lam * (nnz_u + 1.0)
+      rv = self.lam * (nnz_v + 1.0)
+    else:
+      ru = np.full(m.shape[0], self.lam)
+      rv = np.full(m.shape[1], self.lam)
+    total += float(ru @ np.einsum('nd,nd->n', u, u))
+    total += float(rv @ np.einsum('nd,nd->n', v, v))
+    return total
+
+  # -- inference ---------------------------------------------------------
+
+  def fold_in(self, users_interactions):
+    """Query-user factors [B, d] solved against the fitted item
+    factors with the exact training solve (a training user's history
+    reproduces their trained factor)."""
+    assert self.item_factors is not None, 'call fit() or load() first'
+    m = users_interactions.interactions_matrix.tocsr().astype(np.float32)
+    if m.shape[1] != self.num_items:
+      raise ValueError(f'input has {m.shape[1]} items, model was fit '
+                       f'on {self.num_items}')
+    return self._solve_side(m, self.item_factors)
+
+  def predict(self, users_interactions, return_input=False):
+    """Dense scores [B, num_items] via fold-in + one MXU matmul."""
+    x = self.fold_in(users_interactions)
+    scores = jnp.matmul(x, self.item_factors.T,
+                        precision=jax.lax.Precision.HIGHEST)
+    if return_input:
+      xd = jnp.asarray(np.asarray(
+          users_interactions.interactions_matrix.todense(), np.float32))
+      return scores, xd
+    return scores
+
+  def _topk_unseen(self, users_interactions, num_recommendations):
+    scores, xd = self.predict(users_interactions, return_input=True)
+    scores = jnp.where(xd > 0, -jnp.inf, scores)
+    k = min(int(num_recommendations), self.num_items)
+    vals, idx = jax.lax.top_k(scores, k)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    # a user with fewer than k unseen items gets -inf-scored seen items
+    # in the tail: trim them instead of recommending watched items
+    return [row[np.isfinite(v)] for row, v in zip(idx, vals)]
+
+  def recommend(self, users_interactions, num_recommendations):
+    """Top-k unseen items per user (same contract as Recoder.recommend)."""
+    return self._topk_unseen(users_interactions, num_recommendations)
+
+  def recommend_async(self, users_interactions, num_recommendations):
+    """Evaluator-pipeline variant (same results as :meth:`recommend`)."""
+    return self._topk_unseen(users_interactions, num_recommendations)
+
+  # -- checkpointing -----------------------------------------------------
+
+  def save(self, path):
+    """Write fitted factors + hyperparameters to ``path`` (npz,
+    crash-safe atomic swap like every other checkpoint here)."""
+    assert self.item_factors is not None, 'nothing to save: fit() first'
+    save_checkpoint(
+        path,
+        {'user_factors': np.asarray(self.user_factors),
+         'item_factors': np.asarray(self.item_factors)},
+        {'model': 'ials', 'embedding_size': self.embedding_size,
+         'alpha': self.alpha, 'lam': self.lam, 'sweeps': self.sweeps,
+         'reg_scaling': self.reg_scaling, 'num_items': self.num_items,
+         'recoder_version': recoder_tpu.__version__})
+    return path
+
+  def load(self, path):
+    """Restore a model saved by :meth:`save`."""
+    arrays, meta = load_checkpoint(path)
+    if meta.get('model') != 'ials':
+      raise ValueError(f'{path} is not an iALS checkpoint: {meta}')
+    self.embedding_size = int(meta['embedding_size'])
+    self.alpha = float(meta['alpha'])
+    self.lam = float(meta['lam'])
+    self.sweeps = int(meta['sweeps'])
+    self.reg_scaling = str(meta['reg_scaling'])
+    self.num_items = int(meta['num_items'])
+    self.user_factors = jnp.asarray(arrays['user_factors'])
+    self.item_factors = jnp.asarray(arrays['item_factors'])
+    return self

@@ -338,3 +338,40 @@ def test_cli_ease_train_evaluate_recommend_serve(workspace, capsys):
   finally:
     server.shutdown()
     thread.join(timeout=10)
+
+
+def test_cli_ials_train_evaluate_recommend(workspace, capsys):
+  """model.type='ials' routes through the fit-style branch: train =
+  ALS sweeps + save, evaluate/recommend load the iALS checkpoint and
+  reuse the shared scoring plumbing (serve shares the same loader,
+  covered by the EASE serve test)."""
+  import json as _json
+
+  tmp_path, _ = workspace
+  cfg = _json.loads((tmp_path / 'run.json').read_text())
+  cfg['model'] = {'type': 'ials', 'embedding_size': 8, 'alpha': 10.0,
+                  'lam': 0.01, 'sweeps': 3}
+  cfg['train'] = {'model_checkpoint_prefix': str(tmp_path / 'ials'),
+                  'metrics': ['recall@10']}
+  cfg_path = tmp_path / 'ials.json'
+  cfg_path.write_text(_json.dumps(cfg))
+
+  _run_cli(['train', '--config', str(cfg_path)])
+  out = capsys.readouterr().out
+  ckpt = str(tmp_path / 'ials.model')
+  assert os.path.exists(ckpt)
+  assert 'Recall@10' in out  # val metrics printed after the fit
+
+  _run_cli(['evaluate', '--config', str(cfg_path), '--model-file', ckpt,
+            '--num-recommendations', '10', '--batch-size', '20',
+            '--metrics', 'ndcg@10'])
+  out = capsys.readouterr().out
+  assert 'NDCG@10' in out
+
+  out_csv = str(tmp_path / 'ials_recs.csv')
+  _run_cli(['recommend', '--config', str(cfg_path), '--model-file', ckpt,
+            '--num-recommendations', '5', '--batch-size', '30',
+            '--out', out_csv])
+  recs = pd.read_csv(out_csv)
+  assert recs.uid.nunique() == 60
+  assert recs.groupby('uid')['rank'].max().eq(5).all()

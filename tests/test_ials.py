@@ -1,0 +1,209 @@
+"""iALS model tests: batched-solve exactness vs a numpy per-row
+reference, monotone objective descent, fold-in/recommend semantics,
+chunk-ladder coverage, checkpoint roundtrip, and a slow-tier quality
+floor on the real fixture.
+
+iALS is a beyond-parity addition (the reference ships only SGD
+models); the TPU mapping — shared Gram + batched einsum corrections +
+batched d x d Cholesky under power-of-two (B, L) chunk ladders — is
+described in recoder_tpu/models/ials.py.
+"""
+
+import numpy as np
+import pytest
+from scipy.sparse import csr_matrix
+
+from recoder_tpu.data import RecommendationDataset, UsersInteractions
+from recoder_tpu.models import IALS
+
+
+def _binary_matrix(users=40, items=25, density=0.2, seed=0):
+  rng = np.random.default_rng(seed)
+  m = (rng.random((users, items)) < density).astype(np.float32)
+  return csr_matrix(m)
+
+
+def _numpy_user_solve(m, v, alpha, lam, reg_scaling='frequency'):
+  """Per-row reference: exact HKV normal equations, one user at a
+  time in f64."""
+  md = np.asarray(m.todense(), np.float64)
+  v = np.asarray(v, np.float64)
+  d = v.shape[1]
+  g = v.T @ v
+  out = np.zeros((md.shape[0], d))
+  for u in range(md.shape[0]):
+    idx = np.flatnonzero(md[u])
+    c = 1.0 + alpha * md[u, idx]
+    reg = lam * (len(idx) + 1.0) if reg_scaling == 'frequency' else lam
+    a = g + (v[idx].T * (c - 1.0)) @ v[idx] + reg * np.eye(d)
+    out[u] = np.linalg.solve(a, v[idx].T @ c)
+  return out
+
+
+def test_ials_batched_solve_matches_numpy():
+  m = _binary_matrix()
+  model = IALS(embedding_size=6, alpha=10.0, lam=0.05, sweeps=2, seed=1)
+  model.fit(m)
+  ref = _numpy_user_solve(m, model.item_factors, model.alpha, model.lam)
+  got = np.asarray(model._solve_side(m, model.item_factors), np.float64)
+  np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_ials_constant_reg_matches_numpy():
+  m = _binary_matrix(seed=3)
+  model = IALS(embedding_size=5, alpha=5.0, lam=0.3, sweeps=2,
+               reg_scaling='none', seed=2)
+  model.fit(m)
+  ref = _numpy_user_solve(m, model.item_factors, model.alpha, model.lam,
+                          reg_scaling='none')
+  got = np.asarray(model._solve_side(m, model.item_factors), np.float64)
+  np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_ials_objective_decreases_monotonically():
+  """ALS on the exact objective is monotone by construction; the
+  per-sweep objective (host f64 diagnostic) must never increase."""
+  m = _binary_matrix(users=60, items=30, seed=4)
+  objs = []
+  model = IALS(embedding_size=8, alpha=10.0, lam=0.01, sweeps=5, seed=0)
+  model.fit(m, callback=lambda s: objs.append(model.objective(m)))
+  assert len(objs) == 5
+  for a, b in zip(objs, objs[1:]):
+    assert b <= a + 1e-8, objs
+
+
+def test_ials_fold_in_reproduces_trained_users():
+  """fit() ends with a user half-sweep against the final item factors,
+  so fold-in on a training history is the SAME solve — bit-exact."""
+  m = _binary_matrix(seed=5)
+  model = IALS(embedding_size=6, alpha=10.0, lam=0.05, sweeps=3, seed=1)
+  model.fit(m)
+  ui = UsersInteractions(users=np.arange(m.shape[0]),
+                         interactions_matrix=m)
+  np.testing.assert_array_equal(np.asarray(model.fold_in(ui)),
+                                np.asarray(model.user_factors))
+
+
+def test_ials_recommend_excludes_seen_and_trims():
+  m = _binary_matrix(seed=6)
+  # user 0 has seen every item but two: a top-5 request must trim to
+  # the two unseen instead of recommending watched items
+  md = np.asarray(m.todense())
+  md[0, :] = 1.0
+  md[0, [3, 7]] = 0.0
+  m = csr_matrix(md)
+  model = IALS(embedding_size=6, alpha=10.0, lam=0.05, sweeps=3,
+               seed=1).fit(m)
+  ui = UsersInteractions(users=np.arange(m.shape[0]),
+                         interactions_matrix=m)
+  recs = model.recommend(ui, 5)
+  assert sorted(int(i) for i in recs[0]) == [3, 7]
+  for u, r in enumerate(recs):
+    assert not md[u, list(map(int, r))].any(), (u, r)
+    assert len(set(map(int, r))) == len(r)
+
+
+def test_ials_empty_user_gets_zero_factor():
+  md = np.asarray(_binary_matrix(seed=7).todense())
+  md[2, :] = 0.0
+  m = csr_matrix(md)
+  model = IALS(embedding_size=6, alpha=10.0, lam=0.05, sweeps=2,
+               seed=1).fit(m)
+  np.testing.assert_array_equal(np.asarray(model.user_factors[2]), 0.0)
+  # recommend still works for the empty user (all items unseen)
+  ui = UsersInteractions(users=np.arange(m.shape[0]),
+                         interactions_matrix=m)
+  assert len(model.recommend(ui, 5)[2]) == 5
+
+
+def test_ials_chunk_ladder_is_shape_invariant():
+  """The greedy (B, L) power-of-two chunking must give the same
+  factors at any element budget (only compile bucketing changes)."""
+  rng = np.random.default_rng(8)
+  # heavy-tailed nnz so budgets force multiple (B, L) buckets
+  md = (rng.random((50, 30)) < 0.1).astype(np.float32)
+  md[:3, :] = (rng.random((3, 30)) < 0.9).astype(np.float32)
+  m = csr_matrix(md)
+  model = IALS(embedding_size=4, alpha=10.0, lam=0.05, sweeps=1, seed=1)
+  model.fit(m)
+  big = np.asarray(model._solve_side(m, model.item_factors,
+                                     chunk_elems=1 << 20))
+  small = np.asarray(model._solve_side(m, model.item_factors,
+                                       chunk_elems=64))
+  np.testing.assert_allclose(big, small, atol=1e-6)
+
+
+def test_ials_rejects_oversized_row():
+  m = _binary_matrix(users=4, items=20, density=1.0)
+  model = IALS(embedding_size=4, sweeps=1)
+  with pytest.raises(ValueError, match='chunk_elems'):
+    model.fit(m, chunk_elems=16)
+
+
+def test_ials_rejects_unknown_reg_scaling():
+  with pytest.raises(ValueError, match='reg_scaling'):
+    IALS(reg_scaling='bogus')
+
+
+def test_ials_predict_rejects_wrong_width():
+  m = _binary_matrix()
+  model = IALS(embedding_size=4, sweeps=1).fit(m)
+  bad = UsersInteractions(users=np.arange(2),
+                          interactions_matrix=_binary_matrix(2, 7))
+  with pytest.raises(ValueError, match='items'):
+    model.predict(bad)
+
+
+def test_ials_save_load_roundtrip(tmp_path):
+  m = _binary_matrix(seed=9)
+  model = IALS(embedding_size=6, alpha=7.0, lam=0.02, sweeps=2,
+               reg_scaling='none', seed=3).fit(m)
+  path = model.save(str(tmp_path / 'ials.model'))
+  loaded = IALS().load(path)
+  assert loaded.embedding_size == 6
+  assert loaded.alpha == 7.0
+  assert loaded.reg_scaling == 'none'
+  ui = UsersInteractions(users=np.arange(m.shape[0]),
+                         interactions_matrix=m)
+  for a, b in zip(model.recommend(ui, 5), loaded.recommend(ui, 5)):
+    np.testing.assert_array_equal(a, b)
+
+  from recoder_tpu.checkpoint import save_checkpoint
+  other = str(tmp_path / 'other.model')
+  save_checkpoint(other, {'x': np.arange(3)}, {'model': 'ease'})
+  with pytest.raises(ValueError, match='not an iALS checkpoint'):
+    IALS().load(other)
+
+
+@pytest.mark.slow
+def test_ials_fixture_quality():
+  """Quality floor on the real fixture through the standard evaluator
+  stack. Measured 2026-08-19 (19-config sweep, CPU backend): the
+  fixture's 118k-nnz sparsity makes CAPACITY the binding regularizer —
+  quality rises monotonically as d shrinks from 256 (0.0441 Recall@20)
+  to the elbow at d=4 (**0.0874 Recall@20 / 0.1310 NDCG@100**), with
+  alpha/lam nearly flat. That beats EASE's fixture numbers
+  (0.0671/0.1027, test_ease.py) while the SGD autoencoder still wins
+  (0.1417/0.1684) — at real ML-20M density the ordering inverts and
+  iALS d>=128 is the strong baseline (Rendle'21 table 1); full sweep
+  table in docs/benchmarks.md."""
+  import pandas as pd
+
+  from recoder_tpu.metrics import NDCG, Recall, RecommenderEvaluator
+  from recoder_tpu.recommender import InferenceRecommender
+  from recoder_tpu.utils import dataframe_to_csr_matrix
+
+  train_df = pd.read_csv('tests/data/train.csv.gz')
+  val_df = pd.read_csv('tests/data/val.csv.gz')
+  train_m, imap, umap = dataframe_to_csr_matrix(train_df, 'uid', 'sid',
+                                                'watched')
+  val_m, _, _ = dataframe_to_csr_matrix(val_df, 'uid', 'sid', 'watched',
+                                        item_id_map=imap, user_id_map=umap)
+  model = IALS(embedding_size=4, alpha=30.0, lam=0.01, sweeps=8,
+               seed=0).fit(train_m)
+  ev = RecommenderEvaluator(InferenceRecommender(model, 100),
+                            [Recall(k=20), NDCG(k=100)])
+  res = ev.evaluate(RecommendationDataset(val_m, train_m), batch_size=500)
+  means = {str(k): float(np.mean(v)) for k, v in res.items()}
+  assert means['Recall@20'] > 0.080, means
+  assert means['NDCG@100'] > 0.120, means
