@@ -34,6 +34,9 @@ def main():
                   help='custom user count (default: ML-20M 116,677)')
   ap.add_argument('--items', type=int, default=0,
                   help='custom catalog width (default: ML-20M 20,108)')
+  ap.add_argument('--mean-items', type=int, default=0,
+                  help='mean interactions per user for custom shapes '
+                       '(default: ML-20M 86; MSD is 59)')
   args = ap.parse_args()
 
   from recoder_tpu.models import IALS
@@ -41,7 +44,9 @@ def main():
   if args.users or args.items:
     from bench import MEAN_ITEMS_PER_USER, NUM_ITEMS, NUM_USERS, synthesize
     matrix = synthesize(args.users or NUM_USERS,
-                        args.items or NUM_ITEMS, MEAN_ITEMS_PER_USER)
+                        args.items or NUM_ITEMS,
+                        args.mean_items or MEAN_ITEMS_PER_USER,
+                        mean_factor=0.68 if args.mean_items else 0.683)
   else:
     matrix = synthesize_ml20m()
   log(f'iALS[{args.d}] fit over {matrix.shape[0]}x{matrix.shape[1]}, '
@@ -72,7 +77,8 @@ def main():
       f'{per_sweep[0]:.2f}s, median warm sweep {warm and round(warm, 2)}s')
 
   out = {
-      'metric': 'ials_ml20m_fit_seconds',
+      'metric': ('ials_ml20m_fit_seconds' if not (args.users or args.items)
+                 else f'ials_{matrix.shape[0]}x{matrix.shape[1]}_fit_seconds'),
       'value': round(t_fit, 2), 'unit': 's',
       'd': args.d, 'alpha': args.alpha, 'lam': args.lam,
       'sweeps': args.sweeps,
