@@ -153,8 +153,9 @@ def cmd_train(cfg):
     mesh_model = (cfg.get('trainer', {}).get('mesh_model', 0)
                   or model_cfg.pop('mesh_model', 0))
     model_cfg.pop('mesh_model', None)
-    if mesh_model and kind == 'ease':
-      # past-one-chip catalogs: row-shard the solve over 'model'
+    if mesh_model:
+      # ease: past-one-chip catalogs, row-shard the solve over 'model';
+      # ials: shard the row solves over every mesh device
       from recoder_tpu.parallel import MeshConfig, make_mesh
       fit_kw['mesh'] = make_mesh(MeshConfig(model=mesh_model))
     train_cfg = dict(cfg.get('train', {}))

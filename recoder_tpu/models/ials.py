@@ -55,6 +55,8 @@ top-ks — the same contract as :class:`recoder_tpu.model.Recoder` and
 (InferenceRecommender + RecommenderEvaluator) applies unchanged.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -124,6 +126,35 @@ def _gram(factors):
                     precision=jax.lax.Precision.HIGHEST)
 
 
+@functools.lru_cache(maxsize=4)
+def _mesh_solve_into(mesh):
+  """Per-mesh jitted :func:`_solve_rows_into` for the sharded fit.
+
+  The batched row solves are embarrassingly parallel over the chunk
+  batch axis: every per-row reduction (the ``l`` einsum axis, the
+  d x d Cholesky) stays within a row, so sharding B over ALL mesh
+  devices partitions the compute without changing any per-row
+  arithmetic — mesh and single-device fits are numerically identical
+  (gate: tests/test_ials.py::test_ials_mesh_fit_matches_single).
+  The opposite-side factors and the shared Gram are replicated (they
+  are the [n, d] / [d, d] broadcasts every row needs); the scatter of
+  the chunk's [B, d] solutions into the replicated result is the only
+  cross-device traffic XLA inserts (~one all-gather of the factor
+  matrix per half-sweep, which rides ICI).
+
+  ``lru_cache`` keyed on the (hashable) mesh: a closure jitted per
+  fit() would recompile every call; bounded so catalog-width sweeps
+  cannot accumulate executables (same pitfall as ease.py's caches).
+  """
+  rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+  def solve_into(out, factors_pad, gram, rows, cols, vals, alpha, reg):
+    x = _solve_rows(factors_pad, gram, cols, vals, alpha, reg)
+    return out.at[rows].set(x, mode='drop')
+
+  return jax.jit(solve_into, out_shardings=rep)
+
+
 class IALS:
   """Implicit-feedback weighted matrix factorization via ALS.
 
@@ -169,7 +200,7 @@ class IALS:
   # -- training ----------------------------------------------------------
 
   def fit(self, train_matrix, sweeps=None, chunk_elems=1 << 21,
-          callback=None):
+          callback=None, mesh=None):
     """Alternating exact solves from a ``scipy.sparse`` [users, items]
     matrix of raw interaction values (binary or counts).
 
@@ -182,8 +213,17 @@ class IALS:
         ~``chunk_elems * d * 8`` bytes — ~2 GiB at d=128). The
         RESIDENT cost of the cached chunk plans is ~8 bytes per padded
         nnz per side (~160 MB at ML-20M), independent of this budget.
+        Under a mesh both costs divide by the device count (each
+        device holds its batch shard).
       callback: optional ``f(sweep)`` called after each sweep (for
         per-sweep eval hooks).
+      mesh: optional ``jax.sharding.Mesh`` (single-controller; all
+        devices addressable). The row solves shard over EVERY mesh
+        device along the chunk batch axis — iALS parallelism is over
+        rows, so both mesh axes contribute — with the opposite-side
+        factors replicated. Numerically identical to the
+        single-device fit (the per-row reductions are not sharded);
+        equality is gate-tested on the virtual 8-device CPU mesh.
     """
     import scipy.sparse as sp
 
@@ -203,17 +243,20 @@ class IALS:
     item_f = jnp.asarray(
         rng.standard_normal((n_items, d)).astype(np.float32)
         * (self.init_scale / np.sqrt(d)))
-    user_f = jnp.zeros((n_users, d), jnp.float32)
+    if mesh is not None:
+      item_f = jax.device_put(
+          item_f,
+          jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
 
     # chunk plans are epoch-invariant: build + ship once, every sweep
     # runs off the resident device tensors (measured 4.5x per warm
     # sweep at ML-20M scale on one v5e, 17.7 -> 3.96 s — the streamed
     # path re-paid host staging + transfers per sweep)
-    user_plan = self._chunk_plan(m, chunk_elems)
-    item_plan = self._chunk_plan(m.T.tocsr(), chunk_elems)
+    user_plan = self._chunk_plan(m, chunk_elems, mesh=mesh)
+    item_plan = self._chunk_plan(m.T.tocsr(), chunk_elems, mesh=mesh)
     for sweep in range(sweeps):
-      user_f = self._solve_side(None, item_f, plan=user_plan)
-      item_f = self._solve_side(None, user_f, plan=item_plan)
+      user_f = self._solve_side(None, item_f, plan=user_plan, mesh=mesh)
+      item_f = self._solve_side(None, user_f, plan=item_plan, mesh=mesh)
       if callback is not None:
         self.user_factors, self.item_factors = user_f, item_f
         callback(sweep)
@@ -221,11 +264,12 @@ class IALS:
     # FINAL item factors (so fold_in on a training user's history
     # reproduces their stored factor bit-for-bit, and U @ V^T scores
     # use a consistent pair)
-    self.user_factors = self._solve_side(None, item_f, plan=user_plan)
+    self.user_factors = self._solve_side(None, item_f, plan=user_plan,
+                                         mesh=mesh)
     self.item_factors = item_f
     return self
 
-  def _chunk_plan(self, csr, chunk_elems=1 << 21):
+  def _chunk_plan(self, csr, chunk_elems=1 << 21, mesh=None):
     """Epoch-invariant padded chunk tensors for :meth:`_solve_side`.
 
     The chunk structure depends only on the CSR — NOT on the factors —
@@ -246,6 +290,16 @@ class IALS:
     """
     n_rows, n = csr.shape
     d = self.embedding_size
+    if mesh is None:
+      shard_b = shard_bl = None
+    else:
+      # shard the batch axis over EVERY mesh device (iALS parallelism
+      # is over rows; both mesh axes contribute ways)
+      axes = tuple(mesh.axis_names)
+      shard_b = jax.sharding.NamedSharding(
+          mesh, jax.sharding.PartitionSpec(axes))
+      shard_bl = jax.sharding.NamedSharding(
+          mesh, jax.sharding.PartitionSpec(axes, None))
     nnz = np.diff(csr.indptr).astype(np.int64)
     order = np.argsort(-nnz, kind='stable')
     chunks = []
@@ -261,6 +315,11 @@ class IALS:
       # [B, d, d]: bound B by BOTH so neither exceeds the budget
       B = max(1, min(_pow2_floor(chunk_elems // L),
                      _pow2_floor(chunk_elems // d)))
+      if mesh is not None and B % mesh.size:
+        # every device needs an equal batch shard; B is a power of two
+        # so this only triggers for tail chunks smaller than the mesh
+        # (the pad rows scatter out of bounds and drop)
+        B = -(-B // mesh.size) * mesh.size
       rows = order[i:i + B]
       i += len(rows)
 
@@ -285,32 +344,48 @@ class IALS:
       rows_pad = np.full(B, n_rows, np.int32)
       rows_pad[:len(rows)] = rows
 
-      chunks.append({'rows': jnp.asarray(rows_pad),
-                     'cols': jnp.asarray(cols),
-                     'vals': jnp.asarray(vals),
-                     'reg': jnp.asarray(reg)})
+      if shard_b is None:
+        chunks.append({'rows': jnp.asarray(rows_pad),
+                       'cols': jnp.asarray(cols),
+                       'vals': jnp.asarray(vals),
+                       'reg': jnp.asarray(reg)})
+      else:
+        chunks.append({'rows': jax.device_put(rows_pad, shard_b),
+                       'cols': jax.device_put(cols, shard_bl),
+                       'vals': jax.device_put(vals, shard_bl),
+                       'reg': jax.device_put(reg, shard_b)})
     return {'chunks': chunks, 'n_rows': n_rows}
 
-  def _solve_side(self, csr, factors, chunk_elems=1 << 21, plan=None):
+  def _solve_side(self, csr, factors, chunk_elems=1 << 21, plan=None,
+                  mesh=None):
     """Solve every row of ``csr`` against the opposite-side
     ``factors``; returns the new [rows, d] factor matrix (device).
 
     With ``plan`` (a cached :meth:`_chunk_plan`), ``csr`` is ignored
     and the whole solve runs off resident device tensors — per-chunk
     batched solves scattering into the result on device, no host
-    round trips inside a sweep.
+    round trips inside a sweep. With ``mesh`` (plan must have been
+    built with the same mesh) the solves shard over the chunk batch
+    axis; see :func:`_mesh_solve_into`.
     """
     if plan is None:
-      plan = self._chunk_plan(csr, chunk_elems)
+      plan = self._chunk_plan(csr, chunk_elems, mesh=mesh)
     d = factors.shape[1]
     factors_pad = jnp.concatenate(
         [factors, jnp.zeros((1, d), factors.dtype)], axis=0)
     gram = _gram(factors)
     alpha = jnp.float32(self.alpha)
     out = jnp.zeros((plan['n_rows'], d), jnp.float32)
+    solve_into = _solve_rows_into
+    if mesh is not None:
+      rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+      factors_pad = jax.device_put(factors_pad, rep)
+      gram = jax.device_put(gram, rep)
+      out = jax.device_put(out, rep)
+      solve_into = _mesh_solve_into(mesh)
     for c in plan['chunks']:
-      out = _solve_rows_into(out, factors_pad, gram, c['rows'],
-                             c['cols'], c['vals'], alpha, c['reg'])
+      out = solve_into(out, factors_pad, gram, c['rows'],
+                       c['cols'], c['vals'], alpha, c['reg'])
     return out
 
   def objective(self, train_matrix):

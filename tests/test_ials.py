@@ -133,6 +133,49 @@ def test_ials_chunk_ladder_is_shape_invariant():
   np.testing.assert_allclose(big, small, atol=1e-6)
 
 
+def test_ials_mesh_fit_matches_single():
+  """fit(mesh=...) shards the row solves over every mesh device; the
+  per-row reductions are not sharded, so mesh and single-device fits
+  are numerically identical (and so is everything downstream)."""
+  from recoder_tpu.parallel import MeshConfig, make_mesh
+
+  m = _binary_matrix(users=50, items=30, seed=5)
+  kw = dict(embedding_size=6, alpha=8.0, lam=0.05, sweeps=3, seed=4)
+  ref = IALS(**kw).fit(m)
+  mesh = make_mesh(MeshConfig(data=4, model=2))
+  got = IALS(**kw).fit(m, mesh=mesh)
+  np.testing.assert_allclose(np.asarray(got.user_factors),
+                             np.asarray(ref.user_factors),
+                             rtol=1e-6, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(got.item_factors),
+                             np.asarray(ref.item_factors),
+                             rtol=1e-6, atol=1e-6)
+  # serving off the mesh-fitted factors: same recommendations
+  ui = UsersInteractions(users=np.arange(m.shape[0]),
+                         interactions_matrix=m)
+  for a, b in zip(ref.recommend(ui, 5), got.recommend(ui, 5)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ials_mesh_pads_chunks_smaller_than_mesh():
+  """Tail chunks with B < mesh.size must pad the batch axis up to an
+  equal per-device shard (pad rows carry zero weights and scatter out
+  of bounds), not crash or skew results."""
+  from recoder_tpu.parallel import MeshConfig, make_mesh
+
+  m = _binary_matrix(users=5, items=7, density=0.5, seed=9)
+  kw = dict(embedding_size=4, alpha=10.0, lam=0.05, sweeps=2, seed=1)
+  mesh = make_mesh(MeshConfig(data=8, model=1))
+  model = IALS(**kw)
+  plan = model._chunk_plan(m.tocsr().astype(np.float32), mesh=mesh)
+  assert all(c['rows'].shape[0] % mesh.size == 0 for c in plan['chunks'])
+  ref = IALS(**kw).fit(m)
+  got = IALS(**kw).fit(m, mesh=mesh)
+  np.testing.assert_allclose(np.asarray(got.user_factors),
+                             np.asarray(ref.user_factors),
+                             rtol=1e-6, atol=1e-6)
+
+
 def test_ials_rejects_oversized_row():
   m = _binary_matrix(users=4, items=20, density=1.0)
   model = IALS(embedding_size=4, sweeps=1)
