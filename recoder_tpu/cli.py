@@ -143,7 +143,7 @@ def cmd_train(cfg):
     kind = _fit_model_kind(cfg)
     model_cfg = dict(cfg.get('model', {})); model_cfg.pop('type')
     if kind == 'ials':
-      fit_keys = ('sweeps', 'chunk_elems')
+      fit_keys = ('sweeps', 'chunk_elems', 'factor_sharding')
     else:
       fit_keys = ('gram', 'max_items', 'solve')
     fit_kw = {k: model_cfg.pop(k) for k in fit_keys if k in model_cfg}

@@ -73,17 +73,12 @@ def _pow2_floor(n):
   return 1 << max(0, int(np.floor(np.log2(max(1, int(n))))))
 
 
-# Module-level jitted solve: jax.jit caches per (B, L, d) shape bucket
-# (a closure jitted inside fit() would recompile on every call).
-@jax.jit
-def _solve_rows(factors_pad, gram, cols, vals, alpha, reg):
-  """Batched HKV row solve.
+def _solve_rows_from_slab(f, gram, valid, vals, alpha, reg):
+  """Batched HKV row solve from an already-gathered factor slab.
 
-  factors_pad: [n + 1, d] opposite-side factors with a trailing ZERO
-    row — pad slots gather it (cols == n), so they add nothing even
-    before the zero weights.
+  f: [B, L, d] per-row factor slabs (pad slots are ZERO rows).
   gram: [d, d] unregularized F^T F (shared across rows).
-  cols: [B, L] int32 padded column ids (pad = n).
+  valid: [B, L] 1.0 where the slot holds a real observation, 0.0 pad.
   vals: [B, L] f32 raw interaction values (pad 0).
   alpha: scalar confidence slope; the weights derive on device
     (w_a = alpha * vals, w_b = w_a + valid) so the resident chunk
@@ -92,11 +87,9 @@ def _solve_rows(factors_pad, gram, cols, vals, alpha, reg):
 
   Returns [B, d] solved factors.
   """
-  f = jnp.take(factors_pad, cols, axis=0)  # [B, L, d]
   d = f.shape[-1]
-  n = factors_pad.shape[0] - 1
   w_a = alpha * vals  # confidence minus one (pad slots: vals == 0)
-  w_b = w_a + (cols < n).astype(vals.dtype)  # full confidence
+  w_b = w_a + valid  # full confidence
   # A_b = G + sum_l w_a[b,l] f[b,l,:] f[b,l,:]^T + reg_b I  (SPD)
   a = gram[None] + jnp.einsum('bl,bld,ble->bde', w_a, f, f,
                               precision=jax.lax.Precision.HIGHEST)
@@ -108,6 +101,20 @@ def _solve_rows(factors_pad, gram, cols, vals, alpha, reg):
   x = jax.scipy.linalg.solve_triangular(
       chol, y, lower=True, trans=1)
   return x[..., 0]
+
+
+# Module-level jitted solve: jax.jit caches per (B, L, d) shape bucket
+# (a closure jitted inside fit() would recompile on every call).
+@jax.jit
+def _solve_rows(factors_pad, gram, cols, vals, alpha, reg):
+  """:func:`_solve_rows_from_slab` after gathering the slab from
+  [n + 1, d] opposite-side factors with a trailing ZERO row — pad
+  slots gather it (cols == n), so they add nothing even before the
+  zero weights."""
+  f = jnp.take(factors_pad, cols, axis=0)  # [B, L, d]
+  n = factors_pad.shape[0] - 1
+  valid = (cols < n).astype(vals.dtype)
+  return _solve_rows_from_slab(f, gram, valid, vals, alpha, reg)
 
 
 @jax.jit
@@ -124,6 +131,120 @@ def _solve_rows_into(out, factors_pad, gram, rows, cols, vals, alpha,
 def _gram(factors):
   return jnp.matmul(factors.T, factors,
                     precision=jax.lax.Precision.HIGHEST)
+
+
+def _sm(fn, mesh, in_specs, out_specs, checked=True):
+  try:
+    from jax import shard_map as sm
+  except ImportError:
+    from jax.experimental.shard_map import shard_map as sm
+  kw = {}
+  if not checked:
+    # the item solve writes all-gathered values into a replicated
+    # output — identical on every device, but the varying-mesh-axes
+    # checker cannot prove it (flag name differs across jax versions)
+    import inspect
+    params = inspect.signature(sm).parameters
+    kw['check_vma' if 'check_vma' in params else 'check_rep'] = False
+  return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
+
+
+@functools.lru_cache(maxsize=4)
+def _user_sharded_fns(mesh):
+  """shard_map'd half-sweep kernels for ``factor_sharding='users'``.
+
+  User factors live ROW-SHARDED over every mesh device ([N_pad, d],
+  N_pad a multiple of the device count, rows >= num_users zero) — the
+  lever for user counts whose [n, d] factor matrix outgrows one
+  chip's HBM. Item factors stay replicated (catalogs are the small
+  axis at factorization widths). The two half-sweeps differ in which
+  side they must fetch:
+
+  - user solve: gathers ITEM factors (replicated — plain local
+    ``take``), writes row-sharded output. Per chunk: each device
+    solves its batch shard, one [B, d] all-gather, owners scatter
+    their rows locally.
+  - item solve: gathers USER factors (row-sharded) with the same
+    owner-slice discipline as the training pipeline's 'data'-sharded
+    tables (data/device_pipeline.py `_row_fetch`: a GSPMD gather on
+    the sharded operand would all-gather the ENTIRE factor matrix).
+    Per chunk: all-gather the [B, L] column ids, every device
+    contributes its owned rows to the [B, L, d] partial slab, one
+    ``psum_scatter`` hands each device its own complete [B/D, L, d]
+    slab, then the local batched solve + [B, d] all-gather into the
+    replicated item output.
+
+  Per-row arithmetic is untouched, so results are numerically
+  identical to the single-device fit (gate-tested).
+  """
+  from jax.sharding import NamedSharding, PartitionSpec as P
+
+  axes = tuple(mesh.axis_names)
+  sizes = [mesh.shape[a] for a in axes]
+  rows_sharding = NamedSharding(mesh, P(axes, None))
+  rep = NamedSharding(mesh, P())
+
+  def flat_idx():
+    idx = jnp.int32(0)
+    for name, size in zip(axes, sizes):
+      idx = idx * size + jax.lax.axis_index(name)
+    return idx
+
+  def user_local(out_loc, item_f_pad, gram, rows, cols, vals, alpha, reg):
+    x = _solve_rows(item_f_pad, gram, cols, vals, alpha, reg)  # [b, d]
+    i = flat_idx()
+    per = out_loc.shape[0]
+    x_all = jax.lax.all_gather(x, axes, axis=0, tiled=True)
+    rows_all = jax.lax.all_gather(rows, axes, axis=0, tiled=True)
+    owner = rows_all // per
+    # non-owned rows redirect to the OOB index `per` and drop
+    loc = jnp.where(owner == i, rows_all - i * per, per)
+    return out_loc.at[loc].set(x_all, mode='drop')
+
+  def item_local(out_rep, user_f_loc, gram, rows, cols, vals, alpha,
+                 reg, nvalid):
+    i = flat_idx()
+    per = user_f_loc.shape[0]
+    cols_all = jax.lax.all_gather(cols, axes, axis=0, tiled=True)
+    owner = cols_all // per
+    mine = owner == i
+    loc = jnp.where(mine, cols_all - i * per, 0)
+    part = jnp.take(user_f_loc, loc, axis=0)  # [B, L, d] partial
+    part = jnp.where(mine[..., None], part, 0.0)
+    # each device receives ITS batch shard's complete slab (shard i of
+    # the all-gathered batch IS device i's local cols, so the scatter
+    # and the local vals/reg line up)
+    slab = jax.lax.psum_scatter(part, axes, scatter_dimension=0,
+                                tiled=True)  # [b, L, d]
+    valid = (cols < nvalid).astype(vals.dtype)
+    x = _solve_rows_from_slab(slab, gram, valid, vals, alpha, reg)
+    x_all = jax.lax.all_gather(x, axes, axis=0, tiled=True)
+    rows_all = jax.lax.all_gather(rows, axes, axis=0, tiled=True)
+    return out_rep.at[rows_all].set(x_all, mode='drop')
+
+  user_solve = jax.jit(_sm(
+      user_local, mesh,
+      in_specs=(P(axes, None), P(), P(), P(axes), P(axes, None),
+                P(axes, None), P(), P(axes)),
+      out_specs=P(axes, None)))
+  item_solve = jax.jit(_sm(
+      item_local, mesh,
+      in_specs=(P(), P(axes, None), P(), P(axes), P(axes, None),
+                P(axes, None), P(), P(axes), P()),
+      out_specs=P(), checked=False))
+  # Gram of the row-sharded user factors: contraction over the sharded
+  # dimension — GSPMD inserts the psum, output replicated. Padded zero
+  # rows contribute nothing.
+  gram = jax.jit(
+      lambda uf: jnp.matmul(uf.T, uf,
+                            precision=jax.lax.Precision.HIGHEST),
+      out_shardings=rep)
+  zeros = jax.jit(
+      lambda n, d: jnp.zeros((n, d), jnp.float32),
+      static_argnums=(0, 1), out_shardings=rows_sharding)
+  return {'user_solve': user_solve, 'item_solve': item_solve,
+          'gram': gram, 'zeros': zeros, 'rows_sharding': rows_sharding,
+          'rep': rep}
 
 
 @functools.lru_cache(maxsize=4)
@@ -194,13 +315,14 @@ class IALS:
     self.init_scale = float(init_scale)
     self.seed = int(seed)
     self.num_items = None
+    self.num_users = None
     self.user_factors = None  # [num_users, d] (training users)
     self.item_factors = None  # [num_items, d]
 
   # -- training ----------------------------------------------------------
 
   def fit(self, train_matrix, sweeps=None, chunk_elems=1 << 21,
-          callback=None, mesh=None):
+          callback=None, mesh=None, factor_sharding=None):
     """Alternating exact solves from a ``scipy.sparse`` [users, items]
     matrix of raw interaction values (binary or counts).
 
@@ -224,9 +346,20 @@ class IALS:
         factors replicated. Numerically identical to the
         single-device fit (the per-row reductions are not sharded);
         equality is gate-tested on the virtual 8-device CPU mesh.
+      factor_sharding (None | 'users'): 'users' additionally stores
+        the USER factors row-sharded over the mesh (requires
+        ``mesh``) — the lever for user counts whose [n, d] factor
+        matrix outgrows one chip's HBM. Item factors stay replicated.
+        Numerically identical too (see :func:`_user_sharded_fns`);
+        ``user_factors`` then carries zero pad rows up to a multiple
+        of the device count (``save``/``objective`` trim them).
     """
     import scipy.sparse as sp
 
+    if factor_sharding not in (None, 'users'):
+      raise ValueError(f'unknown factor_sharding {factor_sharding!r}')
+    if factor_sharding == 'users' and mesh is None:
+      raise ValueError("factor_sharding='users' requires a mesh")
     m = sp.csr_matrix(train_matrix, copy=True).astype(np.float32)
     m.eliminate_zeros()  # an explicit zero is NOT an observation
     if m.nnz and m.data.min() < 0:
@@ -234,8 +367,12 @@ class IALS:
                        'non-negative interaction values')
     n_users, n_items = m.shape
     self.num_items = n_items
+    self.num_users = n_users
     d = self.embedding_size
     sweeps = self.sweeps if sweeps is None else int(sweeps)
+    if factor_sharding == 'users':
+      return self._fit_users_sharded(m, sweeps, chunk_elems, callback,
+                                     mesh)
 
     rng = np.random.default_rng(self.seed)
     # users start at zero: the first user solve is then EXACT given the
@@ -266,6 +403,59 @@ class IALS:
     # use a consistent pair)
     self.user_factors = self._solve_side(None, item_f, plan=user_plan,
                                          mesh=mesh)
+    self.item_factors = item_f
+    return self
+
+  def _fit_users_sharded(self, m, sweeps, chunk_elems, callback, mesh):
+    """The ``factor_sharding='users'`` fit loop: user factors
+    row-sharded [N_pad, d] over every mesh device, item factors
+    replicated; half-sweep kernels in :func:`_user_sharded_fns`."""
+    n_users, n_items = m.shape
+    d = self.embedding_size
+    D = mesh.size
+    fns = _user_sharded_fns(mesh)
+    # +1: the sentinel row (id == n_users) must exist and stay zero;
+    # then pad to an equal per-device shard
+    n_pad = -(-(n_users + 1) // D) * D
+
+    rng = np.random.default_rng(self.seed)
+    item_f = jax.device_put(
+        jnp.asarray(rng.standard_normal((n_items, d)).astype(np.float32)
+                    * (self.init_scale / np.sqrt(d))), fns['rep'])
+    user_plan = self._chunk_plan(m, chunk_elems, mesh=mesh)
+    item_plan = self._chunk_plan(m.T.tocsr(), chunk_elems, mesh=mesh)
+    alpha = jnp.float32(self.alpha)
+    nvalid = jnp.int32(n_users)
+
+    def user_half(item_f):
+      item_f_pad = jax.device_put(
+          jnp.concatenate([item_f, jnp.zeros((1, d), item_f.dtype)], 0),
+          fns['rep'])
+      gram_i = _gram(item_f)
+      out = fns['zeros'](n_pad, d)
+      for c in user_plan['chunks']:
+        out = fns['user_solve'](out, item_f_pad, gram_i, c['rows'],
+                                c['cols'], c['vals'], alpha, c['reg'])
+      return out
+
+    def item_half(user_f):
+      gram_u = fns['gram'](user_f)
+      out = jax.device_put(jnp.zeros((n_items, d), jnp.float32),
+                           fns['rep'])
+      for c in item_plan['chunks']:
+        out = fns['item_solve'](out, user_f, gram_u, c['rows'],
+                                c['cols'], c['vals'], alpha, c['reg'],
+                                nvalid)
+      return out
+
+    for sweep in range(sweeps):
+      user_f = user_half(item_f)
+      item_f = item_half(user_f)
+      if callback is not None:
+        self.user_factors, self.item_factors = user_f, item_f
+        callback(sweep)
+    # final user half-sweep, same contract as the replicated fit
+    self.user_factors = user_half(item_f)  # [n_pad, d] row-sharded
     self.item_factors = item_f
     return self
 
@@ -394,9 +584,10 @@ class IALS:
     import scipy.sparse as sp
 
     assert self.item_factors is not None, 'call fit() first'
-    u = np.asarray(self.user_factors, np.float64)
-    v = np.asarray(self.item_factors, np.float64)
     m = sp.csr_matrix(train_matrix).astype(np.float64)
+    # [:n_users] trims the factor_sharding='users' zero pad rows
+    u = np.asarray(self.user_factors, np.float64)[:m.shape[0]]
+    v = np.asarray(self.item_factors, np.float64)
 
     # sum over ALL pairs of 1 * (0 - x.y)^2 = tr(U^T U V^T V), then
     # correct the observed cells from 1*(x.y)^2 to c*(1 - x.y)^2
@@ -467,9 +658,12 @@ class IALS:
     """Write fitted factors + hyperparameters to ``path`` (npz,
     crash-safe atomic swap like every other checkpoint here)."""
     assert self.item_factors is not None, 'nothing to save: fit() first'
+    n = self.num_users or self.user_factors.shape[0]
     save_checkpoint(
         path,
-        {'user_factors': np.asarray(self.user_factors),
+        # [:n] trims the factor_sharding='users' zero pad rows, so the
+        # checkpoint format is identical across fit modes
+        {'user_factors': np.asarray(self.user_factors)[:n],
          'item_factors': np.asarray(self.item_factors)},
         {'model': 'ials', 'embedding_size': self.embedding_size,
          'alpha': self.alpha, 'lam': self.lam, 'sweeps': self.sweeps,
@@ -490,4 +684,5 @@ class IALS:
     self.num_items = int(meta['num_items'])
     self.user_factors = jnp.asarray(arrays['user_factors'])
     self.item_factors = jnp.asarray(arrays['item_factors'])
+    self.num_users = int(self.user_factors.shape[0])
     return self

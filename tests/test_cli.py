@@ -375,3 +375,32 @@ def test_cli_ials_train_evaluate_recommend(workspace, capsys):
   recs = pd.read_csv(out_csv)
   assert recs.uid.nunique() == 60
   assert recs.groupby('uid')['rank'].max().eq(5).all()
+
+
+def test_cli_ials_factor_sharding_users(workspace, capsys):
+  """model.factor_sharding='users' + trainer.mesh_model plumb through
+  cmd_train to fit(mesh=..., factor_sharding='users'); the saved
+  checkpoint trims the shard padding (identical format across
+  modes)."""
+  import json as _json
+
+  from recoder_tpu.models import IALS
+
+  tmp_path, _ = workspace
+  cfg = _json.loads((tmp_path / 'run.json').read_text())
+  cfg['model'] = {'type': 'ials', 'embedding_size': 8, 'alpha': 10.0,
+                  'lam': 0.01, 'sweeps': 2,
+                  'factor_sharding': 'users'}
+  cfg['trainer'] = {'mesh_model': 2}
+  cfg['train'] = {'model_checkpoint_prefix': str(tmp_path / 'ials_us'),
+                  'metrics': ['recall@10']}
+  cfg_path = tmp_path / 'ials_us.json'
+  cfg_path.write_text(_json.dumps(cfg))
+
+  _run_cli(['train', '--config', str(cfg_path)])
+  out = capsys.readouterr().out
+  assert 'Recall@10' in out
+  ckpt = str(tmp_path / 'ials_us.model')
+  model = IALS().load(ckpt)
+  # pad rows trimmed: exactly the 60 fixture users, no shard padding
+  assert model.user_factors.shape == (60, 8)

@@ -176,6 +176,62 @@ def test_ials_mesh_pads_chunks_smaller_than_mesh():
                              rtol=1e-6, atol=1e-6)
 
 
+def test_ials_users_sharded_fit_matches_single(tmp_path):
+  """factor_sharding='users' stores the user factors row-sharded over
+  the mesh (the >HBM-user-count lever); numerically identical to the
+  single-device fit, pad rows zero, checkpoints trim the padding."""
+  from jax.sharding import PartitionSpec as P
+
+  from recoder_tpu.parallel import MeshConfig, make_mesh
+
+  m = _binary_matrix(users=50, items=30, seed=5)
+  kw = dict(embedding_size=6, alpha=8.0, lam=0.05, sweeps=3, seed=4)
+  ref = IALS(**kw).fit(m)
+  mesh = make_mesh(MeshConfig(data=4, model=2))
+  got = IALS(**kw).fit(m, mesh=mesh, factor_sharding='users')
+
+  # residency: row-sharded over all 8 devices, (50+1) padded to 56
+  uf = got.user_factors
+  assert uf.shape == (56, 6)
+  assert uf.sharding.spec == P(('data', 'model'), None), uf.sharding
+  assert {s.data.shape for s in uf.addressable_shards} == {(7, 6)}
+
+  # tolerance: the row-sharded Gram is a psum of per-device partial
+  # grams — a different f32 reduction order than one matmul — so the
+  # gram-dependent solves match to ~1e-6 relative, not bitwise (the
+  # batch-sharded mesh fit above IS exact because its gram replicates)
+  u = np.asarray(uf)
+  np.testing.assert_allclose(u[:50], np.asarray(ref.user_factors),
+                             rtol=1e-5, atol=1e-6)
+  assert not u[50:].any()  # sentinel + pad rows stay zero
+  np.testing.assert_allclose(np.asarray(got.item_factors),
+                             np.asarray(ref.item_factors),
+                             rtol=1e-5, atol=1e-6)
+
+  # objective trims the pad rows; identical to the replicated fit's
+  assert np.isclose(got.objective(m), ref.objective(m), rtol=1e-6)
+
+  # checkpoint format is identical across fit modes (padding trimmed)
+  re = IALS().load(got.save(str(tmp_path / 'u.model')))
+  assert re.user_factors.shape == (50, 6)
+  np.testing.assert_allclose(np.asarray(re.user_factors), u[:50],
+                             rtol=0, atol=0)
+
+  # serving (fold-in + replicated item factors) unchanged
+  ui = UsersInteractions(users=np.arange(m.shape[0]),
+                         interactions_matrix=m)
+  for a, b in zip(ref.recommend(ui, 5), got.recommend(ui, 5)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ials_users_sharded_requires_mesh():
+  m = _binary_matrix()
+  with pytest.raises(ValueError, match='requires a mesh'):
+    IALS(embedding_size=4).fit(m, factor_sharding='users')
+  with pytest.raises(ValueError, match='unknown factor_sharding'):
+    IALS(embedding_size=4).fit(m, factor_sharding='items')
+
+
 def test_ials_rejects_oversized_row():
   m = _binary_matrix(users=4, items=20, density=1.0)
   model = IALS(embedding_size=4, sweeps=1)

@@ -57,6 +57,12 @@ def main():
   ap.add_argument('--check-users', type=int, default=40,
                   help='sampled users for the independent numpy '
                        'cross-check')
+  ap.add_argument('--factor-sharding', choices=['none', 'users'],
+                  default='none',
+                  help="'users' stores the user factors ROW-SHARDED "
+                       "over the mesh (the >HBM-user-count lever) and "
+                       "additionally asserts their per-device "
+                       "residency")
   args = ap.parse_args()
 
   # same virtual-device + collective-timeout setup as
@@ -104,13 +110,28 @@ def main():
       f'{total_b / 2**20:.1f} MiB total -> '
       f'{per_dev_b / 2**20:.1f} MiB/device (= total/{N_DEV})')
 
+  fs = None if args.factor_sharding == 'none' else args.factor_sharding
   log(f'sharded iALS[{args.d}] fit over {users}x{items}, nnz={m.nnz}, '
-      f'{args.sweeps} sweep(s) on {mesh} ...')
+      f'{args.sweeps} sweep(s), factor_sharding={fs} on {mesh} ...')
   t0 = time.time()
-  model.fit(m, mesh=mesh)
+  model.fit(m, mesh=mesh, factor_sharding=fs)
   np.asarray(model.user_factors[0, 0])  # host fetch = the real sync
   fit_s = time.time() - t0
   log(f'fit done in {fit_s:.1f}s (VIRTUAL: 8 shards timeshare one core)')
+
+  uf_mib_per_device = None
+  if fs == 'users':
+    # user factors row-sharded: equal per-device shards covering the
+    # padded [n_pad, d]; no device materializes the full matrix
+    uf = model.user_factors
+    n_pad = -(-(users + 1) // N_DEV) * N_DEV
+    assert uf.shape == (n_pad, args.d), uf.shape
+    shapes = {s.data.shape for s in uf.addressable_shards}
+    assert shapes == {(n_pad // N_DEV, args.d)}, shapes
+    uf_mib_per_device = uf.nbytes / N_DEV / 2**20
+    log(f'user-factor residency ok: {N_DEV} shards of '
+        f'[{n_pad // N_DEV}, {args.d}] = {uf_mib_per_device:.1f} '
+        f'MiB/device (full matrix {uf.nbytes / 2**20:.1f} MiB)')
 
   # independent per-row cross-check: exact f64 normal equations for
   # sampled users against the fitted item factors (the final stored
@@ -144,7 +165,10 @@ def main():
       'plan_mib_per_device': round(per_dev_b / 2**20, 1),
       'crosscheck_users': len(sample),
       'crosscheck_max_abs_err': worst,
+      'factor_sharding': fs,
   }
+  if uf_mib_per_device is not None:
+    out['user_factor_mib_per_device'] = round(uf_mib_per_device, 1)
   print(json.dumps(out), flush=True)
 
 
