@@ -187,6 +187,7 @@ class DeviceDataSource:
     self.d_slab = None
     self._slab_width = None
     self._slab_packed = False
+    self._slab_request = None  # the request that established the cache
     if binary:
       self._vals_all_nonzero = True
       self._vals_bf16_exact = True
@@ -609,8 +610,13 @@ class DeviceDataSource:
       self.d_slab = None
       self._slab_width = None
       self._slab_packed = False
+      self._slab_request = None
       return False
-    assert request in ('auto', True, 'packed'), request
+    if request not in ('auto', True, 'packed'):
+      raise ValueError(
+          f'slab_cache={request!r}: expected one of False (off), '
+          f"'auto' (budget-checked), True (force the dense tier) or "
+          f"'packed' (force the 1-bit tier, binary data only)")
     width = int(width)
     if self.d_slab is not None and self._slab_width == width:
       # reuse unless a forced request names the OTHER tier
@@ -650,7 +656,14 @@ class DeviceDataSource:
       self.d_slab = None
       self._slab_width = None
       self._slab_packed = False
+      self._slab_request = None
       return False
+    # free any prior slab BEFORE building its replacement: both tiers
+    # resident at once during a tier/width switch makes the build's
+    # OOM more likely, and the old cache is superseded either way
+    self.d_slab = None
+    self._slab_width = None
+    self._slab_packed = False
     try:
       if packed:
         slab = self._put(self._build_slab_cache_packed(width))
@@ -668,10 +681,12 @@ class DeviceDataSource:
       self.d_slab = None
       self._slab_width = None
       self._slab_packed = False
+      self._slab_request = None
       return False
     self.d_slab = slab
     self._slab_width = width
     self._slab_packed = packed
+    self._slab_request = request
     # per-epoch fd table states are superseded by the cache
     for k in [k for k in self._epoch_states if k[1]]:
       del self._epoch_states[k]

@@ -1601,7 +1601,11 @@ class Recoder:
     # fused step fns still referencing the old source, then re-request
     # on the new source below
     slab_width = fused_source._slab_width
-    slab_req = 'packed' if fused_source._slab_packed else 'auto'
+    # re-apply the request that ESTABLISHED the cache, not a guess:
+    # a user-forced slab_cache=True must stay forced across the
+    # rebuild (mapping it back to 'auto' would re-run the budget
+    # heuristic that the user explicitly overrode)
+    slab_req = fused_source._slab_request or 'auto'
     fused_source.maybe_cache_slabs(0, request=False)
     self._step_fns = {k: v for k, v in self._step_fns.items()
                       if k[0] != 'fused'}

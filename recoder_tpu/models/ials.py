@@ -117,14 +117,19 @@ def _solve_rows(factors_pad, gram, cols, vals, alpha, reg):
   return _solve_rows_from_slab(f, gram, valid, vals, alpha, reg)
 
 
-@jax.jit
-def _solve_rows_into(out, factors_pad, gram, rows, cols, vals, alpha,
-                     reg):
+def _solve_rows_into_impl(out, factors_pad, gram, rows, cols, vals,
+                          alpha, reg):
   """:func:`_solve_rows` + on-device scatter of the chunk's factors
   into the [n_rows, d] result (pad row ids >= n_rows drop), so a full
-  sweep never leaves the device."""
+  sweep never leaves the device. Single shared body: the module jit
+  below and the per-mesh jit in :func:`_mesh_solve_into` must stay
+  the same kernel or the two fit modes could silently diverge."""
   x = _solve_rows(factors_pad, gram, cols, vals, alpha, reg)
   return out.at[rows].set(x, mode='drop')
+
+
+# Module-level jitted solve: jax.jit caches per (B, L, d) shape bucket.
+_solve_rows_into = jax.jit(_solve_rows_into_impl)
 
 
 @jax.jit
@@ -168,11 +173,15 @@ def _user_sharded_fns(mesh):
     owner-slice discipline as the training pipeline's 'data'-sharded
     tables (data/device_pipeline.py `_row_fetch`: a GSPMD gather on
     the sharded operand would all-gather the ENTIRE factor matrix).
-    Per chunk: all-gather the [B, L] column ids, every device
-    contributes its owned rows to the [B, L, d] partial slab, one
-    ``psum_scatter`` hands each device its own complete [B/D, L, d]
-    slab, then the local batched solve + [B, d] all-gather into the
-    replicated item output.
+    Per chunk: each batch shard's ([b, L] ids, [b, L, d] slab) pair
+    rides a ``ppermute`` ring — every device adds its owned rows as
+    the pair visits, and after D hops the complete slab is home.
+    The transient working set is the LOCAL [b, L, d] slab (it
+    divides by the device count, matching fit()'s chunk_elems
+    contract — an all-gather + psum_scatter would materialize the
+    full [B, L, d] on every device), and the wire bytes equal one
+    reduce-scatter. Then the local batched solve + [B, d]
+    all-gather into the replicated item output.
 
   Per-row arithmetic is untouched, so results are numerically
   identical to the single-device fit (gate-tested).
@@ -201,21 +210,36 @@ def _user_sharded_fns(mesh):
     loc = jnp.where(owner == i, rows_all - i * per, per)
     return out_loc.at[loc].set(x_all, mode='drop')
 
+  n_dev = int(np.prod(sizes))
+  ring = [(s, (s + 1) % n_dev) for s in range(n_dev)]
+
   def item_local(out_rep, user_f_loc, gram, rows, cols, vals, alpha,
                  reg, nvalid):
     i = flat_idx()
     per = user_f_loc.shape[0]
-    cols_all = jax.lax.all_gather(cols, axes, axis=0, tiled=True)
-    owner = cols_all // per
-    mine = owner == i
-    loc = jnp.where(mine, cols_all - i * per, 0)
-    part = jnp.take(user_f_loc, loc, axis=0)  # [B, L, d] partial
-    part = jnp.where(mine[..., None], part, 0.0)
-    # each device receives ITS batch shard's complete slab (shard i of
-    # the all-gathered batch IS device i's local cols, so the scatter
-    # and the local vals/reg line up)
-    slab = jax.lax.psum_scatter(part, axes, scatter_dimension=0,
-                                tiled=True)  # [b, L, d]
+
+    def contrib(c):
+      owner = c // per
+      mine = owner == i
+      loc = jnp.where(mine, c - i * per, 0)
+      p = jnp.take(user_f_loc, loc, axis=0)  # [b, L, d]
+      return jnp.where(mine[..., None], p, 0.0)
+
+    # Ring reduce: each shard's ([b, L] ids, [b, L, d] slab) pair
+    # visits every device once (any single D-cycle works regardless
+    # of ppermute's axis linearization) and is home after D hops.
+    # Every [b, L] slot has exactly ONE owner, so the accumulation
+    # adds zeros elsewhere — bit-exact vs a monolithic gather. The
+    # transient stays the LOCAL [b, L, d] slab; an all-gather +
+    # psum_scatter would put the full [B, L, d] on every device,
+    # defeating the mode's per-device HBM contract.
+    c, slab = cols, contrib(cols)
+    for _ in range(n_dev - 1):
+      c = jax.lax.ppermute(c, axes, ring)
+      slab = jax.lax.ppermute(slab, axes, ring)
+      slab = slab + contrib(c)
+    if n_dev > 1:
+      slab = jax.lax.ppermute(slab, axes, ring)  # final hop home
     valid = (cols < nvalid).astype(vals.dtype)
     x = _solve_rows_from_slab(slab, gram, valid, vals, alpha, reg)
     x_all = jax.lax.all_gather(x, axes, axis=0, tiled=True)
@@ -268,12 +292,7 @@ def _mesh_solve_into(mesh):
   cannot accumulate executables (same pitfall as ease.py's caches).
   """
   rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-
-  def solve_into(out, factors_pad, gram, rows, cols, vals, alpha, reg):
-    x = _solve_rows(factors_pad, gram, cols, vals, alpha, reg)
-    return out.at[rows].set(x, mode='drop')
-
-  return jax.jit(solve_into, out_shardings=rep)
+  return jax.jit(_solve_rows_into_impl, out_shardings=rep)
 
 
 class IALS:
@@ -584,7 +603,11 @@ class IALS:
     import scipy.sparse as sp
 
     assert self.item_factors is not None, 'call fit() first'
-    m = sp.csr_matrix(train_matrix).astype(np.float64)
+    m = sp.csr_matrix(train_matrix, copy=True).astype(np.float64)
+    m.eliminate_zeros()  # same convention as fit(): an explicit zero
+    # is NOT an observation (it would otherwise count as a c=1, s=1
+    # cell and inflate the frequency-scaled reg nnz counts, making
+    # this diagnostic disagree with the objective ALS minimized)
     # [:n_users] trims the factor_sharding='users' zero pad rows
     u = np.asarray(self.user_factors, np.float64)[:m.shape[0]]
     v = np.asarray(self.item_factors, np.float64)
@@ -618,6 +641,13 @@ class IALS:
     assert self.item_factors is not None, 'call fit() or load() first'
     m = users_interactions.interactions_matrix.tocsr().astype(np.float32)
     m.eliminate_zeros()  # same convention as fit()
+    if m.nnz and m.data.min() < 0:
+      # same validation as fit(): c = 1 + alpha * r needs r >= 0; a
+      # negative value would make the per-row system indefinite and
+      # jnp.linalg.cholesky returns NaN instead of raising, so
+      # predict()/recommend() would silently emit garbage
+      raise ValueError('iALS fold-in requires non-negative '
+                       'interaction values')
     if m.shape[1] != self.num_items:
       raise ValueError(f'input has {m.shape[1]} items, model was fit '
                        f'on {self.num_items}')

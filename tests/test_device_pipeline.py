@@ -815,8 +815,39 @@ def test_slab_cache_gating(matrix):
   src = _slab_source(matrix, 'users')
   assert src.maybe_cache_slabs(W, request=True)
   assert src.d_slab is not None
+  assert src._slab_request is True  # establishing request recorded
   assert not src.maybe_cache_slabs(W, request=False)
   assert src.d_slab is None
+  assert src._slab_request is None
+
+  # a typo'd user-facing value is a ValueError at the boundary, not a
+  # strippable assert deep in the pipeline
+  with pytest.raises(ValueError, match='slab_cache'):
+    src.maybe_cache_slabs(W, request='dense')
+
+
+def test_rebuild_preserves_forced_slab_request(matrix, monkeypatch):
+  """An overflow rebuild re-applies the request that ESTABLISHED the
+  slab cache: a user-forced slab_cache=True must not be silently
+  downgraded to the budget-checked 'auto'."""
+  from recoder_tpu.model import Recoder
+  from recoder_tpu.models import DynamicAutoencoder
+
+  ds = RecommendationDataset(matrix)
+  tr = Recoder(model=DynamicAutoencoder(hidden_layers=[8]),
+               optimizer_type='adam', loss='mse', seed=1)
+  tr.train(train_dataset=ds, batch_size=8, num_epochs=1,
+           negative_sampling=True, slab_cache=True)
+  src = tr._fused_source_cache[2]
+  assert src._slab_request is True
+  # make the cache exist only because it was forced: an 'auto'
+  # re-request after the rebuild would be declined by the budget
+  monkeypatch.setattr(DeviceDataSource, '_slab_cache_budget',
+                      lambda self: 0)
+  tr._overflow_rebuild = (64, 16)
+  rebuilt = tr._rebuild_fused_source(src, ds, 8, 8)
+  assert rebuilt._slab_request is True
+  assert rebuilt.d_slab is not None  # still forced, still resident
 
 
 def test_slab_cache_dtype_selection(matrix):

@@ -232,6 +232,41 @@ def test_ials_users_sharded_requires_mesh():
     IALS(embedding_size=4).fit(m, factor_sharding='items')
 
 
+def test_ials_objective_ignores_explicit_zeros():
+  """objective() follows fit()'s convention: an explicit zero is NOT
+  an observation (it must not count as a c=1, s=1 cell nor inflate
+  the frequency-scaled reg nnz counts)."""
+  noisy = _binary_matrix(seed=11)
+  noisy.data = noisy.data.copy()
+  noisy.data[0] = 0.0  # first stored entry becomes an explicit zero
+  clean = noisy.copy()
+  clean.eliminate_zeros()
+  assert clean.nnz == noisy.nnz - 1  # the pattern really differs
+  # fit() treats them identically (it eliminates explicit zeros)...
+  kw = dict(embedding_size=4, sweeps=2, seed=2)
+  a = IALS(**kw).fit(clean)
+  b = IALS(**kw).fit(noisy)
+  np.testing.assert_array_equal(np.asarray(a.item_factors),
+                                np.asarray(b.item_factors))
+  # ...and objective() must report the same value on both (it is the
+  # diagnostic for the objective fit() minimized)
+  assert np.isclose(a.objective(noisy), a.objective(clean), rtol=1e-12)
+
+
+def test_ials_fold_in_rejects_negative_values():
+  """Serving gets the same validation as fit(): a negative value
+  would make the per-row system indefinite and Cholesky would emit
+  NaN factors silently."""
+  m = _binary_matrix()
+  model = IALS(embedding_size=4, sweeps=1).fit(m)
+  bad = m[:3].astype(np.float32).copy()
+  bad.data = bad.data.copy()
+  bad.data[0] = -1.0
+  ui = UsersInteractions(users=np.arange(3), interactions_matrix=bad)
+  with pytest.raises(ValueError, match='non-negative'):
+    model.fold_in(ui)
+
+
 def test_ials_rejects_oversized_row():
   m = _binary_matrix(users=4, items=20, density=1.0)
   model = IALS(embedding_size=4, sweeps=1)
