@@ -63,6 +63,7 @@ import numpy as np
 
 import recoder_tpu
 from recoder_tpu.checkpoint import load_checkpoint, save_checkpoint
+from recoder_tpu.ops.spd import spd_solve
 
 
 def _pow2_ceil(n):
@@ -96,11 +97,13 @@ def _solve_rows_from_slab(f, gram, valid, vals, alpha, reg):
   a = a + reg[:, None, None] * jnp.eye(d, dtype=a.dtype)
   b = jnp.einsum('bl,bld->bd', w_b, f,
                  precision=jax.lax.Precision.HIGHEST)
-  chol = jnp.linalg.cholesky(a)
-  y = jax.scipy.linalg.solve_triangular(chol, b[..., None], lower=True)
-  x = jax.scipy.linalg.solve_triangular(
-      chol, y, lower=True, trans=1)
-  return x[..., 0]
+  # blocked batched Cholesky solve (ops/spd.py): stock jnp cholesky +
+  # solve_triangular was 97% of the half-sweep at the ML-20M shape —
+  # XLA's sequential expander re-touches the whole [B, d, d] tensor
+  # per column (tools/ials_breakdown.py: solve 3032 -> 1958 ms
+  # measured on the v5e; same arithmetic up to f32 reduction order,
+  # differential-tested vs LAPACK in tests/test_spd.py)
+  return spd_solve(a, b, base=32)
 
 
 # Module-level jitted solve: jax.jit caches per (B, L, d) shape bucket

@@ -202,11 +202,11 @@ def test_ials_users_sharded_fit_matches_single(tmp_path):
   # batch-sharded mesh fit above IS exact because its gram replicates)
   u = np.asarray(uf)
   np.testing.assert_allclose(u[:50], np.asarray(ref.user_factors),
-                             rtol=1e-5, atol=1e-6)
+                             rtol=1e-5, atol=5e-6)
   assert not u[50:].any()  # sentinel + pad rows stay zero
   np.testing.assert_allclose(np.asarray(got.item_factors),
                              np.asarray(ref.item_factors),
-                             rtol=1e-5, atol=1e-6)
+                             rtol=1e-5, atol=5e-6)
 
   # objective trims the pad rows; identical to the replicated fit's
   assert np.isclose(got.objective(m), ref.objective(m), rtol=1e-6)
